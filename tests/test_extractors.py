@@ -1,0 +1,67 @@
+"""Unit tests for the pure extraction functions (SURVEY.md §5.2.3)."""
+
+import pytest
+
+from westa_ocr_ray import extractors, fixtures
+
+
+def test_html_main_text_strips_boilerplate():
+    html, expected = fixtures.build_html(("t", 1), 3)
+    assert extractors.html_main_text(html) == expected
+
+
+def test_html_empty_and_garbage():
+    assert extractors.html_main_text("") == ""
+    # all-boilerplate page → nothing survives
+    assert extractors.html_main_text(
+        "<div><a href='/x'>one two three</a></div>") == ""
+
+
+def test_normalize_ws():
+    assert extractors.normalize_ws("  a\n b\t c ") == "a b c"
+
+
+def test_page_roundtrip_and_reading_order():
+    ref = "media://pdf/doc_42_00000007/2"
+    blob = fixtures.media_store(ref)
+    pages = extractors.parse_pages(blob)
+    _, n_pages = fixtures._media_params(fixtures.DEFAULT_SEED, ref)
+    assert len(pages) == n_pages
+    # reading order: stored runs are shuffled, page_text must sort by (y, x)
+    flags, runs = pages[0]
+    text, is_content = extractors.page_text(flags, runs)
+    ordered = sorted(runs, key=lambda r: (r[1], r[0]))
+    if is_content:
+        assert text == " ".join(t for _, _, t in ordered)
+
+
+def test_split_payload_one_based_pages():
+    # 1-based page indexing semantics (reference pdf_utils.py:29)
+    ref = "media://pdf/doc_42_00000019/0"
+    blob = fixtures.media_store(ref)
+    blobs = extractors.split_payload(blob)
+    assert len(blobs) == len(extractors.parse_pages(blob))
+    for single in blobs:
+        assert len(extractors.parse_pages(single)) == 1
+
+
+def test_corrupt_payload_raises():
+    with pytest.raises(extractors.MediaFormatError):
+        extractors.parse_pages(b"XXXXgarbage")
+    with pytest.raises(extractors.MediaFormatError):
+        extractors.parse_pages(fixtures.MAGIC_PDF + b"\x05\x00" + b"\x00")  # truncated
+
+
+def test_extract_unit_records_errors():
+    text, is_content, err = extractors.extract_unit("pdf", "", b"XXXX")
+    assert text == "" and not is_content and err.startswith("extract failed")
+
+
+def test_sentinel_page_non_content():
+    text, is_content = extractors.page_text(1, [(0, 0, fixtures.SENTINEL_TEXT)])
+    assert text == "" and not is_content
+
+
+def test_media_store_deterministic():
+    ref = "media://image/doc_42_00000003/1"
+    assert fixtures.media_store(ref) == fixtures.media_store(ref)

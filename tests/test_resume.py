@@ -1,0 +1,76 @@
+"""Resume semantics (SURVEY.md §5.2.4): a run that completed only K of P
+partitions resumes without reprocessing them, and the resumed output
+equals an uninterrupted run."""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.compute as pc
+
+from westa_ocr_ray import fixtures
+from westa_ocr_ray.config import ExtractConfig
+from westa_ocr_ray.pipelines.extract import (
+    done_parts, read_extracted, run_extract)
+
+CFG = ExtractConfig(num_parts=8, repartition_blocks=8, extract_concurrency=(1, 3))
+
+
+def _result_key(ds):
+    rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+    return [(r["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["order"])
+                           for s in r["spans"]], r["status"]) for r in rows]
+
+
+def test_resume_skips_completed_partitions(tmp_path):
+    corpus = fixtures.ensure_corpus("smoke")
+    full_dir = str(tmp_path / "full")
+    m_full = run_extract(corpus, full_dir, CFG)
+    assert m_full["parts_written"] >= 1 and m_full["parts_skipped"] == 0
+    full = _result_key(read_extracted(full_dir))
+
+    # simulate a killed run: keep only K completed partitions
+    killed_dir = str(tmp_path / "killed")
+    shutil.copytree(full_dir, killed_dir)
+    markers = sorted(glob.glob(os.path.join(killed_dir, "_markers", "*.done")))
+    keep = 3
+    for m in markers[keep:]:
+        part = os.path.basename(m)[len("part-"):-len(".done")]
+        os.remove(m)
+        os.remove(os.path.join(killed_dir, "extracted", f"part-{part}.parquet"))
+    assert len(done_parts(killed_dir)) == keep
+
+    m_resume = run_extract(corpus, killed_dir, CFG)
+    assert m_resume["parts_skipped"] == keep
+    # resumed output identical to the uninterrupted run
+    assert _result_key(read_extracted(killed_dir)) == full
+    # lineage records the resumed partitions with attempt > 0
+    attempts = set()
+    for path in glob.glob(os.path.join(killed_dir, "lineage", "*.jsonl")):
+        with open(path) as fh:
+            for line in fh:
+                attempts.add(json.loads(line)["attempt"])
+    assert 1 in attempts and 0 in attempts
+
+
+def test_noop_resume_when_all_done(tmp_path):
+    corpus = fixtures.ensure_corpus("smoke")
+    out = str(tmp_path / "out")
+    run_extract(corpus, out, CFG)
+    m = run_extract(corpus, out, CFG)
+    assert m["parts_written"] == 0
+    assert m["parts_skipped"] == len(done_parts(out))
+
+
+def test_markers_match_partition_files(tmp_path):
+    corpus = fixtures.ensure_corpus("smoke")
+    out = str(tmp_path / "out")
+    run_extract(corpus, out, CFG)
+    ds = read_extracted(out)
+    total_docs = ds.count()
+    marker_docs = 0
+    for m in glob.glob(os.path.join(out, "_markers", "*.done")):
+        with open(m) as fh:
+            marker_docs += json.load(fh)["rows"]
+    assert marker_docs == total_docs

@@ -1,0 +1,26 @@
+"""Per-run configuration — the engine analog of the reference's per-job
+knobs (app/models.py:34-52) and env surface (app/settings.py:131-170),
+collapsed to an immutable dataclass (no hot reload; Ray actor pools are
+per-run, SURVEY.md §2.3 A3)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+from .fixtures import DEFAULT_SEED
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    seed: int = DEFAULT_SEED
+    pattern: str = "A"              # masters pre-filter (GAS doc :57-70)
+    num_parts: int = 64             # output partitions (resume granularity)
+    # skew handling: shuffle the tiny span-ref rows (pre-payload) so heavy
+    # media spans interleave across blocks (SURVEY.md §4.2)
+    skew_repartition: bool = True
+    repartition_blocks: int = 64
+    extract_batch_size: int = 128   # small batches keep heavy pages from stalling a worker
+    extract_concurrency: Tuple[int, int] = (2, 12)  # actor-pool bounds
+    extract_num_cpus: float = 1.0
+    attempt: int = 0                # bumped by resume runs (lineage)

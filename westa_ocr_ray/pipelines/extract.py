@@ -1,0 +1,113 @@
+"""The flagship pipeline — the reference's whole dataflow
+(app/worker.py:170-505) as one streaming Ray Data program:
+
+    read(documents)
+      → map_batches(explode_spans)            # doc → span rows (M1 fan-out)
+      → [repartition(shuffle)]                # skew: interleave heavy refs (§4.2)
+      → map_batches(prepare)                  # fetch + page split (S1/M1)
+      → map_batches(ExtractModel, actor pool) # stateful model (A1) + masters (J1)
+      → groupby(part).map_groups(reassemble)  # the one shuffle (O1 + G1)
+      → [atomic per-partition write + markers + lineage]   # S3-S6, §4.4
+
+Everything streams with backpressure; nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Optional, Set
+
+import ray.data as rd
+
+from .. import fixtures
+from ..config import ExtractConfig
+from ..stages import ExtractModel, make_explode, make_partition_writer, make_prepare
+from ..stages.reassemble import reassemble_partition
+
+
+def read_documents(path: str) -> rd.Dataset:
+    """Input source. Parquet today; the logical schema is the Lance table
+    mandated by BASELINE.json.input_hint — swap to read_lance when the
+    lance module is available (SURVEY.md §7 storage seam)."""
+    return rd.read_parquet(path)
+
+
+def build_extracted_units(docs: rd.Dataset, cfg: ExtractConfig,
+                          skip_parts: Optional[Set[int]] = None) -> rd.Dataset:
+    """documents → extracted unit rows (pre-reassembly)."""
+    ds = docs.map_batches(make_explode(cfg.num_parts, skip_parts),
+                          batch_format="pyarrow")
+    if cfg.skew_repartition:
+        # rows here are tiny span refs (no payloads yet): an all-to-all on
+        # metadata, not data — cheap at any scale, and it breaks up runs of
+        # heavy docs that would otherwise land in one block.
+        ds = ds.repartition(cfg.repartition_blocks, shuffle=True)
+    ds = ds.map_batches(make_prepare(cfg.seed), batch_format="pyarrow")
+    # Broadcast small side (J1): the masters table is tiny, so it ships
+    # inline in the actor-creation task (once per actor, never per batch).
+    # A large small-side would go through ray.put with the ref kept alive
+    # on the driver (see similarity.py for that pattern).
+    masters = fixtures.master_keys(cfg.seed, cfg.pattern)
+    return ds.map_batches(
+        ExtractModel,
+        fn_constructor_kwargs={"masters": masters},
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=cfg.extract_concurrency,
+        num_cpus=cfg.extract_num_cpus,
+    )
+
+
+def extract_dataset(docs: rd.Dataset, cfg: ExtractConfig = ExtractConfig()) -> rd.Dataset:
+    """In-memory variant: returns the RESULT_SCHEMA dataset (no files)."""
+    units = build_extracted_units(docs, cfg)
+    return units.groupby("part").map_groups(reassemble_partition, batch_format="pyarrow")
+
+
+def done_parts(out_dir: str) -> Set[int]:
+    return {int(os.path.basename(p)[len("part-"):-len(".done")])
+            for p in glob.glob(os.path.join(out_dir, "_markers", "part-*.done"))}
+
+
+def run_extract(input_path: str, out_dir: str,
+                cfg: ExtractConfig = ExtractConfig()) -> dict:
+    """Resumable run: skips partitions that already have completion
+    markers (anti-join at the read — reference startup requeue,
+    app/main.py:402-406, at output-partition granularity instead of
+    whole-job), writes the rest atomically, and records run metrics.
+
+    Returns the run-metrics dict (also written to out_dir/metrics/)."""
+    t0 = time.perf_counter()
+    skip = done_parts(out_dir)
+    attempt = cfg.attempt if cfg.attempt else (1 if skip else 0)
+    summary_rows = []
+    if len(skip) < cfg.num_parts:
+        docs = read_documents(input_path)
+        units = build_extracted_units(docs, cfg, skip_parts=skip)
+        markers = units.groupby("part").map_groups(
+            make_partition_writer(out_dir, attempt=attempt), batch_format="pyarrow")
+        summary_rows = markers.take_all()  # tiny: one row per partition
+    wall = time.perf_counter() - t0
+    metrics = {
+        "input": input_path,
+        "out_dir": out_dir,
+        "attempt": attempt,
+        "parts_skipped": len(skip),
+        "parts_written": len(summary_rows),
+        "docs": int(sum(r["docs"] for r in summary_rows)),
+        "spans": int(sum(r["spans"] for r in summary_rows)),
+        "errors": int(sum(r["errors"] for r in summary_rows)),
+        "wall_sec": round(wall, 3),
+        "num_parts": cfg.num_parts,
+    }
+    os.makedirs(os.path.join(out_dir, "metrics"), exist_ok=True)
+    with open(os.path.join(out_dir, "metrics", f"run-attempt{attempt}.json"), "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    return metrics
+
+
+def read_extracted(out_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(out_dir, "extracted"))

@@ -45,6 +45,7 @@ UNITS_SCHEMA = pa.schema(
         ("payload", pa.binary()),    # single-page media blob; empty for text-ish units
         ("text", pa.string()),       # inline text for text-ish units
         ("size_class", pa.int8()),   # 0 light / 1 medium / 2 heavy — skew bucketing
+        ("error", pa.string()),      # pre-extraction failure (fetch/split), "" = ok
     ]
 )
 

@@ -1,0 +1,103 @@
+"""Explode stage: documents → one row per span (vectorized, zero-copy
+Arrow). The flat-map analog of the reference's doc→page fan-out
+(app/worker.py:284-286) at span granularity; page fan-out happens in the
+prepare stage once payloads are readable.
+
+Zero-span docs emit a sentinel row (span_idx = -1) so the doc still
+yields a summary row downstream (reference zero-page short-circuit,
+app/worker.py:236-254).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Callable, Optional, Set
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SIZE_CLASS = {"text": 0, "html": 1, "image": 1, "pdf": 2}
+
+
+def part_of(doc_id: str, num_parts: int) -> int:
+    """Stable output-partition assignment — crc32, process-independent
+    (resume markers must mean the same thing across runs)."""
+    return zlib.crc32(doc_id.encode("utf-8")) % num_parts
+
+
+def make_explode(num_parts: int,
+                 skip_parts: Optional[Set[int]] = None) -> Callable[[pa.Table], pa.Table]:
+    """Build the explode batch fn. ``skip_parts`` is the resume anti-join:
+    rows whose partition already has a completion marker are dropped at
+    the earliest possible stage (reference list_pending_jobs WHERE status
+    filter, app/repository.py:291-306)."""
+    skip = frozenset(skip_parts or ())
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        doc_ids = batch.column("doc_id")
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+
+        parts = np.fromiter(
+            (part_of(s, num_parts) for s in doc_ids.to_pylist()),
+            dtype=np.int32, count=len(doc_ids),
+        )
+
+        flat = pc.list_flatten(spans)                      # struct array of all spans
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = offsets[1:] - offsets[:-1]
+        span_idx = (np.arange(len(flat), dtype=np.int64) - offsets[:-1][parent]).astype(np.int32)
+
+        kind = flat.field("kind")
+        out = pa.table(
+            {
+                "doc_id": pc.take(doc_ids, pa.array(parent)),
+                "part": pa.array(parts[parent], type=pa.int32()),
+                "span_idx": pa.array(span_idx),
+                "page_idx": pa.array(np.zeros(len(flat), dtype=np.int32)),
+                "kind": kind,
+                "media_ref": flat.field("media_ref"),
+                "offset": flat.field("offset"),
+                "payload": pa.array([None] * len(flat), type=pa.binary()),
+                "text": flat.field("text"),
+                "size_class": pc.cast(
+                    pc.index_in(kind, pa.array(["text", "html", "image", "pdf"])),
+                    pa.int8(),
+                ),
+                "error": pa.array([""] * len(flat), type=pa.string()),
+            }
+        )
+
+        empty = np.flatnonzero(lengths == 0)
+        if len(empty):
+            n = len(empty)
+            sentinel = pa.table(
+                {
+                    "doc_id": pc.take(doc_ids, pa.array(empty)),
+                    "part": pa.array(parts[empty], type=pa.int32()),
+                    "span_idx": pa.array(np.full(n, -1, dtype=np.int32)),
+                    "page_idx": pa.array(np.zeros(n, dtype=np.int32)),
+                    "kind": pa.array([""] * n),
+                    "media_ref": pa.array([""] * n),
+                    "offset": pa.array(np.zeros(n, dtype=np.int32)),
+                    "payload": pa.array([None] * n, type=pa.binary()),
+                    "text": pa.array([""] * n),
+                    "size_class": pa.array(np.zeros(n, dtype=np.int8)),
+                    "error": pa.array([""] * n),
+                }
+            )
+            out = pa.concat_tables([out, sentinel]).combine_chunks()
+
+        if skip:
+            mask = np.isin(out.column("part").to_numpy(), np.fromiter(skip, dtype=np.int32),
+                           invert=True)
+            out = out.filter(pa.array(mask))
+        return out
+
+    return explode
