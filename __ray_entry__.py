@@ -1,16 +1,18 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the westa_ocr_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ray.init() itself before importing this module; nothing
+here (or in the library) calls ray.init/ray.shutdown. Only bench.py,
+scripts/, and the test fixture own a Ray session.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship extraction pipeline on the smoke-tier interleaved
+  fixture corpus (the input shape mandated by BASELINE.json.input_hint;
+  synthesized deterministically — see westa_ocr_ray/fixtures.py).
+- queries(): one entry per implemented operator/pipeline (SURVEY.md §2
+  coverage map in westa_ocr_ray/queries.py docstring).
+- oracle_sql(): DuckDB-runnable oracles for the SQL-expressible subset;
+  the extraction pipelines' oracle is the single-process reference
+  implementation asserted by `python -m pytest -x -q`
+  (tests/test_pipeline_e2e.py span-sequence equality).
 """
 
 from __future__ import annotations
@@ -20,25 +22,22 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from westa_ocr_ray import fixtures
+    from westa_ocr_ray.config import ExtractConfig
+    from westa_ocr_ray.pipelines.extract import extract_dataset, read_documents
+
+    corpus = fixtures.ensure_corpus("smoke")
+    cfg = ExtractConfig(num_parts=8, repartition_blocks=8, extract_concurrency=(1, 4))
+    return extract_dataset(read_documents(corpus), cfg)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from westa_ocr_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from westa_ocr_ray.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,153 @@
+"""Benchmark harness.
+
+Plain run: headline = the flagship extraction pipeline over the
+bench-tier fixture corpus (resumable write path, the real workload) plus
+a set of representative queries over $GRAFT_SF_DIR. Prints ONE JSON
+line.
+
+--scaling: runs the headline extraction at num_cpus=8 and num_cpus=32 in
+fresh processes on the same corpus and reports both throughputs and the
+scaling efficiency (the in-sandbox evidence for the N→4N criterion; see
+BASELINE.md measurement protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey",
+                 "dedup_exact", "dedup_minhash", "sim_topk", "text_quality",
+                 "tokens_by_lang"]
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+    from westa_ocr_ray import fixtures
+    from westa_ocr_ray.config import ExtractConfig
+    from westa_ocr_ray.pipelines.extract import run_extract
+    from westa_ocr_ray.queries import QUERIES
+
+    tier = fixtures.tier_for_sf_dir(SF_DIR)
+    corpus = fixtures.ensure_corpus(tier)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.dataset as pads
+    pads.dataset(corpus).to_table()
+
+    out_dir = f"/tmp/westa_bench_out/{tier}_cpus{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = ExtractConfig(extract_concurrency=(4, max(4, NUM_CPUS - 4)))
+    t0 = time.perf_counter()
+    metrics = run_extract(corpus, out_dir, cfg)
+    extract_sec = time.perf_counter() - t0
+    docs = metrics["docs"]
+
+    q_times = {"extract_pipeline": round(extract_sec, 3)}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume lazily-built datasets
+        try:
+            import ray.data as rd
+            if isinstance(res, rd.Dataset):
+                res.count()
+        except Exception:
+            pass
+        q_times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(q_times.values()), 3)
+    result = {
+        "metric": "bench_total_sec (extract_pipeline + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": q_times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "extract_docs": docs,
+        "extract_docs_per_sec": round(docs / extract_sec, 2) if extract_sec else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same extraction job, fresh processes, 8 vs 32 CPUs."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_EXTRACT_ONLY="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True)
+        line = json.loads(out.stdout.strip().splitlines()[-1])
+        results[ncpu] = line
+    thr8 = results[8]["extract_docs_per_sec"]
+    thr32 = results[32]["extract_docs_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    return {
+        "metric": "scaling_efficiency (docs/sec at 32 cpus vs 8 cpus, /4)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "thr_docs_per_sec_8": thr8,
+        "thr_docs_per_sec_32": thr32,
+        "extract_sec_8": results[8]["queries"]["extract_pipeline"],
+        "extract_sec_32": results[32]["queries"]["extract_pipeline"],
+        "sf": SF_DIR,
+    }
+
+
+def run_extract_only() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+    from westa_ocr_ray import fixtures
+    from westa_ocr_ray.config import ExtractConfig
+    from westa_ocr_ray.pipelines.extract import run_extract
+
+    tier = fixtures.tier_for_sf_dir(SF_DIR)
+    corpus = fixtures.ensure_corpus(tier)
+    import pyarrow.dataset as pads
+    pads.dataset(corpus).to_table()
+
+    out_dir = f"/tmp/westa_bench_out/{tier}_cpus{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = ExtractConfig(extract_concurrency=(4, max(4, NUM_CPUS - 4)))
+    t0 = time.perf_counter()
+    metrics = run_extract(corpus, out_dir, cfg)
+    extract_sec = time.perf_counter() - t0
+    docs = metrics["docs"]
+    result = {
+        "metric": "extract_sec", "value": round(extract_sec, 3), "unit": "sec",
+        "queries": {"extract_pipeline": round(extract_sec, 3)},
+        "sf": SF_DIR, "num_cpus": NUM_CPUS, "extract_docs": docs,
+        "extract_docs_per_sec": round(docs / extract_sec, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif os.environ.get("GRAFT_BENCH_EXTRACT_ONLY"):
+        print(json.dumps(run_extract_only()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,91 @@
+"""Local stand-in for the driver's correctness gate: run each query and
+its oracle SQL side-by-side, compare row count + order-insensitive
+values. Usage: python scripts/check_queries.py [sf_dir] [names...]"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(list(df.columns), ignore_index=True)
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import ray
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from westa_ocr_ray.queries import ORACLE_SQL, QUERIES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            raw = to_pandas(fn(sf_dir))
+            wall = time.perf_counter() - t0
+            sql = ORACLE_SQL.get(name)
+            if sql is None:
+                print(f"  {name:28s} rows-only  rows={len(raw):8d}  {wall:6.2f}s")
+                continue
+            got = normalize(raw)
+            exp = normalize(con.execute(sql).fetchdf())
+            if len(got) != len(exp):
+                print(f"X {name:28s} ROWCOUNT got={len(got)} exp={len(exp)}")
+                failures += 1
+                continue
+            try:
+                pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                              check_exact=False, rtol=1e-9)
+                print(f"  {name:28s} OK         rows={len(got):8d}  {wall:6.2f}s")
+            except AssertionError as exc:
+                print(f"X {name:28s} VALUES: {str(exc).splitlines()[-1][:120]}")
+                failures += 1
+        except Exception:
+            print(f"X {name:28s} EXCEPTION")
+            traceback.print_exc(limit=4)
+            failures += 1
+    ray.shutdown()
+    print(f"failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

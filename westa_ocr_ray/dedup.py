@@ -1,0 +1,264 @@
+"""Deduplication operators over a (id, text) document table.
+
+All Ray-Data-first: vectorized per-batch signature computation, shuffles
+only on small derived keys (hashes / band buckets), never on raw text
+except where the verify step genuinely needs it.
+
+- exact: content-hash groupby, first-wins (reference idempotency
+  semantics, app/main.py:157-188 / repository.py:256-262).
+- minhash_lsh: shingle → minhash → banded LSH buckets → candidate pairs
+  → exact-Jaccard verification.
+- simhash: 64-bit token-weight fingerprint per doc.
+- ngram_jaccard: blocked pairwise n-gram Jaccard.
+- embedding near-dup: cosine over an embedding column (see similarity.py
+  for the search variant).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import List, Tuple
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .relops import partial_aggregate, semi_anti_filter
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _crc(s: str) -> int:
+    return zlib.crc32(s.encode("utf-8"))
+
+
+def md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
+                text_col: str = "text") -> rd.Dataset:
+    """(text_hash, keeper_doc_id, n_dups): hash-partitioned first-wins
+    exact dedup. Only (hash, id) pairs shuffle — the text stays put."""
+
+    def sign(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "text_hash": [md5_hex(t) for t in df[text_col]],
+            id_col: df[id_col].to_numpy(),
+        })
+
+    signed = ds.map_batches(sign, batch_format="pandas")
+    out = partial_aggregate(signed, ["text_hash"],
+                            {"keeper_doc_id": ("min", id_col),
+                             "n_dups": ("count", None)})
+    return out
+
+
+def prefix_dedup_groups(ds: rd.Dataset, id_col: str = "doc_id",
+                        text_col: str = "text", n_tokens: int = 4) -> rd.Dataset:
+    """Near-dup *blocking*: group docs by the hash of their first
+    n_tokens tokens — the candidate-generation half of fuzzy dedup."""
+
+    def sign(df: pd.DataFrame) -> pd.DataFrame:
+        pref = [" ".join(t.split(" ")[:n_tokens]) for t in df[text_col]]
+        return pd.DataFrame({"prefix_hash": [md5_hex(p) for p in pref],
+                             id_col: df[id_col].to_numpy()})
+
+    return partial_aggregate(ds.map_batches(sign, batch_format="pandas"),
+                             ["prefix_hash"],
+                             {"keeper_doc_id": ("min", id_col),
+                              "n_docs": ("count", None)})
+
+
+# -------------------------------------------------------------- minhash
+
+
+class MinHasher:
+    """Stateful signature stage: permutation parameters are derived once
+    per actor (deterministic from seed), applied vectorized per batch."""
+
+    def __init__(self, num_perm: int = 64, shingle: int = 3, seed: int = 42,
+                 bands: int = 16, id_col: str = "doc_id", text_col: str = "text") -> None:
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.num_perm, self.shingle, self.bands = num_perm, shingle, bands
+        self.rows_per_band = num_perm // bands
+        self.id_col, self.text_col = id_col, text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        toks = text.split(" ")
+        sh = {" ".join(toks[i:i + self.shingle])
+              for i in range(max(1, len(toks) - self.shingle + 1))}
+        h = np.fromiter((_crc(s) for s in sh), dtype=np.int64, count=len(sh))
+        # (perm, shingle) permuted hashes → min per permutation
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Emit one row per (doc, band): the LSH explode."""
+        ids: List[object] = []
+        band_ids: List[int] = []
+        band_hashes: List[int] = []
+        for doc_id, text in zip(df[self.id_col], df[self.text_col]):
+            sig = self.signature(text)
+            for b in range(self.bands):
+                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
+                ids.append(doc_id)
+                band_ids.append(b)
+                band_hashes.append(_crc(",".join(map(str, chunk))))
+        return pd.DataFrame({self.id_col: ids,
+                             "band_id": np.array(band_ids, dtype=np.int32),
+                             "band_hash": np.array(band_hashes, dtype=np.int64)})
+
+
+def _jaccard(a: str, b: str, shingle: int) -> float:
+    ta, tb = a.split(" "), b.split(" ")
+    sa = {" ".join(ta[i:i + shingle]) for i in range(max(1, len(ta) - shingle + 1))}
+    sb = {" ".join(tb[i:i + shingle]) for i in range(max(1, len(tb) - shingle + 1))}
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter) if inter else 0.0
+
+
+def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
+                      num_perm: int = 64, bands: int = 16, shingle: int = 3,
+                      seed: int = 42, jaccard_threshold: float = 0.5) -> pd.DataFrame:
+    """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verify.
+
+    shingle→minhash→band→bucket-groupby candidates; the candidate set is
+    assumed small relative to the corpus (it is, for any sane threshold)
+    and is verified driver-side against the candidate docs' texts.
+    Returns (doc_a, doc_b, jaccard_pct:int32), doc_a < doc_b.
+    """
+    bands_ds = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle=shingle, seed=seed,
+                                   bands=bands, id_col=id_col, text_col=text_col),
+        batch_format="pandas", concurrency=(1, 8))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(df[id_col].unique().tolist())
+        if len(vals) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(df[id_col].dtype)
+        pa_, pb_ = [], []
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                pa_.append(vals[i])
+                pb_.append(vals[j])
+        return pd.DataFrame({"doc_a": pa_, "doc_b": pb_})
+
+    cand = (bands_ds.groupby(["band_id", "band_hash"])
+            .map_groups(bucket_pairs, batch_format="pandas"))
+    pairs = cand.to_pandas().drop_duplicates(ignore_index=True)
+    if pairs.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard_pct": pd.Series([], dtype="int32")})
+
+    need = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    texts_df = semi_anti_filter(ds.select_columns([id_col, text_col]), id_col, need
+                                ).to_pandas()
+    texts = dict(zip(texts_df[id_col], texts_df[text_col]))
+    jac = [int(round(100 * _jaccard(texts[a], texts[b], shingle)))
+           for a, b in zip(pairs["doc_a"], pairs["doc_b"])]
+    pairs["jaccard_pct"] = np.array(jac, dtype=np.int32)
+    out = pairs[pairs["jaccard_pct"] >= int(jaccard_threshold * 100)]
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+# -------------------------------------------------------------- simhash
+
+
+class SimHasher:
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text") -> None:
+        self.id_col, self.text_col = id_col, text_col
+
+    def simhash(self, text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split(" "):
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+            acc += 2 * bits - 1
+        val = 0
+        for i in range(64):
+            if acc[i] > 0:
+                val |= 1 << i
+        return val - (1 << 64) if val >= (1 << 63) else val  # signed int64
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            self.id_col: df[self.id_col].to_numpy(),
+            "simhash": np.array([self.simhash(t) for t in df[self.text_col]],
+                                dtype=np.int64),
+        })
+
+
+def simhash_table(ds: rd.Dataset, id_col: str = "doc_id",
+                  text_col: str = "text") -> rd.Dataset:
+    return ds.map_batches(SimHasher,
+                          fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+                          batch_format="pandas", concurrency=(1, 8))
+
+
+# ------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
+                        block_tokens: int = 2, shingle: int = 3,
+                        threshold_pct: int = 50) -> rd.Dataset:
+    """Blocked pairwise n-gram Jaccard: docs sharing a leading-token
+    block are compared exhaustively within the block (groupby shuffle on
+    the block key only; assumes blocks are small — log a dropped-pairs
+    count if a block exceeds the cap rather than blowing up)."""
+    CAP = 200
+
+    def add_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, text_col]].copy()
+        df["block"] = [md5_hex(" ".join(t.split(" ")[:block_tokens])) for t in df[text_col]]
+        return df
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, ignore_index=True)
+        n = min(len(df), CAP)
+        a_, b_, j_ = [], [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                pct = int(round(100 * _jaccard(df[text_col][i], df[text_col][j], shingle)))
+                if pct >= threshold_pct:
+                    a_.append(df[id_col][i])
+                    b_.append(df[id_col][j])
+                    j_.append(pct)
+        return pd.DataFrame({"doc_a": a_, "doc_b": b_,
+                             "jaccard_pct": np.array(j_, dtype=np.int32)})
+
+    return (ds.map_batches(add_block, batch_format="pandas")
+            .groupby("block").map_groups(block_pairs, batch_format="pandas"))
+
+
+# -------------------------------------------------- embedding near-dup
+
+
+def embedding_near_dup_pairs(emb: rd.Dataset, id_col: str = "vec_id",
+                             vec_col: str = "embedding", group_col: str = "label",
+                             threshold: float = 0.4) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs within a partition key (group_col
+    bounds the pairwise blow-up; at scale the group key would be an LSH
+    bucket — see similarity.lsh_buckets). Returns (vec_id_a, vec_id_b)."""
+
+    def group_fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] > threshold
+        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_id_a": lo.astype(np.int64),
+                             "vec_id_b": hi.astype(np.int64)})
+
+    return emb.groupby(group_col).map_groups(group_fn, batch_format="pandas")

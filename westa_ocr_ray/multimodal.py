@@ -1,0 +1,137 @@
+"""Multimodal column handling: image/audio/video as opaque binary
+columns with typed metadata, processed by actor-pool map_batches stages.
+
+The container has no image/audio codecs (no PIL/ffmpeg), so the *decode
+kernels* are stubbed: `decode_image_real` raises NotImplementedError
+unless PIL is importable, and `MediaFeaturizer` falls back to a
+deterministic fake decode (parsing our synthetic page format). The
+Ray-side plumbing — binary schema, small batch sizes for wide rows,
+actor signature, output layout — is real and tested.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from . import extractors, fixtures
+
+
+def media_table(docs: rd.Dataset, seed: int = fixtures.DEFAULT_SEED) -> rd.Dataset:
+    """documents → (doc_id, media_ref, kind, payload:binary): the opaque
+    binary column + typed metadata layout. Payloads are materialized
+    inside the map stage (never on the driver); batches stay small
+    because rows are wide."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        doc_ids, refs, kinds, payloads = [], [], [], []
+        for did, spans in zip(t.column("doc_id").to_pylist(),
+                              t.column("spans").to_pylist()):
+            for s in spans:
+                if s["kind"] in ("pdf", "image"):
+                    doc_ids.append(did)
+                    refs.append(s["media_ref"])
+                    kinds.append(s["kind"])
+                    payloads.append(fixtures.media_store(s["media_ref"], seed))
+        return pa.table({"doc_id": pa.array(doc_ids, type=pa.string()),
+                         "media_ref": pa.array(refs, type=pa.string()),
+                         "kind": pa.array(kinds, type=pa.string()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=64)
+
+
+def decode_image_real(payload: bytes):
+    """Real image decode — requires an image codec, absent here.
+    STUB (gated import): the scale path would decode + resize inside the
+    actor below, same signature."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "MediaFeaturizer uses the deterministic fake decode") from exc
+    raise NotImplementedError("real decode path not wired in this sandbox")
+
+
+class MediaFeaturizer:
+    """Actor-pool decode/feature-extract stage. Construction (codec
+    init / model load) happens once per actor; __call__ per batch.
+    Fake-decode path: parse the synthetic page format into features
+    (n_pages, n_runs, text_bytes, feature sketch vector)."""
+
+    def __init__(self, feature_dim: int = 8) -> None:
+        self.feature_dim = feature_dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_pages_l, n_runs_l, text_bytes_l, feats, errors = [], [], [], [], []
+        for payload in t.column("payload").to_pylist():
+            try:
+                pages = extractors.parse_pages(payload)
+                n_runs = sum(len(r) for _f, r in pages)
+                tb = sum(len(txt.encode()) for _f, r in pages for _x, _y, txt in r)
+                # deterministic "embedding": byte histogram folded to dim
+                h = np.zeros(self.feature_dim, dtype=np.float32)
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                np.add.at(h, arr % self.feature_dim, 1.0)
+                n = float(np.linalg.norm(h)) or 1.0
+                n_pages_l.append(len(pages))
+                n_runs_l.append(n_runs)
+                text_bytes_l.append(tb)
+                feats.append((h / n).tolist())
+                errors.append("")
+            except extractors.MediaFormatError as exc:
+                n_pages_l.append(0)
+                n_runs_l.append(0)
+                text_bytes_l.append(0)
+                feats.append([0.0] * self.feature_dim)
+                errors.append(f"decode failed: {exc}")
+        return pa.table({
+            "media_ref": t.column("media_ref"),
+            "kind": t.column("kind"),
+            "n_pages": pa.array(n_pages_l, type=pa.int32()),
+            "n_runs": pa.array(n_runs_l, type=pa.int32()),
+            "text_bytes": pa.array(text_bytes_l, type=pa.int64()),
+            "features": pa.array(feats, type=pa.list_(pa.float32())),
+            "error": pa.array(errors, type=pa.string()),
+        })
+
+
+def featurize_media(media: rd.Dataset, feature_dim: int = 8,
+                    concurrency=(1, 8), batch_size: int = 32) -> rd.Dataset:
+    return media.map_batches(MediaFeaturizer,
+                             fn_constructor_kwargs=dict(feature_dim=feature_dim),
+                             batch_format="pyarrow", batch_size=batch_size,
+                             concurrency=concurrency)
+
+
+def frame_sample(media: rd.Dataset, every_n: int = 2) -> rd.Dataset:
+    """Frame/page sampling: keep every n-th page of each payload —
+    re-serialized per-page blobs (the video-frame-sample analog on the
+    synthetic page format)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        refs, kinds, pages_out, blobs = [], [], [], []
+        for ref, kind, payload in zip(t.column("media_ref").to_pylist(),
+                                      t.column("kind").to_pylist(),
+                                      t.column("payload").to_pylist()):
+            try:
+                singles = extractors.split_payload(payload)
+            except extractors.MediaFormatError:
+                continue
+            for i, blob in enumerate(singles, start=1):
+                if (i - 1) % every_n == 0:
+                    refs.append(ref)
+                    kinds.append(kind)
+                    pages_out.append(i)
+                    blobs.append(blob)
+        return pa.table({"media_ref": pa.array(refs, type=pa.string()),
+                         "kind": pa.array(kinds, type=pa.string()),
+                         "page_idx": pa.array(pages_out, type=pa.int32()),
+                         "payload": pa.array(blobs, type=pa.binary())})
+
+    return media.map_batches(fn, batch_format="pyarrow", batch_size=32)

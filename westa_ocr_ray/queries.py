@@ -1,0 +1,450 @@
+"""Operator-coverage query suite over the driver's testdata tables plus
+the fixture-corpus extraction pipelines.
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame /
+pyarrow Table. Names of computed columns MATCH the oracle SQL in
+ORACLE_SQL exactly (the driver hash-compares values after sorting
+columns by name). Aggregates are integer-safe (cents / casts) so value
+hashes don't wobble on float summation order.
+
+Coverage map (SURVEY.md §2 op → query):
+  G1/G4 g1_lineitem_agg · G3 g3_count_orders · J1 j1_region_revenue ·
+  J2 dedup_exact · J4/M11 j4_customer_order_counts · M9 m9_status_filter
+  · O1 o1_first_line_partkey · O3 o3_topk_recent_events · M1
+  m1_explode_tokens · M3 m3_regex_first_word · M4 m4_priority_code · M5
+  events_daily · M8 m8_mask_props · S1-S6/A1/G1/O1 extract_* (fixture
+  corpus, oracle = tests/test_pipeline_e2e.py) — plus the training-data
+  suite (dedup_*, sim_*, text_*, mm_*).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from . import dedup, fixtures, multimodal, similarity, text_analysis
+from .config import ExtractConfig
+from .pipelines.extract import extract_dataset, read_documents
+from .relops import broadcast_join, hash_join, partial_aggregate
+
+
+def rp(sf_dir: str, name: str, columns: Optional[List[str]] = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _cents(x: pd.Series) -> pd.Series:
+    return np.round(x * 100).astype("int64")
+
+
+# ------------------------------------------------------------ TPC-H-ish
+
+def g1_lineitem_agg(sf_dir: str) -> rd.Dataset:
+    """Per-group reduce with a per-batch combiner (G1/G4): only partials
+    shuffle."""
+    li = rp(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "qty": df["l_quantity"].astype("int64"),
+            "price_cents": _cents(df["l_extendedprice"]),
+        })
+
+    return partial_aggregate(li.map_batches(prep, batch_format="pandas"),
+                             ["l_returnflag", "l_linestatus"],
+                             {"sum_qty": ("sum", "qty"),
+                              "sum_price_cents": ("sum", "price_cents"),
+                              "n_rows": ("count", None)})
+
+
+def g3_count_orders(sf_dir: str) -> pa.Table:
+    n = rp(sf_dir, "orders", ["o_orderkey"]).count()
+    return pa.table({"n_orders": pa.array([n], type=pa.int64())})
+
+
+def j1_region_revenue(sf_dir: str) -> rd.Dataset:
+    """Broadcast dimension join (J1): customer→nation→region collapsed to
+    one small lookup, put in the object store once; orders stream."""
+    cust = rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = rp(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = rp(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = (cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+               .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+               [["c_custkey", "r_name"]]
+               .rename(columns={"c_custkey": "o_custkey"}))
+    orders = rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, on="o_custkey")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"r_name": df["r_name"],
+                             "total_cents": _cents(df["o_totalprice"])})
+
+    return partial_aggregate(joined.map_batches(prep, batch_format="pandas"),
+                             ["r_name"],
+                             {"n_orders": ("count", None),
+                              "total_cents": ("sum", "total_cents")})
+
+
+def j4_customer_order_counts(sf_dir: str) -> rd.Dataset:
+    """Large-large partitioned hash join (J4) + keep-zero-rows semantics
+    (M11): every customer gets a row even with no orders."""
+    counts = partial_aggregate(rp(sf_dir, "orders", ["o_custkey"]),
+                               ["o_custkey"], {"n_orders": ("count", None)})
+    cust = rp(sf_dir, "customer", ["c_custkey"])
+    joined = hash_join(cust, counts, "c_custkey", "o_custkey", how="left")
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype("int64"),
+            "n_orders": df["n_orders"].fillna(0).astype("int64"),
+        })
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+def m9_status_filter(sf_dir: str) -> rd.Dataset:
+    orders = rp(sf_dir, "orders", ["o_orderstatus"])
+    filt = orders.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["o_orderstatus"],
+                                            value_set=pa.array(["O", "F"]))),
+        batch_format="pyarrow")
+    return partial_aggregate(filt, ["o_orderstatus"], {"n": ("count", None)})
+
+
+def o1_first_line_partkey(sf_dir: str) -> rd.Dataset:
+    """Within-group order reassembly (O1): argmin-by-linenumber via an
+    encoded min aggregate (fully vectorized, no per-group python)."""
+    li = rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "enc": df["l_linenumber"].astype("int64") * 10**10
+                   + df["l_partkey"].astype("int64"),
+        })
+
+    agg = partial_aggregate(li.map_batches(enc, batch_format="pandas"),
+                            ["l_orderkey"], {"enc_min": ("min", "enc")})
+
+    def dec(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "first_partkey": (df["enc_min"] % 10**10).astype("int64"),
+        })
+
+    return agg.map_batches(dec, batch_format="pandas")
+
+
+def o3_topk_recent_events(sf_dir: str) -> rd.Dataset:
+    ev = rp(sf_dir, "events", ["event_id", "ts", "event_type"])
+    return ev.sort(["ts", "event_id"], descending=True).limit(100)
+
+
+def m1_explode_tokens(sf_dir: str) -> rd.Dataset:
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.assign(token=df["text"].str.split(" "))[["doc_id", "token"]]
+        return out.explode("token", ignore_index=True)
+
+    return docs.map_batches(explode, batch_format="pandas")
+
+
+def m3_regex_first_word(sf_dir: str) -> rd.Dataset:
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    pat = re.compile(r"^([a-z]+)")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "first_word": [m.group(1) if (m := pat.match(t)) else "" for t in df["text"]],
+        })
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def m4_priority_code(sf_dir: str) -> rd.Dataset:
+    orders = rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    pat = re.compile(r"^([0-9]+)")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "prio_code": [m.group(1) if (m := pat.match(p)) else ""
+                          for p in df["o_orderpriority"]],
+        })
+
+    return orders.map_batches(fn, batch_format="pandas")
+
+
+def events_daily(sf_dir: str) -> rd.Dataset:
+    ev = rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "day": df["ts"].dt.strftime("%Y-%m-%d"),
+            "value_cents": _cents(df["value"]),
+        })
+
+    return partial_aggregate(ev.map_batches(prep, batch_format="pandas"),
+                             ["event_type", "day"],
+                             {"n": ("count", None),
+                              "sum_value_cents": ("sum", "value_cents")})
+
+
+def m8_mask_props(sf_dir: str) -> rd.Dataset:
+    ev = rp(sf_dir, "events", ["event_id", "props"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "masked_props": df["props"].str.replace(r"[0-9]", "#", regex=True),
+        })
+
+    return ev.map_batches(fn, batch_format="pandas")
+
+
+# -------------------------------------------------------- dedup suite
+
+def q_dedup_exact(sf_dir: str) -> rd.Dataset:
+    return dedup.exact_dedup(rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_dedup_prefix(sf_dir: str) -> rd.Dataset:
+    return dedup.prefix_dedup_groups(rp(sf_dir, "documents", ["doc_id", "text"]),
+                                     n_tokens=4)
+
+
+def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    return dedup.minhash_lsh_pairs(rp(sf_dir, "documents", ["doc_id", "text"]),
+                                   jaccard_threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str) -> rd.Dataset:
+    return dedup.simhash_table(rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_dedup_ngram(sf_dir: str) -> rd.Dataset:
+    return dedup.ngram_jaccard_pairs(rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_dedup_embedding(sf_dir: str) -> rd.Dataset:
+    return dedup.embedding_near_dup_pairs(
+        rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"]), threshold=0.4)
+
+
+# ---------------------------------------------------------- similarity
+
+QUERY_VEC_IDS = tuple(range(8))
+
+
+def q_sim_topk(sf_dir: str) -> pd.DataFrame:
+    return similarity.brute_force_topk(
+        rp(sf_dir, "embeddings", ["vec_id", "embedding"]), QUERY_VEC_IDS, k=5)
+
+
+def q_sim_ann_lsh(sf_dir: str) -> pd.DataFrame:
+    return similarity.ann_topk_lsh(
+        rp(sf_dir, "embeddings", ["vec_id", "embedding"]), QUERY_VEC_IDS, k=5)
+
+
+# ------------------------------------------------------- text analysis
+
+def q_text_quality(sf_dir: str) -> rd.Dataset:
+    return text_analysis.quality_table(rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_tokens_by_lang(sf_dir: str) -> rd.Dataset:
+    return text_analysis.tokens_by_lang(rp(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+
+def q_text_langid(sf_dir: str) -> rd.Dataset:
+    return text_analysis.langid_table(rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_text_fingerprint(sf_dir: str) -> rd.Dataset:
+    return text_analysis.fingerprint_table(rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# ----------------------------------------------------- fixture corpus
+
+def _corpus(sf_dir: str) -> rd.Dataset:
+    return read_documents(fixtures.ensure_corpus(fixtures.tier_for_sf_dir(sf_dir)))
+
+
+def q_extract_pipeline(sf_dir: str) -> rd.Dataset:
+    """The flagship extraction pipeline on the interleaved fixture corpus
+    (oracle: tests/test_pipeline_e2e.py asserts span-sequence equality)."""
+    return extract_dataset(_corpus(sf_dir), ExtractConfig())
+
+
+def q_extract_flat(sf_dir: str) -> rd.Dataset:
+    """Flattened (doc_id, kind, media_ref, order, text) span rows."""
+    res = extract_dataset(_corpus(sf_dir), ExtractConfig())
+
+    def flat(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pa.compute.list_parent_indices(spans)
+        f = pa.compute.list_flatten(spans)
+        return pa.table({
+            "doc_id": pa.compute.take(t.column("doc_id"), parent),
+            "kind": f.field("kind"),
+            "media_ref": f.field("media_ref"),
+            "order": f.field("order"),
+            "text": f.field("text"),
+        })
+
+    return res.map_batches(flat, batch_format="pyarrow")
+
+
+def q_extract_summary(sf_dir: str) -> rd.Dataset:
+    """Per-status rollup of the per-doc summary (G1→G2 counters)."""
+    res = extract_dataset(_corpus(sf_dir), ExtractConfig())
+    return partial_aggregate(res.select_columns(
+        ["status", "total_units", "processed", "skipped", "errors", "master_hits"]),
+        ["status"],
+        {"n_docs": ("count", None), "total_units": ("sum", "total_units"),
+         "processed": ("sum", "processed"), "skipped": ("sum", "skipped"),
+         "errors": ("sum", "errors"), "master_hits": ("sum", "master_hits")})
+
+
+# ----------------------------------------------------------- multimodal
+
+def q_mm_featurize(sf_dir: str) -> rd.Dataset:
+    media = multimodal.media_table(_corpus(sf_dir))
+    return multimodal.featurize_media(media)
+
+
+def q_mm_frame_sample(sf_dir: str) -> rd.Dataset:
+    media = multimodal.media_table(_corpus(sf_dir))
+    sampled = multimodal.frame_sample(media, every_n=2)
+    return sampled.select_columns(["media_ref", "kind", "page_idx"])
+
+
+# ------------------------------------------------------------ registry
+
+QUERIES = {
+    "g1_lineitem_agg": g1_lineitem_agg,
+    "g3_count_orders": g3_count_orders,
+    "j1_region_revenue": j1_region_revenue,
+    "j4_customer_order_counts": j4_customer_order_counts,
+    "m9_status_filter": m9_status_filter,
+    "o1_first_line_partkey": o1_first_line_partkey,
+    "o3_topk_recent_events": o3_topk_recent_events,
+    "m1_explode_tokens": m1_explode_tokens,
+    "m3_regex_first_word": m3_regex_first_word,
+    "m4_priority_code": m4_priority_code,
+    "events_daily": events_daily,
+    "m8_mask_props": m8_mask_props,
+    "dedup_exact": q_dedup_exact,
+    "dedup_prefix": q_dedup_prefix,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_embedding": q_dedup_embedding,
+    "sim_topk": q_sim_topk,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "text_quality": q_text_quality,
+    "tokens_by_lang": q_tokens_by_lang,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "extract_pipeline": q_extract_pipeline,
+    "extract_flat": q_extract_flat,
+    "extract_summary": q_extract_summary,
+    "mm_featurize": q_mm_featurize,
+    "mm_frame_sample": q_mm_frame_sample,
+}
+
+_STOP_SQL = "('" + "','".join(text_analysis.STOPWORDS) + "')"
+
+ORACLE_SQL = {
+    "g1_lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "g3_count_orders": "SELECT COUNT(*) AS n_orders FROM orders",
+    "j1_region_revenue": """
+        SELECT r_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name""",
+    "j4_customer_order_counts": """
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey""",
+    "m9_status_filter": """
+        SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        WHERE o_orderstatus IN ('O','F') GROUP BY o_orderstatus""",
+    "o1_first_line_partkey": """
+        SELECT l_orderkey,
+               CAST(MIN(l_linenumber * 10000000000 + l_partkey) % 10000000000 AS BIGINT)
+                 AS first_partkey
+        FROM lineitem GROUP BY l_orderkey""",
+    "o3_topk_recent_events": """
+        SELECT event_id, ts, event_type FROM events
+        ORDER BY ts DESC, event_id DESC LIMIT 100""",
+    "m1_explode_tokens": """
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents""",
+    "m3_regex_first_word": """
+        SELECT doc_id, regexp_extract(text, '^([a-z]+)', 1) AS first_word FROM documents""",
+    "m4_priority_code": """
+        SELECT o_orderkey, regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS prio_code
+        FROM orders""",
+    "events_daily": """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events GROUP BY event_type, day""",
+    "m8_mask_props": """
+        SELECT event_id, regexp_replace(props, '[0-9]', '#', 'g') AS masked_props
+        FROM events""",
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+               COUNT(*) AS n_dups
+        FROM documents GROUP BY md5(text)""",
+    "dedup_prefix": """
+        SELECT md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS prefix_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1""",
+    "dedup_embedding": """
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4""",
+    "sim_topk": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+                 ) AS rank
+          FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        FROM scored WHERE rank <= 5""",
+    "text_quality": f"""
+        SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_norm,
+               CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_words,
+               CAST(LEN(list_filter(string_split(text, ' '),
+                                    x -> x IN {_STOP_SQL})) AS BIGINT) AS n_stopwords
+        FROM documents""",
+    "tokens_by_lang": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang""",
+}

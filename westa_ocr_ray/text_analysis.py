@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines: quality signals,
+token counting, language ID, document fingerprinting. All vectorized
+per batch (pandas str kernels / numpy); stateful profile tables live in
+actor `__init__`."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .relops import partial_aggregate
+
+STOPWORDS = ("the", "a", "data", "value", "row")
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+")  # ASCII class: identical in RE2/DuckDB & Python
+
+
+def quality_table(ds: rd.Dataset, id_col: str = "doc_id",
+                  text_col: str = "text") -> rd.Dataset:
+    """(doc_id, n_chars_norm, n_words, n_stopwords): length / token /
+    stopword-ratio quality signals, vectorized."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.findall(_WORD_RE)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_chars_norm": df[text_col].str.len().astype(np.int64),
+            "n_words": toks.map(len).astype(np.int64),
+            "n_stopwords": toks.map(
+                lambda ws: sum(1 for w in ws if w in STOPWORDS)).astype(np.int64),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def tokens_by_lang(ds: rd.Dataset, lang_col: str = "lang",
+                   text_col: str = "text") -> rd.Dataset:
+    """(lang, n_docs, n_tokens): whitespace token count aggregated per
+    language — partial-aggregated before the groupby shuffle."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            lang_col: df[lang_col].to_numpy(),
+            "n_tokens": df[text_col].str.split(" ").map(len).astype(np.int64),
+        })
+
+    return partial_aggregate(ds.map_batches(fn, batch_format="pandas"),
+                             [lang_col],
+                             {"n_docs": ("count", None),
+                              "n_tokens": ("sum", "n_tokens")})
+
+
+_LANG_PROFILES: Dict[str, frozenset] = {
+    "en": frozenset("the and of to in is was for with that".split()),
+    "de": frozenset("der die das und ist nicht mit ein eine von".split()),
+    "fr": frozenset("le la les et est une des dans pour que".split()),
+    "es": frozenset("el la los y es una del para que con".split()),
+    "zh": frozenset("de le shi bu wo zai you ge ta men".split()),
+}
+
+
+class LangId:
+    """n-gram/stopword-profile language classifier — profiles compiled
+    once per actor. Deterministic; ties broken by language code."""
+
+    def __init__(self) -> None:
+        self.profiles = sorted(_LANG_PROFILES.items())
+
+    def classify(self, text: str) -> str:
+        words = set(w.lower() for w in _WORD_RE.findall(text))
+        best, best_n = "unknown", 0
+        for lang, prof in self.profiles:
+            n = len(words & prof)
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "pred_lang": [self.classify(t) for t in df["text"]]})
+
+
+def langid_table(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 8))
+
+
+class Fingerprinter:
+    """Rolling-hash document fingerprint: crc32 token stream → window-w
+    rolling combination → fingerprint = min window hash (winnowing-style
+    single-value summary, stable under small edits away from the min)."""
+
+    def __init__(self, window: int = 8) -> None:
+        self.window = window
+
+    def fingerprint(self, text: str) -> int:
+        hs = np.fromiter((zlib.crc32(t.encode()) for t in text.split(" ")),
+                         dtype=np.int64)
+        if len(hs) == 0:
+            return 0
+        w = min(self.window, len(hs))
+        # rolling polynomial combination over each window
+        weights = (31 ** np.arange(w, dtype=np.int64)) % (1 << 31)
+        if len(hs) < self.window:
+            vals = np.array([(hs * weights[:len(hs)]).sum()], dtype=np.int64)
+        else:
+            windows = np.lib.stride_tricks.sliding_window_view(hs, w)
+            vals = (windows * weights).sum(axis=1)
+        return int(vals.min() & 0x7FFFFFFFFFFFFFFF)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "fingerprint": np.array([self.fingerprint(t) for t in df["text"]],
+                                    dtype=np.int64),
+        })
+
+
+def fingerprint_table(ds: rd.Dataset, window: int = 8) -> rd.Dataset:
+    return ds.map_batches(Fingerprinter, fn_constructor_kwargs=dict(window=window),
+                          batch_format="pandas", concurrency=(1, 8))
