@@ -16,9 +16,15 @@ class ExtractConfig:
     seed: int = DEFAULT_SEED
     pattern: str = "A"              # masters pre-filter (GAS doc :57-70)
     num_parts: int = 64             # output partitions (resume granularity)
-    # skew handling: shuffle the tiny span-ref rows (pre-payload) so heavy
-    # media spans interleave across blocks (SURVEY.md §4.2)
-    skew_repartition: bool = True
+    # skew handling (SURVEY.md §4.2), two levels:
+    # - local_interleave (default): deterministic pseudo-random reorder of
+    #   span-ref rows WITHIN each explode batch — free, streaming, spreads
+    #   heavy media spans across the actor pool's batch_size slices.
+    # - skew_repartition (opt-in): a full shuffle of the tiny pre-payload
+    #   span-ref rows across blocks. An all-to-all barrier: only worth it
+    #   when heavy docs are pathologically clustered in the input files.
+    local_interleave: bool = True
+    skew_repartition: bool = False
     repartition_blocks: int = 64
     extract_batch_size: int = 128   # small batches keep heavy pages from stalling a worker
     extract_concurrency: Tuple[int, int] = (2, 12)  # actor-pool bounds

@@ -38,12 +38,14 @@ def read_documents(path: str) -> rd.Dataset:
 def build_extracted_units(docs: rd.Dataset, cfg: ExtractConfig,
                           skip_parts: Optional[Set[int]] = None) -> rd.Dataset:
     """documents → extracted unit rows (pre-reassembly)."""
-    ds = docs.map_batches(make_explode(cfg.num_parts, skip_parts),
-                          batch_format="pyarrow")
+    ds = docs.map_batches(
+        make_explode(cfg.num_parts, skip_parts, local_interleave=cfg.local_interleave),
+        batch_format="pyarrow")
     if cfg.skew_repartition:
-        # rows here are tiny span refs (no payloads yet): an all-to-all on
-        # metadata, not data — cheap at any scale, and it breaks up runs of
-        # heavy docs that would otherwise land in one block.
+        # opt-in all-to-all on the tiny span-ref rows (no payloads yet):
+        # shuffles metadata, not data — for inputs whose heavy docs are
+        # clustered so badly that in-block interleave + dynamic batch
+        # dispatch can't level the actor pool.
         ds = ds.repartition(cfg.repartition_blocks, shuffle=True)
     ds = ds.map_batches(make_prepare(cfg.seed), batch_format="pyarrow")
     # Broadcast small side (J1): the masters table is tiny, so it ships

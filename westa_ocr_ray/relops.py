@@ -14,41 +14,50 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
 # ------------------------------------------------------------------ agg
 
-_FINAL_AGG = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
-
 
 def partial_aggregate(ds: rd.Dataset, keys: Sequence[str],
-                      aggs: Dict[str, Tuple[str, str]]) -> rd.Dataset:
+                      aggs: Dict[str, Tuple[str, str]],
+                      num_buckets: int = 64) -> rd.Dataset:
     """groupby with a per-batch combiner (SURVEY.md §2.5 G4): aggregate
     inside map_batches first — one row per key per batch — then shuffle
-    only the partials. ``aggs``: out_col -> (op, in_col) with op in
-    sum/count/min/max. count(in_col=None) counts rows.
+    only the partials, hash-bucketed. ``aggs``: out_col -> (op, in_col)
+    with op in sum/count/min/max. count(in_col=None) counts rows.
 
-    This is the scale-critical shape: the all-to-all exchange moves
-    |keys| × |blocks| rows instead of every input row.
+    Two scale decisions here:
+    - the all-to-all moves |keys| × |blocks| partial rows, not every
+      input row;
+    - the exchange is keyed on hash(keys) % num_buckets and the final
+      combine is a vectorized pandas groupby per bucket. (Ray's native
+      groupby().aggregate() pays per-key overhead in the reduce — ~60x
+      slower at 10^5+ distinct keys in ray 2.49; measured in BASELINE.md.)
     """
     keys = list(keys)
 
+    first_ops = {}
+    for out, (op, col) in aggs.items():
+        if op == "count":
+            first_ops[out] = (keys[0], "size")
+        else:
+            first_ops[out] = (col, op)
+    merge_ops = {out: (out, "sum" if op == "count" else op)
+                 for out, (op, _c) in aggs.items()}
+
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        named = {}
-        for out, (op, col) in aggs.items():
-            if op == "count":
-                named[out] = (col or keys[0], "size" if col is None else "count")
-            else:
-                named[out] = (col, op)
-        g = df.groupby(keys, sort=False, as_index=False).agg(**named)
+        g = df.groupby(keys, sort=False, as_index=False).agg(**first_ops)
+        g["__bucket"] = (pd.util.hash_pandas_object(
+            g[keys].apply(lambda c: c.astype(str)) if len(keys) > 1 else g[keys[0]].astype(str),
+            index=False).to_numpy() % num_buckets).astype("int32")
         return g
 
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.drop(columns="__bucket")
+                  .groupby(keys, sort=False, as_index=False).agg(**merge_ops))
+
     partials = ds.map_batches(combine, batch_format="pandas")
-    final_aggs = [
-        _FINAL_AGG[op if op != "count" else "sum"](out, alias_name=out)
-        for out, (op, _col) in aggs.items()
-    ]
-    return partials.groupby(keys).aggregate(*final_aggs)
+    return partials.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- joins

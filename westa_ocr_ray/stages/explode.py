@@ -27,11 +27,14 @@ def part_of(doc_id: str, num_parts: int) -> int:
 
 
 def make_explode(num_parts: int,
-                 skip_parts: Optional[Set[int]] = None) -> Callable[[pa.Table], pa.Table]:
+                 skip_parts: Optional[Set[int]] = None,
+                 local_interleave: bool = True) -> Callable[[pa.Table], pa.Table]:
     """Build the explode batch fn. ``skip_parts`` is the resume anti-join:
     rows whose partition already has a completion marker are dropped at
     the earliest possible stage (reference list_pending_jobs WHERE status
-    filter, app/repository.py:291-306)."""
+    filter, app/repository.py:291-306). ``local_interleave`` spreads
+    heavy media spans within the block (skew, SURVEY.md §4.2) without an
+    all-to-all."""
     skip = frozenset(skip_parts or ())
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -98,6 +101,14 @@ def make_explode(num_parts: int,
             mask = np.isin(out.column("part").to_numpy(), np.fromiter(skip, dtype=np.int32),
                            invert=True)
             out = out.filter(pa.array(mask))
+        if local_interleave and out.num_rows > 1:
+            # deterministic pseudo-random within-block order: downstream
+            # batch_size slices then mix heavy and light units
+            key = np.fromiter(
+                (zlib.crc32(f"{d}:{s}".encode()) for d, s in
+                 zip(out.column("doc_id").to_pylist(), out.column("span_idx").to_pylist())),
+                dtype=np.uint32, count=out.num_rows)
+            out = out.take(pa.array(np.argsort(key, kind="stable"), type=pa.int64()))
         return out
 
     return explode
