@@ -251,7 +251,7 @@ def docs_table(seed: int, lo: int, hi: int) -> pa.Table:
 
 # ------------------------------------------------------- corpus on disk
 
-TIERS = {"smoke": 50, "correctness": 2000, "bench": 20000}
+TIERS = {"smoke": 50, "correctness": 2000, "bench": 100000}
 
 
 def corpus_dir(tier: str, seed: int = DEFAULT_SEED, root: str = "/tmp/westa_corpus") -> str:
@@ -259,14 +259,18 @@ def corpus_dir(tier: str, seed: int = DEFAULT_SEED, root: str = "/tmp/westa_corp
 
 
 def ensure_corpus(tier: str, seed: int = DEFAULT_SEED, root: str = "/tmp/westa_corpus",
-                  n_docs: Optional[int] = None, files: int = 8) -> str:
+                  n_docs: Optional[int] = None, files: Optional[int] = None) -> str:
     """Write (once) the fixture corpus parquet for a tier; returns its dir.
 
-    Written serially in chunks — generation is a pure function of the row
-    index, so the file layout is deterministic. Multiple files so Ray
-    gets read parallelism.
+    Generation is a pure function of the row index, so the file layout is
+    deterministic regardless of how chunks are produced. If a Ray session
+    is already up, chunks are written by parallel Ray tasks (never calls
+    ray.init itself); otherwise serially. Multiple files so Ray gets read
+    parallelism.
     """
     n = n_docs or TIERS[tier]
+    if files is None:
+        files = max(8, min(64, n // 2000))
     d = corpus_dir(tier, seed, root)
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
@@ -274,11 +278,30 @@ def ensure_corpus(tier: str, seed: int = DEFAULT_SEED, root: str = "/tmp/westa_c
     tmp = d + ".tmp"
     os.makedirs(tmp, exist_ok=True)
     per = (n + files - 1) // files
-    for f in range(files):
-        lo, hi = f * per, min((f + 1) * per, n)
-        if lo >= hi:
-            break
-        pq.write_table(docs_table(seed, lo, hi), os.path.join(tmp, f"documents_{f:04d}.parquet"))
+    chunks = [(f * per, min((f + 1) * per, n), f) for f in range(files)
+              if f * per < min((f + 1) * per, n)]
+
+    def write_chunk(lo: int, hi: int, f: int) -> None:
+        pq.write_table(docs_table(seed, lo, hi),
+                       os.path.join(tmp, f"documents_{f:04d}.parquet"))
+
+    use_ray = False
+    try:
+        import ray
+        use_ray = ray.is_initialized()
+    except ImportError:
+        pass
+    if use_ray:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def _remote_chunk(lo: int, hi: int, f: int) -> None:
+            write_chunk(lo, hi, f)
+
+        ray.get([_remote_chunk.remote(lo, hi, f) for lo, hi, f in chunks])
+    else:
+        for lo, hi, f in chunks:
+            write_chunk(lo, hi, f)
     os.makedirs(os.path.dirname(d), exist_ok=True)
     if os.path.exists(d):  # lost a race with a concurrent builder; theirs is complete or stale
         import shutil

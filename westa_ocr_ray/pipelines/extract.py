@@ -17,6 +17,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import time
 from typing import Optional, Set
 
@@ -24,7 +25,8 @@ import ray.data as rd
 
 from .. import fixtures
 from ..config import ExtractConfig
-from ..stages import ExtractModel, make_explode, make_partition_writer, make_prepare
+from ..stages import (ExtractModel, make_explode, make_part_reducer,
+                      make_partition_writer, make_prepare, make_stage_writer)
 from ..stages.reassemble import reassemble_partition
 
 
@@ -81,17 +83,35 @@ def run_extract(input_path: str, out_dir: str,
     app/main.py:402-406, at output-partition granularity instead of
     whole-job), writes the rest atomically, and records run metrics.
 
+    The doc_id exchange before reassembly is an external staged shuffle
+    (see stages/reassemble.py): phase 1 streams extracted units into
+    per-partition parquet fragments; phase 2 reduces each partition
+    independently and commits it with its marker + lineage. Stage files
+    from a crashed run are wiped — unfinished partitions recompute from
+    the input (completed ones are skipped by their markers).
+
     Returns the run-metrics dict (also written to out_dir/metrics/)."""
     t0 = time.perf_counter()
     skip = done_parts(out_dir)
     attempt = cfg.attempt if cfg.attempt else (1 if skip else 0)
+    stage_dir = os.path.join(out_dir, "_stage")
+    shutil.rmtree(stage_dir, ignore_errors=True)
     summary_rows = []
     if len(skip) < cfg.num_parts:
         docs = read_documents(input_path)
         units = build_extracted_units(docs, cfg, skip_parts=skip)
-        markers = units.groupby("part").map_groups(
-            make_partition_writer(out_dir, attempt=attempt), batch_format="pyarrow")
+        # phase 1: map-side shuffle files (streams; no barrier)
+        units.map_batches(make_stage_writer(stage_dir), batch_format="pyarrow",
+                          batch_size=None).count()
+        # phase 2: one reduce per partition, embarrassingly parallel
+        remaining = sorted(set(range(cfg.num_parts)) - skip)
+        parts_ds = rd.from_items([{"part": p} for p in remaining],
+                                 parallelism=len(remaining))
+        markers = parts_ds.map_batches(
+            make_part_reducer(stage_dir, out_dir, attempt=attempt),
+            batch_format="pyarrow", batch_size=1)
         summary_rows = markers.take_all()  # tiny: one row per partition
+        shutil.rmtree(stage_dir, ignore_errors=True)
     wall = time.perf_counter() - t0
     metrics = {
         "input": input_path,
