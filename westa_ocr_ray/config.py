@@ -29,4 +29,9 @@ class ExtractConfig:
     extract_batch_size: int = 128   # small batches keep heavy pages from stalling a worker
     extract_concurrency: Tuple[int, int] = (2, 12)  # actor-pool bounds
     extract_num_cpus: float = 1.0
+    # staged-shuffle knobs: input block count controls stage-file count
+    # (one stage file per block); the reduce is storage-bandwidth-bound
+    # locally, so its task concurrency is capped independently of CPUs.
+    read_num_blocks: Optional[int] = None
+    reduce_concurrency: int = 8
     attempt: int = 0                # bumped by resume runs (lineage)

@@ -30,16 +30,24 @@ from ..stages import (ExtractModel, make_explode, make_part_reducer,
 from ..stages.reassemble import reassemble_partition
 
 
-def read_documents(path: str) -> rd.Dataset:
+def read_documents(path: str, num_blocks: Optional[int] = None) -> rd.Dataset:
     """Input source. Parquet today; the logical schema is the Lance table
     mandated by BASELINE.json.input_hint — swap to read_lance when the
     lance module is available (SURVEY.md §7 storage seam)."""
+    if num_blocks:
+        return rd.read_parquet(path, override_num_blocks=num_blocks)
     return rd.read_parquet(path)
 
 
 def build_extracted_units(docs: rd.Dataset, cfg: ExtractConfig,
-                          skip_parts: Optional[Set[int]] = None) -> rd.Dataset:
-    """documents → extracted unit rows (pre-reassembly)."""
+                          skip_parts: Optional[Set[int]] = None,
+                          stage_dir: Optional[str] = None) -> rd.Dataset:
+    """documents → extracted unit rows (pre-reassembly).
+
+    With ``stage_dir`` set, the extract actors also write the map side of
+    the external shuffle and the returned dataset is the tiny manifest
+    (see stages/staging.py); batches are whole blocks then, so each block
+    yields one stage file."""
     ds = docs.map_batches(
         make_explode(cfg.num_parts, skip_parts, local_interleave=cfg.local_interleave),
         batch_format="pyarrow")
@@ -57,9 +65,9 @@ def build_extracted_units(docs: rd.Dataset, cfg: ExtractConfig,
     masters = fixtures.master_keys(cfg.seed, cfg.pattern)
     return ds.map_batches(
         ExtractModel,
-        fn_constructor_kwargs={"masters": masters},
+        fn_constructor_kwargs={"masters": masters, "stage_dir": stage_dir},
         batch_format="pyarrow",
-        batch_size=cfg.extract_batch_size,
+        batch_size=None if stage_dir is not None else cfg.extract_batch_size,
         concurrency=cfg.extract_concurrency,
         num_cpus=cfg.extract_num_cpus,
     )
@@ -97,20 +105,25 @@ def run_extract(input_path: str, out_dir: str,
     stage_dir = os.path.join(out_dir, "_stage")
     shutil.rmtree(stage_dir, ignore_errors=True)
     summary_rows = []
+    phase1_sec = phase2_sec = 0.0
     if len(skip) < cfg.num_parts:
-        docs = read_documents(input_path)
-        units = build_extracted_units(docs, cfg, skip_parts=skip)
-        # phase 1: map-side shuffle files (streams; no barrier)
-        units.map_batches(make_stage_writer(stage_dir), batch_format="pyarrow",
-                          batch_size=None).count()
+        docs = read_documents(input_path, num_blocks=cfg.read_num_blocks)
+        # phase 1: map-side shuffle files, written by the extract actors
+        # themselves (streams; no barrier, no extra worker pool)
+        manifest = build_extracted_units(docs, cfg, skip_parts=skip,
+                                         stage_dir=stage_dir)
+        manifest.count()
+        phase1_sec = time.perf_counter() - t0
         # phase 2: one reduce per partition, embarrassingly parallel
         remaining = sorted(set(range(cfg.num_parts)) - skip)
         parts_ds = rd.from_items([{"part": p} for p in remaining],
                                  parallelism=len(remaining))
         markers = parts_ds.map_batches(
             make_part_reducer(stage_dir, out_dir, attempt=attempt),
-            batch_format="pyarrow", batch_size=1)
+            batch_format="pyarrow", batch_size=1,
+            concurrency=cfg.reduce_concurrency)
         summary_rows = markers.take_all()  # tiny: one row per partition
+        phase2_sec = time.perf_counter() - t0 - phase1_sec
         shutil.rmtree(stage_dir, ignore_errors=True)
     wall = time.perf_counter() - t0
     metrics = {
@@ -123,6 +136,8 @@ def run_extract(input_path: str, out_dir: str,
         "spans": int(sum(r["spans"] for r in summary_rows)),
         "errors": int(sum(r["errors"] for r in summary_rows)),
         "wall_sec": round(wall, 3),
+        "phase1_sec": round(phase1_sec, 3),
+        "phase2_sec": round(phase2_sec, 3),
         "num_parts": cfg.num_parts,
     }
     os.makedirs(os.path.join(out_dir, "metrics"), exist_ok=True)

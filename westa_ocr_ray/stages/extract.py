@@ -26,7 +26,8 @@ MODEL_VERSION = "sim-ocr-v1"  # recorded in lineage; analog of meta.model (gemin
 
 
 class ExtractModel:
-    def __init__(self, masters: Union[Sequence[str], "object", None] = None) -> None:
+    def __init__(self, masters: Union[Sequence[str], "object", None] = None,
+                 stage_dir: Optional[str] = None) -> None:
         # accept a plain list or a ray.ObjectRef (broadcast small side, J1)
         try:
             import ray
@@ -38,6 +39,12 @@ class ExtractModel:
         self.masters: List[str] = sorted(masters) if masters else []
         # "model load": nothing heavy in the simulation, but the shape is
         # real — any compiled state lives here, once per actor.
+        # stage_dir: when set, this actor also performs the map side of
+        # the external shuffle (writes its output as a per-partition
+        # row-grouped stage file and returns the tiny manifest instead) —
+        # fusing staging here avoids a separate task stage, its extra
+        # worker processes, and an object-store round trip.
+        self.stage_dir = stage_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch.column("kind").to_pylist()
@@ -69,7 +76,7 @@ class ExtractModel:
             out_error.append(err)
             out_hit.append(bool(t) and any(k in t for k in self.masters))
 
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "part": batch.column("part"),
@@ -84,3 +91,8 @@ class ExtractModel:
                 "master_hit": pa.array(out_hit, type=pa.bool_()),
             }
         )
+        if self.stage_dir is not None:
+            from .staging import stage_write_table
+
+            return stage_write_table(out, self.stage_dir)
+        return out

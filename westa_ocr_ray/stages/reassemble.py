@@ -28,8 +28,8 @@ import uuid
 from typing import Callable
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..schema import RESULT_SCHEMA
@@ -38,80 +38,126 @@ _UNIT_COLS = ["doc_id", "part", "span_idx", "page_idx", "kind", "media_ref",
               "offset", "text", "is_content", "error", "master_hit"]
 
 
+def _arr(col) -> pa.Array:
+    """ChunkedArray → contiguous Array (no-op for Arrays)."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 1:
+            return col.chunk(0)
+        if col.num_chunks == 0:
+            return pa.array([], type=col.type)
+        return col.combine_chunks()
+    return col
+
+
 def reassemble_partition(t: pa.Table) -> pa.Table:
-    """One output partition of extracted units → RESULT_SCHEMA rows."""
+    """One output partition of extracted units → RESULT_SCHEMA rows.
+
+    Pure Arrow/numpy on purpose: text columns never materialize as
+    python objects (a pandas version of this function was the pipeline's
+    single most expensive stage — string boxing dominated)."""
     if t.num_rows == 0:
         return RESULT_SCHEMA.empty_table()
-    df = t.select(_UNIT_COLS).to_pandas()
-    df.sort_values(["doc_id", "offset", "span_idx", "page_idx"],
-                   inplace=True, kind="mergesort", ignore_index=True)
-    df = df.drop_duplicates(subset=["doc_id", "span_idx", "page_idx"],
-                            keep="first", ignore_index=True)
+    t = t.select(_UNIT_COLS).combine_chunks()
 
-    err = (df["error"].to_numpy() != "")
-    real_unit = df["span_idx"].to_numpy() >= 0
-    content = (~err) & df["is_content"].to_numpy() & (df["text"].to_numpy() != "") & real_unit
+    doc_dict = pc.dictionary_encode(_arr(t.column("doc_id")))
+    codes = doc_dict.indices.to_numpy().astype(np.int64)
+    doc_names = doc_dict.dictionary  # StringArray, unique doc ids
+    span_idx = t.column("span_idx").to_numpy()
+    page_idx = t.column("page_idx").to_numpy()
+    offset = t.column("offset").to_numpy()
+
+    # stable sort by (doc, offset, span_idx, page_idx) — the reassembly
+    # contract (reference repository.py:384-394 ORDER BY page_index)
+    order = np.lexsort((page_idx, span_idx, offset, codes))
+    codes_s = codes[order]
+    span_s = span_idx[order]
+    page_s = page_idx[order]
+
+    # first-wins dedup on (doc, span_idx, page_idx): duplicate intake rows
+    # are identical in all sort keys, hence adjacent after the sort
+    if len(order) > 1:
+        dup = ((codes_s[1:] == codes_s[:-1]) & (span_s[1:] == span_s[:-1])
+               & (page_s[1:] == page_s[:-1]))
+        keep = np.concatenate([[True], ~dup])
+    else:
+        keep = np.ones(1, dtype=bool)
+    order = order[keep]
+    codes_s = codes_s[keep]
+    span_s = span_s[keep]
+    take = pa.array(order, type=pa.int64())
+
+    err = pc.not_equal(pc.take(t.column("error"), take), "").to_numpy(zero_copy_only=False)
+    is_content = pc.take(t.column("is_content"), take).to_numpy(zero_copy_only=False)
+    has_text = pc.not_equal(pc.take(t.column("text"), take), "").to_numpy(zero_copy_only=False)
+    master_hit = pc.take(t.column("master_hit"), take).to_numpy(zero_copy_only=False)
+    real_unit = span_s >= 0
+    content = (~err) & is_content & has_text & real_unit
     skipped = real_unit & (~err) & (~content)
 
-    # --- per-doc counters (vectorized groupby-sum) -----------------------
-    counters = pd.DataFrame(
-        {
-            "doc_id": df["doc_id"],
-            "part": df["part"],
-            "total_units": real_unit.astype(np.int32),
-            "processed": content.astype(np.int32),
-            "skipped": skipped.astype(np.int32),
-            "errors": err.astype(np.int32),
-            "master_hits": (content & df["master_hit"].to_numpy()).astype(np.int32),
-        }
-    )
-    agg = counters.groupby("doc_id", sort=True).agg(
-        part=("part", "first"), total_units=("total_units", "sum"),
-        processed=("processed", "sum"), skipped=("skipped", "sum"),
-        errors=("errors", "sum"), master_hits=("master_hits", "sum"),
-    )
-    if err.any():
-        msgs = df.loc[err].groupby("doc_id", sort=True)["error"].agg("; ".join)
-        agg["error_messages"] = msgs.reindex(agg.index, fill_value="")
-    else:
-        agg["error_messages"] = ""
-    agg["status"] = np.where(agg["errors"].to_numpy() > 0, "ERROR", "DONE")
+    # --- per-doc boundaries (codes_s is sorted) --------------------------
+    n_docs = len(doc_names)
+    starts = np.searchsorted(codes_s, np.arange(n_docs), side="left").astype(np.int64)
+    bounds = np.append(starts, len(codes_s))
 
-    # --- per-doc span lists (numpy boundary math, df already sorted) -----
-    all_docs = agg.index.to_numpy()  # sorted unique
-    ct = df.loc[content]
-    ct_docs = ct["doc_id"].to_numpy()
-    lo = np.searchsorted(ct_docs, all_docs, side="left")
-    hi = np.searchsorted(ct_docs, all_docs, side="right")
-    counts = (hi - lo).astype(np.int64)
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-    # order within doc = position - doc start
-    starts = np.repeat(lo, counts)
-    order_arr = (np.arange(len(ct), dtype=np.int64) - starts).astype(np.int32)
+    def per_doc_sum(mask: np.ndarray) -> np.ndarray:
+        cum = np.concatenate([[0], np.cumsum(mask.astype(np.int64))])
+        return (cum[bounds[1:]] - cum[bounds[:-1]]).astype(np.int32)
+
+    total_units = per_doc_sum(real_unit)
+    processed = per_doc_sum(content)
+    skipped_c = per_doc_sum(skipped)
+    errors_c = per_doc_sum(err)
+    hits_c = per_doc_sum(content & master_hit)
+
+    # error messages: rare rows — python only over the error subset
+    error_messages = [""] * n_docs
+    if err.any():
+        err_idx = np.flatnonzero(err)
+        err_texts = pc.take(pc.take(t.column("error"), take),
+                            pa.array(err_idx, type=pa.int64())).to_pylist()
+        acc: dict = {}
+        for i, txt in zip(codes_s[err_idx], err_texts):
+            acc.setdefault(int(i), []).append(txt)
+        for i, msgs in acc.items():
+            error_messages[i] = "; ".join(msgs)
+
+    status = np.where(errors_c > 0, "ERROR", "DONE")
+    part_val = int(t.column("part")[0].as_py())
+
+    # --- per-doc span lists (content rows, already in final order) -------
+    ct_positions = np.flatnonzero(content)
+    ct_take = pa.array(order[ct_positions], type=pa.int64())
+    ct_codes = codes_s[ct_positions]
+    lo = np.searchsorted(ct_codes, np.arange(n_docs), side="left").astype(np.int64)
+    cb = np.append(lo, len(ct_codes))
+    counts = cb[1:] - cb[:-1]
+    span_offsets = pa.array(cb, type=pa.int32())
+    order_arr = (np.arange(len(ct_codes), dtype=np.int64)
+                 - np.repeat(lo, counts)).astype(np.int32)
 
     structs = pa.StructArray.from_arrays(
         [
-            pa.array(ct["kind"].to_numpy(), type=pa.string()),
-            pa.array(ct["text"].to_numpy(), type=pa.string()),
-            pa.array(ct["media_ref"].to_numpy(), type=pa.string()),
+            _arr(pc.take(t.column("kind"), ct_take)),
+            _arr(pc.take(t.column("text"), ct_take)),
+            _arr(pc.take(t.column("media_ref"), ct_take)),
             pa.array(order_arr, type=pa.int32()),
         ],
         names=["kind", "text", "media_ref", "order"],
     )
-    spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), structs)
+    spans = pa.ListArray.from_arrays(span_offsets, structs)
 
     return pa.table(
         {
-            "doc_id": pa.array(all_docs, type=pa.string()),
-            "part": pa.array(agg["part"].to_numpy(), type=pa.int32()),
+            "doc_id": doc_names,
+            "part": pa.array(np.full(n_docs, part_val, dtype=np.int32)),
             "spans": spans,
-            "total_units": pa.array(agg["total_units"].to_numpy(), type=pa.int32()),
-            "processed": pa.array(agg["processed"].to_numpy(), type=pa.int32()),
-            "skipped": pa.array(agg["skipped"].to_numpy(), type=pa.int32()),
-            "errors": pa.array(agg["errors"].to_numpy(), type=pa.int32()),
-            "error_messages": pa.array(agg["error_messages"].to_numpy(), type=pa.string()),
-            "master_hits": pa.array(agg["master_hits"].to_numpy(), type=pa.int32()),
-            "status": pa.array(agg["status"].to_numpy(), type=pa.string()),
+            "total_units": pa.array(total_units, type=pa.int32()),
+            "processed": pa.array(processed, type=pa.int32()),
+            "skipped": pa.array(skipped_c, type=pa.int32()),
+            "errors": pa.array(errors_c, type=pa.int32()),
+            "error_messages": pa.array(error_messages, type=pa.string()),
+            "master_hits": pa.array(hits_c, type=pa.int32()),
+            "status": pa.array(status, type=pa.string()),
         }
     )
 
@@ -202,46 +248,42 @@ def make_partition_writer(out_dir: str, attempt: int = 0) -> Callable[[pa.Table]
 
 
 def make_stage_writer(stage_dir: str) -> Callable[[pa.Table], pa.Table]:
+    """Standalone map-side shuffle writer (one stage file per block, one
+    row group per partition — see stages/staging.py). Normally staging is
+    fused into the extract actors (ExtractModel(stage_dir=...)); this fn
+    stages an arbitrary part-keyed dataset."""
+    from .staging import stage_write_table
+
     def stage_write(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"part": pa.array([], type=pa.int32()),
-                             "rows": pa.array([], type=pa.int64())})
-        t = t.combine_chunks()
-        parts = t.column("part").to_numpy()
-        order = np.argsort(parts, kind="stable")
-        t = t.take(pa.array(order, type=pa.int64()))
-        sorted_parts = parts[order]
-        uniq, starts = np.unique(sorted_parts, return_index=True)
-        bounds = np.append(starts, len(sorted_parts))
-        fname = f"{os.getpid()}-{uuid.uuid4().hex[:12]}.parquet"
-        for i, part in enumerate(uniq):
-            sub = t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
-            pdir = os.path.join(stage_dir, f"part-{int(part):05d}")
-            os.makedirs(pdir, exist_ok=True)
-            tmp = os.path.join(pdir, "." + fname)
-            pq.write_table(sub, tmp)
-            os.replace(tmp, os.path.join(pdir, fname))
-        return pa.table({"part": pa.array(uniq, type=pa.int32()),
-                         "rows": pa.array((bounds[1:] - bounds[:-1]).astype(np.int64),
-                                          type=pa.int64())})
+        return stage_write_table(t, stage_dir)
 
     return stage_write
 
 
 def make_part_reducer(stage_dir: str, out_dir: str,
                       attempt: int = 0) -> Callable[[pa.Table], pa.Table]:
+    """Reduce one partition: read its row groups from every stage file
+    (statistics-pruned — only matching row groups are fetched),
+    reassemble, commit. On a multi-node cluster stage files would be
+    bucketed per node-group; the read pattern is unchanged."""
+
     def reduce_parts(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
         markers = []
+        files = []
+        if os.path.isdir(stage_dir):
+            files = sorted(os.path.join(stage_dir, f) for f in os.listdir(stage_dir)
+                           if f.endswith(".parquet") and not f.startswith("."))
         for part in batch.column("part").to_pylist():
             t0 = time.perf_counter()
-            pdir = os.path.join(stage_dir, f"part-{part:05d}")
-            if os.path.isdir(pdir):
-                frags = sorted(f for f in os.listdir(pdir)
-                               if f.endswith(".parquet") and not f.startswith("."))
-                t = pa.concat_tables([pq.read_table(os.path.join(pdir, f))
-                                      for f in frags]) if frags else None
-            else:
-                t = None
+            t = None
+            if files:
+                dset = pads.dataset(files, format="parquet")
+                # use_threads=False: each reducer is one Ray task on one
+                # CPU — per-task arrow threadpools would nest-thrash
+                t = dset.to_table(filter=pads.field("part") == part,
+                                  use_threads=False)
             if t is None or t.num_rows == 0:
                 result = RESULT_SCHEMA.empty_table()
                 units_in = 0
