@@ -34,4 +34,7 @@ class ExtractConfig:
     # locally, so its task concurrency is capped independently of CPUs.
     read_num_blocks: Optional[int] = None
     reduce_concurrency: int = 8
+    # stage files are transient (wiped on resume): put them on fast local
+    # scratch — /dev/shm when available, the cluster-node SSD otherwise.
+    stage_root: Optional[str] = "/dev/shm/westa_stage"
     attempt: int = 0                # bumped by resume runs (lineage)

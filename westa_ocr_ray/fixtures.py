@@ -251,7 +251,11 @@ def docs_table(seed: int, lo: int, hi: int) -> pa.Table:
 
 # ------------------------------------------------------- corpus on disk
 
-TIERS = {"smoke": 50, "correctness": 2000, "bench": 100000}
+# bench is sized so the extraction job is long enough (~2 min of
+# aggregate compute) that per-run constants (actor-pool spin-up, phase
+# barrier) don't dominate the N-vs-4N scaling measurement — a 100 TB job
+# runs for hours; a 10-second benchmark would measure only the constants.
+TIERS = {"smoke": 50, "correctness": 2000, "bench": 300000}
 
 
 def corpus_dir(tier: str, seed: int = DEFAULT_SEED, root: str = "/tmp/westa_corpus") -> str:

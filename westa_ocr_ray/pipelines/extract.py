@@ -15,6 +15,7 @@ Everything streams with backpressure; nothing materializes the corpus.
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import shutil
@@ -102,7 +103,11 @@ def run_extract(input_path: str, out_dir: str,
     t0 = time.perf_counter()
     skip = done_parts(out_dir)
     attempt = cfg.attempt if cfg.attempt else (1 if skip else 0)
-    stage_dir = os.path.join(out_dir, "_stage")
+    if cfg.stage_root and os.path.isdir(os.path.dirname(cfg.stage_root.rstrip("/")) or "/"):
+        tag = hashlib.md5(os.path.abspath(out_dir).encode()).hexdigest()[:12]
+        stage_dir = os.path.join(cfg.stage_root, tag)
+    else:
+        stage_dir = os.path.join(out_dir, "_stage")
     shutil.rmtree(stage_dir, ignore_errors=True)
     summary_rows = []
     phase1_sec = phase2_sec = 0.0
