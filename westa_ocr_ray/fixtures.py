@@ -251,11 +251,12 @@ def docs_table(seed: int, lo: int, hi: int) -> pa.Table:
 
 # ------------------------------------------------------- corpus on disk
 
-# bench is sized so the extraction job is long enough (~2 min of
+# bench is sized so the extraction job is long enough (~5 min of
 # aggregate compute) that per-run constants (actor-pool spin-up, phase
-# barrier) don't dominate the N-vs-4N scaling measurement — a 100 TB job
-# runs for hours; a 10-second benchmark would measure only the constants.
-TIERS = {"smoke": 50, "correctness": 2000, "bench": 300000}
+# barrier) don't dominate the N-vs-4N scaling measurement and transient
+# hypervisor-steal windows average out — a 100 TB job runs for hours; a
+# 10-second benchmark would measure only the constants and the noise.
+TIERS = {"smoke": 50, "correctness": 2000, "bench": 600000}
 
 
 def corpus_dir(tier: str, seed: int = DEFAULT_SEED, root: str = "/tmp/westa_corpus") -> str:
