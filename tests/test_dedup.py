@@ -1,0 +1,94 @@
+"""Dedup operator tests against planted ground truth and pure-python
+oracles (the SQL-expressible variants are additionally checked against
+DuckDB by the driver via __ray_entry__.oracle_sql)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from westa_ocr_ray import dedup
+
+
+def _docs_with_near_dups():
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                              # exact dup
+        {"doc_id": 3, "text": base.replace("theta", "THETA")},    # near dup
+        {"doc_id": 4, "text": "completely different words entirely unrelated "
+                              "content nothing shared here at all friends"},
+        {"doc_id": 5, "text": base + " extra trailing tokens appended here"},  # near dup
+    ]
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup_first_wins():
+    out = dedup.exact_dedup(_docs_with_near_dups()).to_pandas()
+    dup_group = out[out["n_dups"] == 2]
+    assert len(dup_group) == 1
+    assert dup_group.iloc[0]["keeper_doc_id"] == 1  # first-wins = min id
+    assert out["n_dups"].sum() == 5
+
+
+def test_minhash_lsh_finds_planted_near_dups():
+    pairs = dedup.minhash_lsh_pairs(_docs_with_near_dups(), jaccard_threshold=0.5)
+    found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 2) in found          # exact dup → jaccard 100
+    assert (1, 5) in found or (2, 5) in found   # appended-tokens near dup
+    assert not any(4 in p for p in found)       # unrelated doc never pairs
+    exact = pairs[(pairs["doc_a"] == 1) & (pairs["doc_b"] == 2)]
+    assert int(exact["jaccard_pct"].iloc[0]) == 100
+
+
+def test_minhash_signature_deterministic_and_similarity_correlates():
+    mh = dedup.MinHasher(seed=42)
+    base = "a b c d e f g h i j k l m n o p"
+    sig1 = mh.signature(base)
+    sig2 = dedup.MinHasher(seed=42).signature(base)
+    assert (sig1 == sig2).all()
+    near = mh.signature(base + " q")
+    far = mh.signature("z y x w v u t s r q p o n m l k")
+    agree_near = (sig1 == near).mean()
+    agree_far = (sig1 == far).mean()
+    assert agree_near > agree_far
+
+
+def test_simhash_hamming_tracks_similarity():
+    sh = dedup.SimHasher()
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    h1 = sh.simhash(base)
+    h2 = sh.simhash(base.replace("eta", "ETA"))
+    h3 = sh.simhash("totally different content with other words")
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h1, h2) < ham(h1, h3)
+    assert sh.simhash(base) == h1  # deterministic
+
+
+def test_ngram_jaccard_pairs_blocked():
+    # docs 1,2,3,5 share the 2-token block "alpha beta"; 4 doesn't
+    out = dedup.ngram_jaccard_pairs(_docs_with_near_dups(),
+                                    threshold_pct=50).to_pandas()
+    found = {(a, b) for a, b in zip(out["doc_a"], out["doc_b"])}
+    assert (1, 2) in found
+    assert not any(4 in p for p in found)
+
+
+def test_embedding_near_dup_pairs():
+    rng = np.random.RandomState(0)
+    v = rng.standard_normal(16)
+    rows = [
+        {"vec_id": 1, "embedding": v.tolist(), "label": 0},
+        {"vec_id": 2, "embedding": (v + 0.01 * rng.standard_normal(16)).tolist(),
+         "label": 0},
+        {"vec_id": 3, "embedding": rng.standard_normal(16).tolist(), "label": 0},
+        {"vec_id": 4, "embedding": v.tolist(), "label": 1},  # other partition
+    ]
+    out = dedup.embedding_near_dup_pairs(
+        rd.from_pandas(pd.DataFrame(rows)), threshold=0.95).to_pandas()
+    pairs = {(a, b) for a, b in zip(out["vec_id_a"], out["vec_id_b"])}
+    assert pairs == {(1, 2)}

@@ -1,0 +1,58 @@
+"""Multimodal plumbing tests: binary columns, actor featurizer, frame
+sampling, and the gated real-decode stub."""
+
+import pyarrow as pa
+import pytest
+
+from westa_ocr_ray import extractors, fixtures, multimodal
+from westa_ocr_ray.pipelines.extract import read_documents
+
+
+def _media():
+    docs = read_documents(fixtures.ensure_corpus("smoke"))
+    return multimodal.media_table(docs)
+
+
+def test_media_table_schema_and_payloads():
+    t = _media().take_all()
+    assert t, "smoke corpus should contain media spans"
+    row = t[0]
+    assert row["kind"] in ("pdf", "image")
+    assert isinstance(row["payload"], bytes) and len(row["payload"]) > 4
+    assert row["media_ref"].startswith("media://")
+
+
+def test_featurizer_deterministic_features():
+    out1 = sorted(multimodal.featurize_media(_media()).take_all(),
+                  key=lambda r: r["media_ref"])
+    out2 = sorted(multimodal.featurize_media(_media()).take_all(),
+                  key=lambda r: r["media_ref"])
+    assert [r["features"] for r in out1] == [r["features"] for r in out2]
+    ok = [r for r in out1 if not r["error"]]
+    assert ok and all(len(r["features"]) == 8 for r in ok)
+    for r in ok:
+        _, n_pages = fixtures._media_params(fixtures.DEFAULT_SEED, r["media_ref"])
+        assert r["n_pages"] == n_pages
+
+
+def test_featurizer_records_decode_errors():
+    # feed a corrupt payload through the actor class directly
+    feat = multimodal.MediaFeaturizer()
+    t = pa.table({"media_ref": ["media://pdf/x/0"], "kind": ["pdf"],
+                  "payload": [b"XXXXnot-a-payload"]})
+    out = feat(t).to_pylist()[0]
+    assert out["error"].startswith("decode failed")
+    assert out["n_pages"] == 0
+
+
+def test_frame_sample_keeps_every_nth_page():
+    sampled = multimodal.frame_sample(_media(), every_n=2).take_all()
+    assert sampled
+    for r in sampled:
+        assert (r["page_idx"] - 1) % 2 == 0
+        assert len(extractors.parse_pages(r["payload"])) == 1
+
+
+def test_real_decode_is_gated_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"anything")

@@ -1,0 +1,93 @@
+"""relops (joins / partial aggregation) vs pandas oracles, and the
+scalar function library."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from westa_ocr_ray import relops
+from westa_ocr_ray.functions import (build_masters_csv, csv_quote,
+                                     extract_drive_id, mask_token, preview,
+                                     regex_extract_first, substitute_template)
+
+
+def test_partial_aggregate_matches_pandas():
+    df = pd.DataFrame({"k": ["a", "b", "a", "c", "b", "a"],
+                       "v": [1, 2, 3, 4, 5, 6]})
+    got = (relops.partial_aggregate(rd.from_pandas(df), ["k"],
+                                    {"s": ("sum", "v"), "n": ("count", None),
+                                     "mn": ("min", "v"), "mx": ("max", "v")})
+           .to_pandas().sort_values("k", ignore_index=True))
+    exp = (df.groupby("k", as_index=False)
+             .agg(s=("v", "sum"), n=("v", "size"), mn=("v", "min"), mx=("v", "max"))
+             .sort_values("k", ignore_index=True))
+    pd.testing.assert_frame_equal(got[["k", "s", "n", "mn", "mx"]], exp,
+                                  check_dtype=False)
+
+
+def test_hash_join_matches_pandas_merge():
+    left = pd.DataFrame({"id": [1, 2, 3, 4], "x": list("abcd")})
+    right = pd.DataFrame({"rid": [2, 3, 3, 5], "y": [20, 30, 31, 50]})
+    got = (relops.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                            "id", "rid", num_buckets=4)
+           .to_pandas().sort_values(["id", "y"], ignore_index=True))
+    exp = (left.merge(right.rename(columns={"rid": "id"}), on="id")
+               .sort_values(["id", "y"], ignore_index=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_hash_join_left_keeps_unmatched():
+    left = pd.DataFrame({"id": [1, 2], "x": ["a", "b"]})
+    right = pd.DataFrame({"rid": [2], "y": [9]})
+    got = (relops.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                            "id", "rid", how="left")
+           .to_pandas().sort_values("id", ignore_index=True))
+    assert len(got) == 2
+    assert pd.isna(got.loc[got["id"] == 1, "y"]).all()
+
+
+def test_broadcast_join_and_semi_anti():
+    big = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]}))
+    small = pd.DataFrame({"k": [2, 4], "name": ["two", "four"]})
+    j = relops.broadcast_join(big, small, on="k").to_pandas()
+    assert sorted(j["name"]) == ["four", "two"]
+    semi = relops.semi_anti_filter(big, "k", {1, 3}).to_pandas()
+    assert sorted(semi["k"]) == [1, 3]
+    anti = relops.semi_anti_filter(big, "k", {1, 3}, anti=True).to_pandas()
+    assert sorted(anti["k"]) == [2, 4]
+
+
+# ----------------------------- scalar functions (SURVEY.md §2.8) -------
+
+def test_regex_extract_first():
+    assert regex_extract_first("abc 123", r"(\d+)") == "123"
+    assert regex_extract_first("abc", r"(\d+)") == ""
+    assert regex_extract_first("  x  ", r"x") == "x"
+
+
+def test_extract_drive_id():
+    url = "https://example.com/file/d/ABCDEFGHIJKLMNOPQRSTUVWXY12/view"
+    assert extract_drive_id(url) == "ABCDEFGHIJKLMNOPQRSTUVWXY12"
+    with pytest.raises(ValueError):
+        extract_drive_id("https://example.com/short")
+
+
+def test_mask_token():
+    assert mask_token(None) == ""
+    assert mask_token("short") == "*****"
+    assert mask_token("abcdefghijklmnop") == "abcd…mnop"
+
+
+def test_preview_and_template():
+    assert preview("a\nb\nc", limit=3) == "a b"
+    assert substitute_template("day={current_date}!", {"current_date": "2026-08-17"}) \
+        == "day=2026-08-17!"
+
+
+def test_csv_quote_and_masters_csv():
+    assert csv_quote("plain") == "plain"
+    assert csv_quote('a,"b"') == '"a,""b"""'
+    rows = [{"key": "k1", "pattern": "A", "value": "v,1"},
+            {"key": "k2", "pattern": "B", "value": "v2"}]
+    csv = build_masters_csv(rows, "A")
+    assert csv == 'key,value\nk1,"v,1"'

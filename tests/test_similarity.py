@@ -1,0 +1,62 @@
+"""Similarity-search tests: brute-force exactness vs a numpy oracle and
+ANN recall vs brute force."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from westa_ocr_ray import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb():
+    return rd.read_parquet(f"{SF}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+def _numpy_oracle(k=5, qids=(0, 1, 2, 3)):
+    df = _emb().to_pandas().sort_values("vec_id", ignore_index=True)
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    out = {}
+    for q in qids:
+        qi = np.flatnonzero(ids == q)[0]
+        sims = m @ m[qi]
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        out[q] = [int(ids[i]) for i in order if ids[i] != q][:k]
+    return out
+
+
+def test_brute_force_topk_matches_numpy_oracle():
+    got = similarity.brute_force_topk(_emb(), query_ids=[0, 1, 2, 3], k=5)
+    exp = _numpy_oracle()
+    for q, neighbors in exp.items():
+        sub = got[got["query_id"] == q].sort_values("rank")
+        assert list(sub["neighbor_id"]) == neighbors
+
+
+def test_ann_lsh_recall_vs_brute_force():
+    qids = list(range(8))
+    brute = similarity.brute_force_topk(_emb(), qids, k=5)
+    ann = similarity.ann_topk_lsh(_emb(), qids, k=5, n_planes=4)
+    hits = total = 0
+    for q in qids:
+        b = set(brute[brute["query_id"] == q]["neighbor_id"])
+        a = set(ann[ann["query_id"] == q]["neighbor_id"])
+        hits += len(b & a)
+        total += len(b)
+    recall = hits / total
+    # 4 hyperplanes → 16 buckets over 500 vectors; probing the union of
+    # the queries' buckets should recover a sizeable share of true top-k
+    assert recall >= 0.3, recall
+
+
+def test_lsh_buckets_deterministic():
+    b1 = similarity.lsh_buckets(_emb()).to_pandas().sort_values("vec_id",
+                                                                ignore_index=True)
+    b2 = similarity.lsh_buckets(_emb()).to_pandas().sort_values("vec_id",
+                                                                ignore_index=True)
+    pd.testing.assert_frame_equal(b1, b2)
+    assert b1["bucket"].nunique() > 1

@@ -1,0 +1,63 @@
+"""Text-analysis operator tests (quality/tokens vs a pure-python oracle;
+langid on hand-written samples; fingerprint stability properties)."""
+
+import pandas as pd
+import ray.data as rd
+
+from westa_ocr_ray import text_analysis
+
+
+def _ds(rows):
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_quality_table_matches_python_oracle():
+    rows = [{"doc_id": 1, "text": "the quick brown fox"},
+            {"doc_id": 2, "text": "data value row data"},
+            {"doc_id": 3, "text": ""}]
+    out = (text_analysis.quality_table(_ds(rows)).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert list(out["n_chars_norm"]) == [19, 19, 0]
+    assert list(out["n_words"]) == [4, 4, 0]
+    assert list(out["n_stopwords"]) == [1, 4, 0]
+
+
+def test_tokens_by_lang_partial_agg():
+    rows = [{"doc_id": 1, "text": "a b c", "lang": "en"},
+            {"doc_id": 2, "text": "d e", "lang": "en"},
+            {"doc_id": 3, "text": "f", "lang": "de"}]
+    out = (text_analysis.tokens_by_lang(_ds(rows)).to_pandas()
+           .sort_values("lang", ignore_index=True))
+    assert list(out["lang"]) == ["de", "en"]
+    assert list(out["n_docs"]) == [1, 2]
+    assert list(out["n_tokens"]) == [1, 5]
+
+
+def test_langid_on_real_samples():
+    li = text_analysis.LangId()
+    assert li.classify("the cat sat on the mat and it was happy") == "en"
+    assert li.classify("der hund ist nicht mit der katze und das haus") == "de"
+    assert li.classify("le chat est dans la maison et les oiseaux") == "fr"
+    assert li.classify("el perro es una mascota del vecino y para todos") == "es"
+    assert li.classify("zxqj vvkw pplm") == "unknown"
+
+
+def test_fingerprint_properties():
+    fp = text_analysis.Fingerprinter(window=4)
+    base = "one two three four five six seven eight nine ten"
+    assert fp.fingerprint(base) == fp.fingerprint(base)  # deterministic
+    assert fp.fingerprint("") == 0
+    # winnowing-style stability: edits away from the min window (prepend/
+    # append) preserve the fingerprint; unrelated content differs
+    assert fp.fingerprint(base) == fp.fingerprint("zzz " + base)
+    assert fp.fingerprint(base) == fp.fingerprint(base + " more words")
+    assert fp.fingerprint(base) != fp.fingerprint(
+        "totally different words with no overlap at all whatsoever right")
+
+
+def test_fingerprint_table_runs():
+    rows = [{"doc_id": i, "text": f"w{i} common words here for doc {i}"}
+            for i in range(10)]
+    out = text_analysis.fingerprint_table(_ds(rows)).to_pandas()
+    assert len(out) == 10
+    assert out["fingerprint"].nunique() > 1

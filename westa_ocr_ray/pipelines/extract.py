@@ -32,12 +32,12 @@ from ..stages.reassemble import reassemble_partition
 
 
 def read_documents(path: str, num_blocks: Optional[int] = None) -> rd.Dataset:
-    """Input source. Parquet today; the logical schema is the Lance table
-    mandated by BASELINE.json.input_hint — swap to read_lance when the
-    lance module is available (SURVEY.md §7 storage seam)."""
-    if num_blocks:
-        return rd.read_parquet(path, override_num_blocks=num_blocks)
-    return rd.read_parquet(path)
+    """Input source: the interleaved documents table
+    (BASELINE.json.input_hint schema) through the Lance/Parquet storage
+    seam (storage.py; SURVEY.md §7)."""
+    from ..storage import read_table
+
+    return read_table(path, num_blocks=num_blocks)
 
 
 def build_extracted_units(docs: rd.Dataset, cfg: ExtractConfig,
