@@ -63,6 +63,26 @@ def test_noop_resume_when_all_done(tmp_path):
     assert m["parts_skipped"] == len(done_parts(out))
 
 
+def test_resume_ignores_stale_stage_files(tmp_path):
+    """A run killed mid-phase-1 leaves partial stage files; the resume
+    must wipe them and recompute unfinished partitions from the input."""
+    corpus = fixtures.ensure_corpus("smoke")
+    full_dir = str(tmp_path / "full")
+    run_extract(corpus, full_dir, CFG)
+    full = _result_key(read_extracted(full_dir))
+
+    crashed = str(tmp_path / "crashed")
+    os.makedirs(os.path.join(crashed, "_stage"), exist_ok=True)
+    # garbage from a dead phase-1 (wrong schema, partial write)
+    with open(os.path.join(crashed, "_stage", "dead.parquet"), "wb") as fh:
+        fh.write(b"PAR1 garbage not a real file")
+    cfg = ExtractConfig(num_parts=8, repartition_blocks=8,
+                        extract_concurrency=(1, 3), stage_root=None)
+    m = run_extract(corpus, crashed, cfg)
+    assert m["parts_written"] == 8
+    assert _result_key(read_extracted(crashed)) == full
+
+
 def test_markers_match_partition_files(tmp_path):
     corpus = fixtures.ensure_corpus("smoke")
     out = str(tmp_path / "out")

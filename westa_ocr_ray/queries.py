@@ -212,6 +212,129 @@ def m8_mask_props(sf_dir: str) -> rd.Dataset:
     return ev.map_batches(fn, batch_format="pandas")
 
 
+# ------------------------------------------- streaming-shaped / window
+
+def events_tumbling(sf_dir: str) -> rd.Dataset:
+    """Tumbling 5-min windows per event type (the engine's event-time
+    window shape: derive the window key in a map, aggregate with the
+    bucketed combiner — ray_guide.md streaming-shaped workloads)."""
+    ev = rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = df["ts"].astype("int64") // 10**6
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "window_start": (epoch // 300 * 300).astype("int64"),
+            "value_cents": _cents(df["value"]),
+        })
+
+    return partial_aggregate(ev.map_batches(prep, batch_format="pandas"),
+                             ["event_type", "window_start"],
+                             {"n": ("count", None),
+                              "sum_value_cents": ("sum", "value_cents")})
+
+
+def _bucketed_by_user(ev: rd.Dataset, fn, buckets: int = 32) -> rd.Dataset:
+    """Partition events by user hash-bucket, apply fn per bucket with
+    rows sorted by (user_id, ts, event_id) — the ordered-log contract
+    for per-key windowed/stateful semantics."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["user_id"] % buckets).astype("int32")
+        return df
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__b").sort_values(
+            ["user_id", "ts", "event_id"], ignore_index=True)
+        return fn(df)
+
+    return (ev.map_batches(tag, batch_format="pandas")
+            .groupby("__b").map_groups(run, batch_format="pandas"))
+
+
+def events_prev_gap(sf_dir: str) -> rd.Dataset:
+    """Per-user lag: microseconds since the user's previous event (-1
+    for the first) — the as-of/ordered-window primitive."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        prev = df.groupby("user_id")["ts"].shift()
+        gap = (df["ts"].astype("int64") - prev.astype("int64"))
+        gap = gap.where(prev.notna(), -1).astype("int64")
+        return pd.DataFrame({"event_id": df["event_id"], "prev_gap_us": gap})
+
+    return _bucketed_by_user(ev, fn)
+
+
+def events_sessionize(sf_dir: str) -> rd.Dataset:
+    """Per-user session index with a 30-min inactivity gap — session
+    windowing over the ordered per-key log."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    GAP_US = 1800 * 10**6
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        prev = df.groupby("user_id")["ts"].shift()
+        gap = df["ts"].astype("int64") - prev.astype("int64")
+        new_sess = prev.isna() | (gap > GAP_US)
+        sess = new_sess.groupby(df["user_id"]).cumsum().astype("int64") - 1
+        return pd.DataFrame({"event_id": df["event_id"], "session_idx": sess})
+
+    return _bucketed_by_user(ev, fn)
+
+
+def topk_orders_per_customer(sf_dir: str) -> rd.Dataset:
+    """Top-2 orders per customer by price — grouped top-k via bucketed
+    sort + head (no global sort)."""
+    orders = rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["o_custkey"] % 32).astype("int32")
+        return df
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__b").sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], ignore_index=True)
+        df["rk"] = df.groupby("o_custkey").cumcount() + 1
+        out = df[df["rk"] <= 2]
+        return pd.DataFrame({"o_custkey": out["o_custkey"],
+                             "o_orderkey": out["o_orderkey"],
+                             "rk": out["rk"].astype("int64")})
+
+    return (orders.map_batches(tag, batch_format="pandas")
+            .groupby("__b").map_groups(fn, batch_format="pandas"))
+
+
+def distinct_event_types(sf_dir: str) -> rd.Dataset:
+    ev = rp(sf_dir, "events", ["event_type"])
+    agg = partial_aggregate(ev, ["event_type"], {"n": ("count", None)})
+    return agg.map_batches(lambda df: df[["event_type"]], batch_format="pandas")
+
+
+def sample_events_hash(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash sampling (scalable alternative to seeded
+    random_sample: same rows on any cluster shape)."""
+    ev = rp(sf_dir, "events", ["event_id", "event_type"])
+    return ev.map_batches(
+        lambda t: t.filter(pa.compute.equal(
+            pa.compute.bit_wise_and(t["event_id"], pa.scalar(15, pa.int64())),
+            pa.scalar(3, pa.int64()))),
+        batch_format="pyarrow")
+
+
+def union_entities(sf_dir: str) -> rd.Dataset:
+    """Dataset.union: one id table from two sources (§2.7 set ops)."""
+    cust = rp(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda df: pd.DataFrame({"id": df["c_custkey"].astype("int64"),
+                                 "src": "c"}), batch_format="pandas")
+    supp = rp(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        lambda df: pd.DataFrame({"id": df["s_suppkey"].astype("int64"),
+                                 "src": "s"}), batch_format="pandas")
+    return cust.union(supp)
+
+
 # -------------------------------------------------------- dedup suite
 
 def q_dedup_exact(sf_dir: str) -> rd.Dataset:
@@ -347,6 +470,13 @@ QUERIES = {
     "m4_priority_code": m4_priority_code,
     "events_daily": events_daily,
     "m8_mask_props": m8_mask_props,
+    "events_tumbling": events_tumbling,
+    "events_prev_gap": events_prev_gap,
+    "events_sessionize": events_sessionize,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "distinct_event_types": distinct_event_types,
+    "sample_events_hash": sample_events_hash,
+    "union_entities": union_entities,
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
     "dedup_minhash": q_dedup_minhash,
@@ -413,6 +543,44 @@ ORACLE_SQL = {
     "m8_mask_props": """
         SELECT event_id, regexp_replace(props, '[0-9]', '#', 'g') AS masked_props
         FROM events""",
+    "events_tumbling": """
+        SELECT event_type,
+               CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS window_start,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events GROUP BY event_type, window_start""",
+    "events_prev_gap": """
+        SELECT event_id,
+               CAST(COALESCE(date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts),
+                     -1) AS BIGINT) AS prev_gap_us
+        FROM events""",
+    "events_sessionize": """
+        WITH g AS (
+          SELECT event_id, user_id, ts,
+                 date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+          FROM events)
+        SELECT event_id,
+               CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        FROM g""",
+    "topk_orders_per_customer": """
+        WITH r AS (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+        SELECT o_custkey, o_orderkey, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 2""",
+    "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "sample_events_hash": """
+        SELECT event_id, event_type FROM events WHERE event_id % 16 = 3""",
+    "union_entities": """
+        SELECT c_custkey AS id, 'c' AS src FROM customer
+        UNION ALL SELECT s_suppkey AS id, 's' AS src FROM supplier""",
     "dedup_exact": """
         SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
                COUNT(*) AS n_dups
