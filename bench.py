@@ -26,7 +26,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey",
                  "dedup_exact", "dedup_minhash", "sim_topk", "text_quality",
-                 "tokens_by_lang"]
+                 "tokens_by_lang", "events_sessionize", "topk_orders_per_customer",
+                 "embedding_centroids"]
 
 
 def _warm_workers(ncpu: int) -> None:

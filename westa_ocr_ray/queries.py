@@ -364,6 +364,38 @@ def q_dedup_embedding(sf_dir: str) -> rd.Dataset:
         rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"]), threshold=0.4)
 
 
+def embedding_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label centroid of the embedding column — vector aggregation
+    via per-batch numpy partial sums (one (label, dim) row per batch),
+    merged by the bucketed combiner. sum scaled to micro-units so the
+    value hash is stable under float summation order."""
+    emb = rp(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for label, g in df.groupby("label"):
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            s = m.sum(axis=0)
+            for d in range(m.shape[1]):
+                rows.append((int(label), d, s[d], len(g)))
+        out = pd.DataFrame(rows, columns=["label", "dim", "sum_v", "n"])
+        return out
+
+    agg = partial_aggregate(emb.map_batches(partial, batch_format="pandas"),
+                            ["label", "dim"],
+                            {"sum_v": ("sum", "sum_v"), "n": ("sum", "n")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": df["label"].astype("int64"),
+            "dim": df["dim"].astype("int64"),
+            "sum_v_micro": np.round(df["sum_v"] * 10**6).astype("int64"),
+            "n": df["n"].astype("int64"),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 # ---------------------------------------------------------- similarity
 
 QUERY_VEC_IDS = tuple(range(8))
@@ -483,6 +515,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
     "dedup_embedding": q_dedup_embedding,
+    "embedding_centroids": embedding_centroids,
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
     "text_quality": q_text_quality,
@@ -594,6 +627,15 @@ ORACLE_SQL = {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4""",
+    "embedding_centroids": """
+        WITH e AS (
+          SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM embeddings)
+        SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+               CAST(ROUND(SUM(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS sum_v_micro,
+               COUNT(*) AS n
+        FROM e GROUP BY label, dim""",
     "sim_topk": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
         scored AS (
