@@ -117,8 +117,12 @@ def run_extract(input_path: str, out_dir: str,
         # themselves (streams; no barrier, no extra worker pool)
         manifest = build_extracted_units(docs, cfg, skip_parts=skip,
                                          stage_dir=stage_dir)
-        manifest.count()
+        manifest = manifest.materialize()  # manifest is tiny (part, rows)
         phase1_sec = time.perf_counter() - t0
+        os.makedirs(os.path.join(out_dir, "metrics"), exist_ok=True)
+        with open(os.path.join(out_dir, "metrics",
+                               f"stats-attempt{attempt}.txt"), "w") as fh:
+            fh.write(manifest.stats())  # per-stage wall/cpu/memory breakdown
         # phase 2: one reduce per partition, embarrassingly parallel
         remaining = sorted(set(range(cfg.num_parts)) - skip)
         parts_ds = rd.from_items([{"part": p} for p in remaining],
