@@ -114,9 +114,11 @@ def run_scaling() -> dict:
     throughput per level is used — best-of-N measures the engine, not
     the noisy neighbor."""
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
-    results: dict = {8: [], 32: []}
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    results: dict = {lo: [], hi: []}
     for _ in range(reps):
-        for ncpu in (8, 32):
+        for ncpu in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_EXTRACT_ONLY="1")
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -124,17 +126,17 @@ def run_scaling() -> dict:
             results[ncpu].append(json.loads(out.stdout.strip().splitlines()[-1]))
     best = {n: max(rs, key=lambda r: r["extract_docs_per_sec"])
             for n, rs in results.items()}
-    thr8 = best[8]["extract_docs_per_sec"]
-    thr32 = best[32]["extract_docs_per_sec"]
-    eff = (thr32 / thr8) / 4.0
+    thr_lo = best[lo]["extract_docs_per_sec"]
+    thr_hi = best[hi]["extract_docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
     return {
-        "metric": "scaling_efficiency (docs/sec at 32 cpus vs 8 cpus, /4)",
+        "metric": f"scaling_efficiency (docs/sec at {hi} cpus vs {lo} cpus, /{hi // lo})",
         "value": round(eff, 3),
         "unit": "ratio",
-        "thr_docs_per_sec_8": thr8,
-        "thr_docs_per_sec_32": thr32,
-        "extract_sec_8": best[8]["queries"]["extract_pipeline"],
-        "extract_sec_32": best[32]["queries"]["extract_pipeline"],
+        f"thr_docs_per_sec_{lo}": thr_lo,
+        f"thr_docs_per_sec_{hi}": thr_hi,
+        f"extract_sec_{lo}": best[lo]["queries"]["extract_pipeline"],
+        f"extract_sec_{hi}": best[hi]["queries"]["extract_pipeline"],
         "all_runs": {str(n): [r["extract_docs_per_sec"] for r in rs]
                      for n, rs in results.items()},
         "sf": SF_DIR,
