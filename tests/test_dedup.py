@@ -78,6 +78,23 @@ def test_ngram_jaccard_pairs_blocked():
     assert not any(4 in p for p in found)
 
 
+def test_cluster_pairs_transitive():
+    pairs = pd.DataFrame({"doc_a": [1, 2, 7], "doc_b": [2, 3, 9]})
+    out = dedup.cluster_pairs(pairs)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dedup_by_minhash_end_to_end():
+    kept = dedup.dedup_by_minhash(_docs_with_near_dups()).to_pandas()
+    ids = set(kept["doc_id"])
+    assert 1 in ids and 4 in ids            # cluster min + unrelated doc kept
+    assert 2 not in ids                     # exact dup of 1 removed
+    # near dups (3, 5) cluster with 1 when verified jaccard >= 50
+    assert len(ids) < 5
+    assert set(kept.columns) == {"doc_id", "text"}
+
+
 def test_embedding_near_dup_pairs():
     rng = np.random.RandomState(0)
     v = rng.standard_normal(16)

@@ -63,6 +63,27 @@ def test_noop_resume_when_all_done(tmp_path):
     assert m["parts_skipped"] == len(done_parts(out))
 
 
+def test_keep_units_writes_page_granularity(tmp_path):
+    """--keep-units persists the per-unit rows (PAGE_RESULT analog)."""
+    import pyarrow.dataset as pads
+
+    corpus = fixtures.ensure_corpus("smoke")
+    out = str(tmp_path / "out")
+    cfg = ExtractConfig(num_parts=8, extract_concurrency=(1, 3), keep_units=True)
+    m = run_extract(corpus, out, cfg)
+    units = pads.dataset(os.path.join(out, "units")).to_table()
+    assert {"doc_id", "span_idx", "page_idx", "kind", "text",
+            "is_content", "error"} <= set(units.schema.names)
+    # every unit the reducers consumed is persisted
+    lineage_units = 0
+    for p in glob.glob(os.path.join(out, "lineage", "*.jsonl")):
+        with open(p) as fh:
+            for line in fh:
+                lineage_units += json.loads(line)["units_in"]
+    assert units.num_rows == lineage_units
+    assert m["docs"] == len(set(units.column("doc_id").to_pylist()))
+
+
 def test_resume_ignores_stale_stage_files(tmp_path):
     """A run killed mid-phase-1 leaves partial stage files; the resume
     must wipe them and recompute unfinished partitions from the input."""

@@ -37,4 +37,7 @@ class ExtractConfig:
     # stage files are transient (wiped on resume): put them on fast local
     # scratch — /dev/shm when available, the cluster-node SSD otherwise.
     stage_root: Optional[str] = "/dev/shm/westa_stage"
+    # also persist per-unit rows (units/part-*.parquet) — the reference's
+    # per-page PAGE_RESULT event granularity (app/worker.py:633-687)
+    keep_units: bool = False
     attempt: int = 0                # bumped by resume runs (lineage)

@@ -170,6 +170,52 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "t
     return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
 
+def cluster_pairs(pairs: pd.DataFrame, a_col: str = "doc_a",
+                  b_col: str = "doc_b") -> pd.DataFrame:
+    """Connected components over near-dup candidate pairs →
+    (doc_id, cluster_id = min reachable doc_id). Union-find on the
+    driver: valid because the pair set is post-LSH/post-verify output,
+    which is bounded (≈ duplicate count, not corpus size). For a pair
+    set too large for one machine, iterate min-label propagation with
+    groupby rounds instead (ray_guide.md near-dup pattern)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in zip(pairs[a_col], pairs[b_col]):
+        union(a, b)
+    members = sorted(set(pairs[a_col]) | set(pairs[b_col]))
+    return pd.DataFrame({"doc_id": members,
+                         "cluster_id": [find(m) for m in members]})
+
+
+def dedup_by_minhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
+                     jaccard_threshold: float = 0.5, **kwargs) -> rd.Dataset:
+    """End-to-end fuzzy dedup: MinHash+LSH candidate pairs → verified
+    Jaccard → connected components → drop every non-minimum member of
+    each cluster (first-wins) via a broadcast anti-join. Returns the
+    deduplicated dataset (all columns)."""
+    pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col,
+                              jaccard_threshold=jaccard_threshold, **kwargs)
+    if pairs.empty:
+        return ds
+    clusters = cluster_pairs(pairs)
+    drop = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"])
+    return semi_anti_filter(ds, id_col, drop, anti=True)
+
+
 # -------------------------------------------------------------- simhash
 
 

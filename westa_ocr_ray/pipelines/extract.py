@@ -128,7 +128,8 @@ def run_extract(input_path: str, out_dir: str,
         parts_ds = rd.from_items([{"part": p} for p in remaining],
                                  parallelism=len(remaining))
         markers = parts_ds.map_batches(
-            make_part_reducer(stage_dir, out_dir, attempt=attempt),
+            make_part_reducer(stage_dir, out_dir, attempt=attempt,
+                              keep_units=cfg.keep_units),
             batch_format="pyarrow", batch_size=1,
             concurrency=cfg.reduce_concurrency)
         summary_rows = markers.take_all()  # tiny: one row per partition

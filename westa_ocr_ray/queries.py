@@ -359,6 +359,13 @@ def q_dedup_ngram(sf_dir: str) -> rd.Dataset:
     return dedup.ngram_jaccard_pairs(rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_dedup_minhash_keep(sf_dir: str) -> rd.Dataset:
+    """End-to-end fuzzy dedup: ids surviving MinHash-LSH + connected
+    components first-wins removal."""
+    kept = dedup.dedup_by_minhash(rp(sf_dir, "documents", ["doc_id", "text"]))
+    return kept.select_columns(["doc_id"])
+
+
 def q_dedup_embedding(sf_dir: str) -> rd.Dataset:
     return dedup.embedding_near_dup_pairs(
         rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"]), threshold=0.4)
@@ -512,6 +519,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_keep": q_dedup_minhash_keep,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
     "dedup_embedding": q_dedup_embedding,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -27,7 +28,13 @@ def main(argv=None) -> int:
     p.add_argument("--read-blocks", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--pattern", default="A", help="masters pre-filter pattern")
+    p.add_argument("--keep-units", action="store_true",
+                   help="also write per-unit rows (PAGE_RESULT granularity)")
     args = p.parse_args(argv)
+
+    if not os.path.exists(args.input):
+        print(f"error: input not found: {args.input}", file=sys.stderr)
+        return 1
 
     import ray
 
@@ -51,6 +58,7 @@ def main(argv=None) -> int:
         extract_batch_size=args.batch_size,
         extract_concurrency=(actors, actors),
         read_num_blocks=args.read_blocks,
+        keep_units=args.keep_units,
     )
     metrics = run_extract(args.input, args.output, cfg)
     print(json.dumps(metrics))

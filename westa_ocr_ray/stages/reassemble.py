@@ -260,12 +260,17 @@ def make_stage_writer(stage_dir: str) -> Callable[[pa.Table], pa.Table]:
     return stage_write
 
 
-def make_part_reducer(stage_dir: str, out_dir: str,
-                      attempt: int = 0) -> Callable[[pa.Table], pa.Table]:
+def make_part_reducer(stage_dir: str, out_dir: str, attempt: int = 0,
+                      keep_units: bool = False) -> Callable[[pa.Table], pa.Table]:
     """Reduce one partition: read its row groups from every stage file
     (statistics-pruned — only matching row groups are fetched),
     reassemble, commit. On a multi-node cluster stage files would be
-    bucketed per node-group; the read pattern is unchanged."""
+    bucketed per node-group; the read pattern is unchanged.
+
+    ``keep_units`` also persists the per-unit rows (the reference's
+    PAGE_RESULT event granularity, app/worker.py:633-687: one row per
+    page/unit with raw text, error, flags) as units/part-XXXXX.parquet,
+    atomically, covered by the same completion marker."""
 
     def reduce_parts(batch: pa.Table) -> pa.Table:
         import pyarrow.dataset as pads
@@ -290,6 +295,13 @@ def make_part_reducer(stage_dir: str, out_dir: str,
             else:
                 result = reassemble_partition(t)
                 units_in = t.num_rows
+            if keep_units and t is not None and t.num_rows:
+                udir = os.path.join(out_dir, "units")
+                os.makedirs(udir, exist_ok=True)
+                ufinal = os.path.join(udir, f"part-{part:05d}.parquet")
+                utmp = ufinal + f".tmp.{os.getpid()}"
+                pq.write_table(t, utmp)
+                os.replace(utmp, ufinal)
             markers.append(_commit_partition(result, part, units_in,
                                              out_dir, attempt, t0))
         return _marker_table(markers)
