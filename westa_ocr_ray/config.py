@@ -5,7 +5,7 @@ per-run, SURVEY.md §2.3 A3)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 from .fixtures import DEFAULT_SEED

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import zlib
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 import pandas as pd

@@ -22,7 +22,7 @@ import struct as _struct
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
-from .fixtures import MAGIC_IMG, MAGIC_PDF, SENTINEL_TEXT
+from .fixtures import MAGIC_IMG, MAGIC_PDF
 
 # ------------------------------------------------------------- text ops
 

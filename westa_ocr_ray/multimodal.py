@@ -11,10 +11,7 @@ actor signature, output layout — is real and tested.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 

@@ -26,8 +26,7 @@ import ray.data as rd
 
 from .. import fixtures
 from ..config import ExtractConfig
-from ..stages import (ExtractModel, make_explode, make_part_reducer,
-                      make_partition_writer, make_prepare, make_stage_writer)
+from ..stages import ExtractModel, make_explode, make_part_reducer, make_prepare
 from ..stages.reassemble import reassemble_partition
 
 

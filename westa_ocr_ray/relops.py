@@ -7,7 +7,7 @@ sides, and an explicit partitioned hash join for large-large joins.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd

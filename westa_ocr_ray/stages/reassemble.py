@@ -24,7 +24,6 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 from typing import Callable
 
 import numpy as np

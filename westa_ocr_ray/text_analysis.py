@@ -5,10 +5,9 @@ actor `__init__`."""
 
 from __future__ import annotations
 
-import hashlib
 import re
 import zlib
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 import pandas as pd
