@@ -1,0 +1,41 @@
+"""HyperLogLog sketch tests: error bound vs exact distinct, merge
+associativity, determinism."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from westa_ocr_ray.sketches import HyperLogLog, approx_distinct
+
+
+def test_hll_error_bound():
+    rng = np.random.RandomState(7)
+    for true_n in (100, 5000, 50000):
+        vals = rng.randint(0, 2**64, size=true_n * 2, dtype=np.uint64)
+        uniq = np.unique(vals)  # sorted — must re-shuffle before truncating,
+        uniq = uniq[rng.permutation(len(uniq))[:true_n]]  # else top bits bias low
+        hll = HyperLogLog(p=12)
+        hll.add_hashes(uniq)
+        est = hll.estimate()
+        rel_err = abs(est - true_n) / true_n
+        assert rel_err < 0.05, (true_n, est)
+
+
+def test_hll_merge_equals_single():
+    rng = np.random.RandomState(1)
+    h = rng.randint(0, 2**62, size=10000, dtype=np.int64).astype(np.uint64)
+    whole = HyperLogLog(p=10)
+    whole.add_hashes(h)
+    a, b = HyperLogLog(p=10), HyperLogLog(p=10)
+    a.add_hashes(h[:4000])
+    b.add_hashes(h[4000:])
+    a.merge(b)
+    assert (a.registers == whole.registers).all()
+
+
+def test_approx_distinct_on_dataset():
+    df = pd.DataFrame({"user_id": np.arange(4000) % 1000})
+    est = approx_distinct(rd.from_pandas(df), "user_id", p=12)
+    assert abs(est - 1000) / 1000 < 0.05
+    # deterministic
+    assert est == approx_distinct(rd.from_pandas(df), "user_id", p=12)

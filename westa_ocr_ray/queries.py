@@ -212,6 +212,54 @@ def m8_mask_props(sf_dir: str) -> rd.Dataset:
     return ev.map_batches(fn, batch_format="pandas")
 
 
+def q3_mktsegment_revenue(sf_dir: str) -> rd.Dataset:
+    """Three-table large-large join (lineitem ⋈ orders ⋈ customer) via
+    two partitioned hash joins, then a bucketed aggregate per market
+    segment — the multi-way-join shape."""
+    cust = rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    ord_seg = hash_join(orders, cust, "o_custkey", "c_custkey")
+    joined = hash_join(li, ord_seg, "l_orderkey", "o_orderkey")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        # price has 2 decimals, discount 2 → the product has exactly 4:
+        # scale by 10^4 so the rounded value is never a .5 tie (numpy
+        # rounds half-to-even, DuckDB half-away-from-zero)
+        return pd.DataFrame({
+            "c_mktsegment": df["c_mktsegment"],
+            "rev_e4": np.round(df["l_extendedprice"] * (1 - df["l_discount"])
+                               * 10**4).astype("int64"),
+        })
+
+    return partial_aggregate(joined.map_batches(prep, batch_format="pandas"),
+                             ["c_mktsegment"],
+                             {"n_lines": ("count", None),
+                              "revenue_e4": ("sum", "rev_e4")})
+
+
+def median_value_by_type(sf_dir: str) -> rd.Dataset:
+    """Exact grouped median — a non-mergeable aggregate computed with a
+    per-group pass (few groups, each fits a worker)."""
+    ev = rp(sf_dir, "events", ["event_type", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["value"] * 100).astype("int64")
+        return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
+                             "median_cents": [float(cents.median())]})
+
+    return ev.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+def approx_distinct_users(sf_dir: str) -> pa.Table:
+    """HLL approximate distinct user count (sketches.py) — approximate,
+    so no SQL oracle; tests assert the error bound vs exact."""
+    from .sketches import approx_distinct
+
+    n = approx_distinct(rp(sf_dir, "events", ["user_id"]), "user_id", p=12)
+    return pa.table({"n_distinct_users_est": pa.array([n], type=pa.int64())})
+
+
 # ------------------------------------------- streaming-shaped / window
 
 def events_tumbling(sf_dir: str) -> rd.Dataset:
@@ -523,6 +571,9 @@ QUERIES = {
     "m4_priority_code": m4_priority_code,
     "events_daily": events_daily,
     "m8_mask_props": m8_mask_props,
+    "q3_mktsegment_revenue": q3_mktsegment_revenue,
+    "median_value_by_type": median_value_by_type,
+    "approx_distinct_users": approx_distinct_users,
     "events_tumbling": events_tumbling,
     "events_prev_gap": events_prev_gap,
     "events_sessionize": events_sessionize,
@@ -598,6 +649,18 @@ ORACLE_SQL = {
     "m8_mask_props": """
         SELECT event_id, regexp_replace(props, '[0-9]', '#', 'g') AS masked_props
         FROM events""",
+    "q3_mktsegment_revenue": """
+        SELECT c_mktsegment, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) AS BIGINT) AS revenue_e4
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""",
+    "median_value_by_type": """
+        SELECT event_type,
+               CAST(median(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE) AS median_cents
+        FROM events GROUP BY event_type""",
     "events_tumbling": """
         SELECT event_type,
                CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS window_start,

@@ -1,0 +1,70 @@
+"""Mergeable sketches for approximate aggregates at scale.
+
+The scale shape (ray_guide.md): one serialized sketch per batch emitted
+from map_batches, merged in a tiny second stage — the all-to-all moves
+registers, never rows. The reference has no sketches (SURVEY.md §2.5);
+this is part of the training-data toolkit.
+
+HyperLogLog per Flajolet et al. 2007, with the standard small-range
+(linear counting) correction. Hashing is pandas' 64-bit siphash
+(deterministic within a pandas version), vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12) -> None:
+        assert 4 <= p <= 18
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        if self.m >= 128:
+            self.alpha = 0.7213 / (1 + 1.079 / self.m)
+        else:
+            self.alpha = {16: 0.673, 32: 0.697, 64: 0.709}[self.m]
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        """Add pre-hashed uint64 values (vectorized)."""
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - self.p)) - 1)
+        # rank = leading-zero count of the low 64-p bits + 1
+        #      = (64-p) - bit_length(w) + 1 ; frexp is exact below 2^53
+        _, exp = np.frexp(w.astype(np.float64))
+        rank = np.where(w == 0, 64 - self.p + 1, (64 - self.p) - exp + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> int:
+        est = self.alpha * self.m**2 / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * self.m and zeros:
+            est = self.m * np.log(self.m / zeros)  # linear counting
+        return int(round(est))
+
+
+def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> int:
+    """Approximate COUNT(DISTINCT col): per-batch HLL registers (one
+    m-byte row per batch crosses the wire), merged on the driver."""
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        hll = HyperLogLog(p)
+        hll.add_hashes(pd.util.hash_pandas_object(df[col].astype(str),
+                                                  index=False).to_numpy())
+        return pd.DataFrame({"registers": [hll.registers.tobytes()]})
+
+    merged = HyperLogLog(p)
+    for row in ds.map_batches(sketch, batch_format="pandas").take_all():
+        other = HyperLogLog(p)
+        other.registers = np.frombuffer(row["registers"], dtype=np.uint8).copy()
+        merged.merge(other)
+    return merged.estimate()
