@@ -259,8 +259,26 @@ def docs_table(seed: int, lo: int, hi: int) -> pa.Table:
 TIERS = {"smoke": 50, "correctness": 2000, "bench": 600000}
 
 
-def corpus_dir(tier: str, seed: int = DEFAULT_SEED, root: str = "/tmp/westa_corpus") -> str:
-    return os.path.join(root, f"{tier}_seed{seed}")
+def source_fingerprint(*modules) -> str:
+    """Hash of the given modules' source — cache keys include it so /tmp
+    artifacts regenerate whenever generation/extraction semantics change
+    (e.g. across build rounds on the same machine)."""
+    h = hashlib.md5()
+    for mod in modules:
+        with open(mod.__file__, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:10]
+
+
+def _corpus_fp() -> str:
+    import westa_ocr_ray.fixtures as _self
+
+    return source_fingerprint(_self)
+
+
+def corpus_dir(tier: str, seed: int = DEFAULT_SEED,
+               root: str = "/tmp/westa_corpus") -> str:
+    return os.path.join(root, _corpus_fp(), f"{tier}_seed{seed}")
 
 
 def ensure_corpus(tier: str, seed: int = DEFAULT_SEED, root: str = "/tmp/westa_corpus",

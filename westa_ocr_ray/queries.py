@@ -495,11 +495,16 @@ def _extracted(sf_dir: str) -> rd.Dataset:
     real staged-shuffle writer, cached under /tmp — repeated queries
     reuse the completed partitions (marker anti-join makes rerun a
     no-op)."""
+    from . import extractors
     from .pipelines.extract import read_extracted, run_extract
+    from .stages import extract as _stage_extract
+    from .stages import reassemble as _stage_reassemble
 
     tier = fixtures.tier_for_sf_dir(sf_dir)
     corpus = fixtures.ensure_corpus(tier)
-    out = f"/tmp/westa_extract_out/{tier}_seed{fixtures.DEFAULT_SEED}"
+    fp = fixtures.source_fingerprint(fixtures, extractors, _stage_extract,
+                                     _stage_reassemble)
+    out = f"/tmp/westa_extract_out/{fp}/{tier}_seed{fixtures.DEFAULT_SEED}"
     run_extract(corpus, out, ExtractConfig())
     return read_extracted(out)
 
