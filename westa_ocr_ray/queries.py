@@ -109,6 +109,16 @@ def j4_customer_order_counts(sf_dir: str) -> rd.Dataset:
     return joined.map_batches(fill, batch_format="pandas")
 
 
+def j_native_supplier_nation(sf_dir: str) -> rd.Dataset:
+    """Ray-native hash-partitioned Dataset.join (ray>=2.46) — the
+    built-in alternative to relops.hash_join, exercised for parity."""
+    supp = rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = rp(sf_dir, "nation", ["n_nationkey", "n_name"])
+    joined = supp.join(nat, join_type="inner", num_partitions=8,
+                       on=("s_nationkey",), right_on=("n_nationkey",))
+    return joined.select_columns(["s_suppkey", "n_name"])
+
+
 def m9_status_filter(sf_dir: str) -> rd.Dataset:
     orders = rp(sf_dir, "orders", ["o_orderstatus"])
     filt = orders.map_batches(
@@ -568,6 +578,7 @@ QUERIES = {
     "g3_count_orders": g3_count_orders,
     "j1_region_revenue": j1_region_revenue,
     "j4_customer_order_counts": j4_customer_order_counts,
+    "j_native_supplier_nation": j_native_supplier_nation,
     "m9_status_filter": m9_status_filter,
     "o1_first_line_partkey": o1_first_line_partkey,
     "o3_topk_recent_events": o3_topk_recent_events,
@@ -629,6 +640,9 @@ ORACLE_SQL = {
         SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey""",
+    "j_native_supplier_nation": """
+        SELECT s_suppkey, n_name FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey""",
     "m9_status_filter": """
         SELECT o_orderstatus, COUNT(*) AS n FROM orders
         WHERE o_orderstatus IN ('O','F') GROUP BY o_orderstatus""",
