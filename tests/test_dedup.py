@@ -69,6 +69,16 @@ def test_simhash_hamming_tracks_similarity():
     assert sh.simhash(base) == h1  # deterministic
 
 
+def test_simhash_near_pairs_finds_planted():
+    out = dedup.simhash_near_pairs(_docs_with_near_dups(),
+                                   max_hamming=6).to_pandas()
+    pairs = {(a, b) for a, b in zip(out["doc_a"], out["doc_b"])}
+    assert (1, 2) in pairs  # exact dup → hamming 0
+    ham = out.set_index(["doc_a", "doc_b"])["hamming"]
+    assert ham.loc[(1, 2)] == 0
+    assert not any(4 in p for p in pairs)
+
+
 def test_ngram_jaccard_pairs_blocked():
     # docs 1,2,3,5 share the 2-token block "alpha beta"; 4 doesn't
     out = dedup.ngram_jaccard_pairs(_docs_with_near_dups(),

@@ -250,7 +250,49 @@ def simhash_table(ds: rd.Dataset, id_col: str = "doc_id",
                           batch_format="pandas", concurrency=(1, 8))
 
 
-# ------------------------------------------------------- ngram jaccard
+def simhash_near_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
+                       max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into four
+    16-bit keys (any pair within hamming ≤ 3 of each other shares at
+    least one band exactly — pigeonhole), bucket-groupby candidates,
+    verify hamming. Returns (doc_a, doc_b, hamming:int32)."""
+    sigs = simhash_table(ds, id_col=id_col, text_col=text_col)
+
+    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        h = df["simhash"].to_numpy().astype(np.uint64)
+        for band in range(4):
+            out.append(pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                "simhash": df["simhash"].to_numpy(),
+                "band_id": np.int32(band),
+                "band_val": ((h >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, ignore_index=True)
+        a_, b_, ham_ = [], [], []
+        n = min(len(df), 200)  # cap pathological buckets; log via lineage at scale
+        for i in range(n):
+            for j in range(i + 1, n):
+                if df[id_col][i] == df[id_col][j]:
+                    continue
+                ham = bin((int(df["simhash"][i]) ^ int(df["simhash"][j]))
+                          & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming:
+                    a_.append(df[id_col][i])
+                    b_.append(df[id_col][j])
+                    ham_.append(ham)
+        return pd.DataFrame({"doc_a": a_, "doc_b": b_,
+                             "hamming": np.array(ham_, dtype=np.int32)})
+
+    pairs = (sigs.map_batches(explode_bands, batch_format="pandas")
+             .groupby(["band_id", "band_val"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    # the same pair surfaces from every band it shares: global dedup
+    return partial_aggregate(pairs, ["doc_a", "doc_b"],
+                             {"hamming": ("min", "hamming")})
 
 
 def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",

@@ -413,6 +413,11 @@ def q_dedup_simhash(sf_dir: str) -> rd.Dataset:
     return dedup.simhash_table(rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_dedup_simhash_pairs(sf_dir: str) -> rd.Dataset:
+    return dedup.simhash_near_pairs(rp(sf_dir, "documents", ["doc_id", "text"]),
+                                    max_hamming=3)
+
+
 def q_dedup_ngram(sf_dir: str) -> rd.Dataset:
     return dedup.ngram_jaccard_pairs(rp(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -602,6 +607,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_keep": q_dedup_minhash_keep,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram": q_dedup_ngram,
     "dedup_embedding": q_dedup_embedding,
     "embedding_centroids": embedding_centroids,
