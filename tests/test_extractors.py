@@ -62,6 +62,41 @@ def test_sentinel_page_non_content():
     assert text == "" and not is_content
 
 
+def test_media_store_file_scheme(tmp_path):
+    """file:// and bare-path refs resolve to on-disk bytes (reference
+    FileFetcher scheme dispatch, app/file_fetcher.py:106-133)."""
+    payload = fixtures.media_store("media://pdf/doc_42_00000001/0")
+    p = tmp_path / "page.spdf"
+    p.write_bytes(payload)
+    assert fixtures.media_store(f"file://{p}") == payload
+    assert fixtures.media_store(str(p)) == payload
+
+
+def test_file_scheme_through_pipeline(tmp_path):
+    """A document whose media_ref is a file:// path extracts identically
+    via the Ray pipeline and the oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from westa_ocr_ray import oracle
+    from westa_ocr_ray.config import ExtractConfig
+    from westa_ocr_ray.pipelines.extract import extract_dataset
+    from westa_ocr_ray.schema import DOCUMENTS_SCHEMA
+
+    payload = fixtures.media_store("media://pdf/doc_42_00000010/1")
+    p = tmp_path / "doc.spdf"
+    p.write_bytes(payload)
+    doc = {"doc_id": "filedoc_0", "spans": [
+        {"kind": "pdf", "text": "", "media_ref": f"file://{p}", "offset": 0}]}
+    table = pa.Table.from_pylist([doc], schema=DOCUMENTS_SCHEMA)
+    cfg = ExtractConfig(num_parts=2, extract_concurrency=(1, 1))
+    got = extract_dataset(rd.from_arrow(table), cfg).take_all()[0]
+    exp = oracle.extract_doc(doc)
+    assert [(s["kind"], s["text"], s["order"]) for s in got["spans"]] == \
+           [(s["kind"], s["text"], s["order"]) for s in exp["spans"]]
+    assert got["total_units"] == exp["total_units"] > 0
+
+
 def test_media_store_deterministic():
     ref = "media://image/doc_42_00000003/1"
     assert fixtures.media_store(ref) == fixtures.media_store(ref)

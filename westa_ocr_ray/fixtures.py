@@ -130,11 +130,22 @@ def serialize_pages(magic: bytes, pages: List[Tuple[int, List[Tuple[int, int, st
 
 
 def media_store(media_ref: str, seed: int = DEFAULT_SEED) -> bytes:
-    """Resolve a media ref to payload bytes (hermetic FileFetcher.fetch).
+    """Resolve a media ref to payload bytes — scheme dispatch mirroring
+    the reference's FileFetcher (app/file_fetcher.py:106-133):
 
-    ~0.2% of refs yield a corrupt payload (bad magic) to exercise the
-    record-and-continue error path (reference worker.py:327-359).
+    - ``media://`` → deterministic synthetic payload (the hermetic
+      stand-in for Drive/http fetches; ~0.2% of refs yield a corrupt
+      payload to exercise the record-and-continue error path,
+      reference worker.py:327-359),
+    - ``file://``  → read bytes from the local path (reference :116-119),
+    - bare path    → treated as a local file (reference ``local:`` :121-124).
     """
+    if media_ref.startswith("file://"):
+        with open(media_ref[len("file://"):], "rb") as fh:
+            return fh.read()
+    if not media_ref.startswith("media://"):
+        with open(media_ref, "rb") as fh:
+            return fh.read()
     if _rand(seed, media_ref, "corrupt") < 0.002:
         return b"XXXX" + hashlib.sha256(media_ref.encode()).digest()
     kind, n_pages = _media_params(seed, media_ref)
