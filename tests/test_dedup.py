@@ -95,6 +95,22 @@ def test_cluster_pairs_transitive():
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
 
+def test_connected_components_distributed_matches_union_find():
+    rng = np.random.RandomState(3)
+    edges = pd.DataFrame({
+        "doc_a": rng.randint(0, 120, size=150),
+        "doc_b": rng.randint(0, 120, size=150),
+    })
+    edges = edges[edges["doc_a"] != edges["doc_b"]].reset_index(drop=True)
+    exp = dedup.cluster_pairs(edges).sort_values("doc_id", ignore_index=True)
+    got = (dedup.connected_components_distributed(rd.from_pandas(edges))
+           .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got.rename(columns={"cluster_id": "c"})[["doc_id", "c"]],
+        exp.rename(columns={"cluster_id": "c"})[["doc_id", "c"]],
+        check_dtype=False)
+
+
 def test_dedup_by_minhash_end_to_end():
     kept = dedup.dedup_by_minhash(_docs_with_near_dups()).to_pandas()
     ids = set(kept["doc_id"])

@@ -201,6 +201,62 @@ def cluster_pairs(pairs: pd.DataFrame, a_col: str = "doc_a",
                          "cluster_id": [find(m) for m in members]})
 
 
+def connected_components_distributed(edges: rd.Dataset, a_col: str = "doc_a",
+                                     b_col: str = "doc_b",
+                                     max_rounds: int = 50) -> pd.DataFrame:
+    """Connected components as iterative min-label propagation: the EDGE
+    set stays a distributed Dataset (that's the big side at 100 TB — it
+    streams through map_batches each round); the label table is the
+    small side, broadcast via ray.put and min-reduced per batch, then
+    merged driver-side. Labels only decrease, so the changed-count
+    convergence check is exact; rounds ≤ graph diameter.
+
+    Sizing: the label table is one row per node that appears in a
+    candidate pair — bounded by the duplicate count, not the corpus.
+    Beyond ~10^8 such nodes the label side must be hash-partitioned too
+    (alternate the broadcast with relops.hash_join per round).
+    Returns (doc_id, cluster_id)."""
+    import ray
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": pd.concat([df[a_col], df[b_col]],
+                                                 ignore_index=True)})
+
+    nodes = (partial_aggregate(edges.map_batches(to_nodes, batch_format="pandas"),
+                               ["doc_id"], {"n": ("count", None)})
+             .to_pandas()["doc_id"])
+    labels = pd.Series(nodes.to_numpy(), index=nodes.to_numpy())
+
+    edges = edges.materialize()  # reused every round
+    for _ in range(max_rounds):
+        ref = ray.put(labels)
+
+        def propagate(df: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(ref)
+            la = lab.loc[df[a_col]].to_numpy()
+            lb = lab.loc[df[b_col]].to_numpy()
+            m = np.minimum(la, lb)
+            out = pd.DataFrame({
+                "doc_id": pd.concat([df[a_col], df[b_col]], ignore_index=True),
+                "label": np.concatenate([m, m]),
+            })
+            # per-batch combiner: one row per node per batch
+            return out.groupby("doc_id", sort=False, as_index=False).min()
+
+        partial = (edges.map_batches(propagate, batch_format="pandas")
+                   .to_pandas().groupby("doc_id")["label"].min())
+        new_labels = labels.copy()
+        common = partial.index
+        improved = partial.to_numpy() < labels.loc[common].to_numpy()
+        if not improved.any():
+            break
+        new_labels.loc[common[improved]] = partial.to_numpy()[improved]
+        labels = new_labels
+
+    return pd.DataFrame({"doc_id": labels.index.to_numpy(),
+                         "cluster_id": labels.to_numpy()})
+
+
 def dedup_by_minhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                      jaccard_threshold: float = 0.5, **kwargs) -> rd.Dataset:
     """End-to-end fuzzy dedup: MinHash+LSH candidate pairs → verified
