@@ -50,6 +50,13 @@ def test_equality_invariant_to_partitioning(oracle_rows):
     assert_equal(run_pipeline(cfg), oracle_rows)
 
 
+def test_equality_with_skew_repartition(oracle_rows):
+    # the opt-in all-to-all metadata shuffle must not change results
+    cfg = ExtractConfig(num_parts=4, skew_repartition=True, repartition_blocks=6,
+                        local_interleave=False, extract_concurrency=(1, 2))
+    assert_equal(run_pipeline(cfg), oracle_rows)
+
+
 def test_zero_span_docs_still_summarized(oracle_rows):
     empties = [r for r in oracle_rows if r["total_units"] == 0]
     assert empties, "fixture corpus should contain zero-span docs"

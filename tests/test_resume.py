@@ -104,6 +104,25 @@ def test_resume_ignores_stale_stage_files(tmp_path):
     assert _result_key(read_extracted(crashed)) == full
 
 
+def test_standalone_stage_writer_roundtrip(tmp_path):
+    """stage_write_table: rows sorted by part into per-partition row
+    groups; statistics-pruned read returns exactly one partition."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from westa_ocr_ray.stages.staging import stage_write_table
+
+    t = pa.table({"part": pa.array([2, 0, 1, 0, 2], type=pa.int32()),
+                  "v": pa.array([20, 0, 10, 1, 21], type=pa.int64())})
+    stage = str(tmp_path / "stage")
+    manifest = stage_write_table(t, stage)
+    assert manifest.column("part").to_pylist() == [0, 1, 2]
+    assert manifest.column("rows").to_pylist() == [2, 1, 2]
+    got = pads.dataset(stage).to_table(filter=pads.field("part") == 0,
+                                       use_threads=False)
+    assert sorted(got.column("v").to_pylist()) == [0, 1]
+
+
 def test_markers_match_partition_files(tmp_path):
     corpus = fixtures.ensure_corpus("smoke")
     out = str(tmp_path / "out")
