@@ -3,10 +3,12 @@
 
     read(documents)
       → map_batches(explode_spans)            # doc → span rows (M1 fan-out)
-      → [repartition(shuffle)]                # skew: interleave heavy refs (§4.2)
+      → [repartition(shuffle)]                # opt-in skew all-to-all (§4.2)
       → map_batches(prepare)                  # fetch + page split (S1/M1)
       → map_batches(ExtractModel, actor pool) # stateful model (A1) + masters (J1)
-      → groupby(part).map_groups(reassemble)  # the one shuffle (O1 + G1)
+      → exchange on `part`                    # the one shuffle (O1 + G1):
+          run_extract:     external staged shuffle + per-partition reduce
+          extract_dataset: groupby(part).map_groups(reassemble)
       → [atomic per-partition write + markers + lineage]   # S3-S6, §4.4
 
 Everything streams with backpressure; nothing materializes the corpus.
