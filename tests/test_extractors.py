@@ -97,6 +97,20 @@ def test_file_scheme_through_pipeline(tmp_path):
     assert got["total_units"] == exp["total_units"] > 0
 
 
+def test_missing_file_ref_records_error():
+    """A dangling file:// ref is a recorded per-span error, not a task
+    crash (reference initial-failure path, worker.py:798-823)."""
+    from westa_ocr_ray import oracle
+
+    doc = {"doc_id": "missing_0", "spans": [
+        {"kind": "pdf", "text": "", "media_ref": "file:///nope/gone.spdf",
+         "offset": 0}]}
+    res = oracle.extract_doc(doc)
+    assert res["status"] == "ERROR" and res["errors"] == 1
+    assert res["error_messages"].startswith("media split failed:")
+    assert res["spans"] == []
+
+
 def test_media_store_deterministic():
     ref = "media://image/doc_42_00000003/1"
     assert fixtures.media_store(ref) == fixtures.media_store(ref)

@@ -36,7 +36,7 @@ def extract_doc(doc: Dict[str, object], seed: int = fixtures.DEFAULT_SEED,
             ref = span["media_ref"]
             try:
                 blobs = extractors.split_payload(fixtures.media_store(ref, seed))
-            except extractors.MediaFormatError as exc:
+            except (extractors.MediaFormatError, OSError) as exc:
                 units.append((offset, span_idx, 1, kind, ref, "", False,
                               f"media split failed: {exc}"))
                 continue

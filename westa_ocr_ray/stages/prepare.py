@@ -44,7 +44,7 @@ def make_prepare(seed: int = fixtures.DEFAULT_SEED,
         for i, ref in enumerate(refs):
             try:
                 blobs = extractors.split_payload(fetch(ref))
-            except extractors.MediaFormatError as exc:
+            except (extractors.MediaFormatError, OSError) as exc:
                 take_idx.append(i)
                 page_idx.append(1)
                 payloads.append(None)
