@@ -270,6 +270,49 @@ def approx_distinct_users(sf_dir: str) -> pa.Table:
     return pa.table({"n_distinct_users_est": pa.array([n], type=pa.int64())})
 
 
+def asof_last_order_before_event(sf_dir: str) -> rd.Dataset:
+    """As-of join: for each event, the user's most recent order date at
+    or before the event time — bucket both sides by the key, sort within
+    bucket, pd.merge_asof backward (ray_guide.md as-of pattern). Events
+    with no prior order drop (inner-asof, matching DuckDB ASOF JOIN)."""
+    B = 16
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = rp(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def tag_e(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "user_id": df["user_id"].astype("int64"),
+                             "ts": df["ts"], "odate": pd.NaT,
+                             "__b": (df["user_id"] % B).astype("int32"),
+                             "__s": np.int8(0)})
+
+    def tag_o(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": -1,
+                             "user_id": df["o_custkey"].astype("int64"),
+                             "ts": pd.NaT, "odate": df["o_orderdate"],
+                             "__b": (df["o_custkey"] % B).astype("int32"),
+                             "__s": np.int8(1)})
+
+    both = ev.map_batches(tag_e, batch_format="pandas").union(
+        od.map_batches(tag_o, batch_format="pandas"))
+
+    def bucket_asof(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["__s"] == 0][["event_id", "user_id", "ts"]].sort_values(
+            "ts", ignore_index=True)
+        o = df[df["__s"] == 1][["user_id", "odate"]].sort_values(
+            "odate", ignore_index=True)
+        if e.empty or o.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "last_order_date": pd.Series([], dtype="object")})
+        m = pd.merge_asof(e, o, left_on="ts", right_on="odate",
+                          by="user_id", direction="backward")
+        m = m.dropna(subset=["odate"])
+        return pd.DataFrame({"event_id": m["event_id"].astype("int64"),
+                             "last_order_date": m["odate"].dt.strftime("%Y-%m-%d")})
+
+    return both.groupby("__b").map_groups(bucket_asof, batch_format="pandas")
+
+
 # ------------------------------------------- streaming-shaped / window
 
 def events_tumbling(sf_dir: str) -> rd.Dataset:
@@ -592,6 +635,7 @@ QUERIES = {
     "m4_priority_code": m4_priority_code,
     "events_daily": events_daily,
     "m8_mask_props": m8_mask_props,
+    "asof_last_order_before_event": asof_last_order_before_event,
     "q3_mktsegment_revenue": q3_mktsegment_revenue,
     "median_value_by_type": median_value_by_type,
     "approx_distinct_users": approx_distinct_users,
@@ -674,6 +718,10 @@ ORACLE_SQL = {
     "m8_mask_props": """
         SELECT event_id, regexp_replace(props, '[0-9]', '#', 'g') AS masked_props
         FROM events""",
+    "asof_last_order_before_event": """
+        SELECT e.event_id, strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date
+        FROM events e ASOF JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
     "q3_mktsegment_revenue": """
         SELECT c_mktsegment, COUNT(*) AS n_lines,
                CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
