@@ -270,6 +270,51 @@ def approx_distinct_users(sf_dir: str) -> pa.Table:
     return pa.table({"n_distinct_users_est": pa.array([n], type=pa.int64())})
 
 
+def range_join_balance_band(sf_dir: str) -> rd.Dataset:
+    """Range (interval) join: customer–supplier pairs whose account
+    balances differ by ≤ 1.0 — banded join: the smaller side replicates
+    into adjacent bands (width = the range), the bigger side lands in
+    its own band, candidates meet in a band-keyed groupby and the exact
+    predicate filters vectorized. No cross product ever materializes."""
+    W = 1.0
+    cust = rp(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    supp = rp(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+
+    def tag_c(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"band": np.floor(df["c_acctbal"] / W).astype("int64"),
+                             "c_custkey": df["c_custkey"].astype("int64"),
+                             "c_acctbal": df["c_acctbal"],
+                             "s_suppkey": -1, "s_acctbal": np.nan,
+                             "__s": np.int8(0)})
+
+    def tag_s(df: pd.DataFrame) -> pd.DataFrame:
+        base = np.floor(df["s_acctbal"] / W).astype("int64")
+        out = []
+        for shift in (-1, 0, 1):  # replicate small side to adjacent bands
+            out.append(pd.DataFrame({"band": base + shift,
+                                     "c_custkey": -1, "c_acctbal": np.nan,
+                                     "s_suppkey": df["s_suppkey"].astype("int64"),
+                                     "s_acctbal": df["s_acctbal"],
+                                     "__s": np.int8(1)}))
+        return pd.concat(out, ignore_index=True)
+
+    both = cust.map_batches(tag_c, batch_format="pandas").union(
+        supp.map_batches(tag_s, batch_format="pandas"))
+
+    def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["__s"] == 0][["band", "c_custkey", "c_acctbal"]]
+        s = df[df["__s"] == 1][["band", "s_suppkey", "s_acctbal"]]
+        if c.empty or s.empty:
+            return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                                 "s_suppkey": pd.Series([], dtype="int64")})
+        m = c.merge(s, on="band")
+        m = m[(m["c_acctbal"] - m["s_acctbal"]).abs() <= W]
+        return (m[["c_custkey", "s_suppkey"]]
+                .drop_duplicates(ignore_index=True).astype("int64"))
+
+    return both.groupby("band").map_groups(band_pairs, batch_format="pandas")
+
+
 def asof_last_order_before_event(sf_dir: str) -> rd.Dataset:
     """As-of join: for each event, the user's most recent order date at
     or before the event time — bucket both sides by the key, sort within
@@ -636,6 +681,7 @@ QUERIES = {
     "events_daily": events_daily,
     "m8_mask_props": m8_mask_props,
     "asof_last_order_before_event": asof_last_order_before_event,
+    "range_join_balance_band": range_join_balance_band,
     "q3_mktsegment_revenue": q3_mktsegment_revenue,
     "median_value_by_type": median_value_by_type,
     "approx_distinct_users": approx_distinct_users,
@@ -722,6 +768,9 @@ ORACLE_SQL = {
         SELECT e.event_id, strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date
         FROM events e ASOF JOIN orders o
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+    "range_join_balance_band": """
+        SELECT c_custkey, s_suppkey FROM customer, supplier
+        WHERE abs(c_acctbal - s_acctbal) <= 1.0""",
     "q3_mktsegment_revenue": """
         SELECT c_mktsegment, COUNT(*) AS n_lines,
                CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
