@@ -33,7 +33,7 @@ def main(argv=None) -> int:
         try:
             blobs = extractors.split_payload(
                 fixtures.media_store(args.media_ref, args.seed))
-        except extractors.MediaFormatError as exc:
+        except (extractors.MediaFormatError, OSError) as exc:
             print(json.dumps({"error": f"media split failed: {exc}"}))
             return 1
         for page_idx, blob in enumerate(blobs, start=1):
