@@ -194,6 +194,21 @@ def m4_priority_code(sf_dir: str) -> rd.Dataset:
     return orders.map_batches(fn, batch_format="pandas")
 
 
+def part_brand_stats(sf_dir: str) -> rd.Dataset:
+    parts = rp(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"p_brand": df["p_brand"],
+                             "size": df["p_size"].astype("int64"),
+                             "price_cents": _cents(df["p_retailprice"])})
+
+    return partial_aggregate(parts.map_batches(prep, batch_format="pandas"),
+                             ["p_brand"],
+                             {"n_parts": ("count", None),
+                              "sum_size": ("sum", "size"),
+                              "max_price_cents": ("max", "price_cents")})
+
+
 def events_daily(sf_dir: str) -> rd.Dataset:
     ev = rp(sf_dir, "events", ["event_type", "ts", "value"])
 
@@ -783,6 +798,12 @@ ORACLE_SQL = {
         SELECT event_type,
                CAST(median(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE) AS median_cents
         FROM events GROUP BY event_type""",
+    "part_brand_stats": """
+        SELECT p_brand, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size,
+               CAST(MAX(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT)
+                 AS max_price_cents
+        FROM part GROUP BY p_brand""",
     "events_tumbling": """
         SELECT event_type,
                CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS window_start,
