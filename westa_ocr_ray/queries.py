@@ -695,6 +695,7 @@ QUERIES = {
     "m4_priority_code": m4_priority_code,
     "events_daily": events_daily,
     "m8_mask_props": m8_mask_props,
+    "part_brand_stats": part_brand_stats,
     "asof_last_order_before_event": asof_last_order_before_event,
     "range_join_balance_band": range_join_balance_band,
     "q3_mktsegment_revenue": q3_mktsegment_revenue,
