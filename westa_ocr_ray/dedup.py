@@ -94,9 +94,13 @@ class MinHasher:
         toks = text.split(" ")
         sh = {" ".join(toks[i:i + self.shingle])
               for i in range(max(1, len(toks) - self.shingle + 1))}
-        h = np.fromiter((_crc(s) for s in sh), dtype=np.int64, count=len(sh))
-        # (perm, shingle) permuted hashes → min per permutation
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        h = np.fromiter((_crc(s) for s in sh), dtype=np.uint64, count=len(sh))
+        # (perm, shingle) permuted hashes → min per permutation. uint64
+        # wraparound in a*h+b is part of the mixing (deterministic
+        # everywhere); the Mersenne mod keeps values in hash range.
+        a = self.a.astype(np.uint64)
+        b = self.b.astype(np.uint64)
+        vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -141,7 +145,7 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "t
         batch_format="pandas", concurrency=(1, 8))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        vals = sorted(df[id_col].unique().tolist())
+        vals = sorted(df[id_col].unique().tolist())[:200]  # cap pathological buckets
         if len(vals) < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(df[id_col].dtype)
         pa_, pb_ = [], []
