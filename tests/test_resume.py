@@ -54,6 +54,45 @@ def test_resume_skips_completed_partitions(tmp_path):
     assert 1 in attempts and 0 in attempts
 
 
+def test_real_sigkill_resume(tmp_path):
+    """Kill -9 an actual run mid-flight (its own Ray cluster, own process
+    group), then resume in this session: the final output must equal an
+    uninterrupted run — whatever partial state the kill left behind."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    corpus = fixtures.ensure_corpus("correctness")
+    out = str(tmp_path / "killed")
+    script = (
+        "import ray\n"
+        "ray.init(address='local', num_cpus=4, include_dashboard=False,"
+        " logging_level='ERROR')\n"
+        "from westa_ocr_ray.config import ExtractConfig\n"
+        "from westa_ocr_ray.pipelines.extract import run_extract\n"
+        f"cfg = ExtractConfig(num_parts=16, extract_concurrency=(2, 2),"
+        f" stage_root=None)\n"
+        f"run_extract({corpus!r}, {out!r}, cfg)\n"
+    )
+    proc = subprocess.Popen([sys.executable, "-c", script],
+                            cwd="/root/repo", start_new_session=True,
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    _time.sleep(12)  # mid-flight: ray up, phase 1 running (2-actor pool is slow)
+    os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+
+    done_before = len(done_parts(out))
+    cfg = ExtractConfig(num_parts=16, extract_concurrency=(1, 3), stage_root=None)
+    m = run_extract(corpus, out, cfg)
+    assert m["parts_skipped"] == done_before
+    assert len(done_parts(out)) == 16
+
+    clean = str(tmp_path / "clean")
+    run_extract(corpus, clean, cfg)
+    assert _result_key(read_extracted(out)) == _result_key(read_extracted(clean))
+
+
 def test_noop_resume_when_all_done(tmp_path):
     corpus = fixtures.ensure_corpus("smoke")
     out = str(tmp_path / "out")
