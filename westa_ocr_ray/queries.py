@@ -666,6 +666,48 @@ def q_extract_summary(sf_dir: str) -> rd.Dataset:
          "errors": ("sum", "errors"), "master_hits": ("sum", "master_hits")})
 
 
+def ingest_flat_documents(sf_dir: str) -> rd.Dataset:
+    """End-to-end: ingest the driver's FLAT documents table into the
+    engine's interleaved input schema (how a reference user would bring
+    their corpus over), run the full extraction pipeline, and flatten
+    back — giving the extraction pipeline itself a SQL oracle
+    (text-kind extraction ≡ whitespace normalization)."""
+    from .schema import SPAN_STRUCT
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_interleaved(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        texts = t.column("text")
+        n = t.num_rows
+        structs = pa.StructArray.from_arrays(
+            [pa.array(["text"] * n), texts.combine_chunks()
+             if isinstance(texts, pa.ChunkedArray) else texts,
+             pa.array([""] * n), pa.array(np.zeros(n, dtype=np.int32))],
+            names=["kind", "text", "media_ref", "offset"])
+        spans = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)), structs)
+        doc_ids = pa.compute.cast(t.column("doc_id"), pa.string())
+        return pa.table({"doc_id": doc_ids, "spans": spans})
+
+    inter = docs.map_batches(to_interleaved, batch_format="pyarrow")
+    res = extract_dataset(inter, ExtractConfig(num_parts=16))
+
+    def flatten(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pa.compute.list_parent_indices(spans)
+        f = pa.compute.list_flatten(spans)
+        return pa.table({
+            "doc_id": pa.compute.take(t.column("doc_id"), parent),
+            "extracted_text": f.field("text"),
+        })
+
+    return res.map_batches(flatten, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- multimodal
 
 def q_mm_featurize(sf_dir: str) -> rd.Dataset:
@@ -723,6 +765,7 @@ QUERIES = {
     "tokens_by_lang": q_tokens_by_lang,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "ingest_flat_documents": ingest_flat_documents,
     "extract_pipeline": q_extract_pipeline,
     "extract_flat": q_extract_flat,
     "extract_summary": q_extract_summary,
@@ -882,6 +925,11 @@ ORACLE_SQL = {
                CAST(LEN(list_filter(string_split(text, ' '),
                                     x -> x IN {_STOP_SQL})) AS BIGINT) AS n_stopwords
         FROM documents""",
+    "ingest_flat_documents": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               regexp_replace(trim(text), '\\s+', ' ', 'g') AS extracted_text
+        FROM documents
+        WHERE length(regexp_replace(trim(text), '\\s+', ' ', 'g')) > 0""",
     "tokens_by_lang": """
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
