@@ -532,6 +532,25 @@ def q_dedup_minhash_keep(sf_dir: str) -> rd.Dataset:
     return kept.select_columns(["doc_id"])
 
 
+def q_clean_corpus(sf_dir: str) -> rd.Dataset:
+    """Quality filter + exact-dedup first-wins survivors (SQL-checkable
+    half of the cleaning chain)."""
+    from .pipelines.clean import clean_corpus
+
+    kept = clean_corpus(rp(sf_dir, "documents", ["doc_id", "text"]))
+    return kept.select_columns(["doc_id"])
+
+
+def q_clean_corpus_fuzzy(sf_dir: str) -> rd.Dataset:
+    """Full cleaning chain incl. MinHash near-dup removal (rows-only;
+    fuzzy half verified by tests/test_dedup.py on planted dups)."""
+    from .pipelines.clean import clean_corpus
+
+    kept = clean_corpus(rp(sf_dir, "documents", ["doc_id", "text"]),
+                        fuzzy=True, jaccard_threshold=0.8)
+    return kept.select_columns(["doc_id"])
+
+
 def q_dedup_embedding(sf_dir: str) -> rd.Dataset:
     return dedup.embedding_near_dup_pairs(
         rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"]), threshold=0.4)
@@ -758,6 +777,8 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram": q_dedup_ngram,
     "dedup_embedding": q_dedup_embedding,
+    "clean_corpus": q_clean_corpus,
+    "clean_corpus_fuzzy": q_clean_corpus_fuzzy,
     "embedding_centroids": embedding_centroids,
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
@@ -894,6 +915,12 @@ ORACLE_SQL = {
         SELECT md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS prefix_hash,
                CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id, COUNT(*) AS n_docs
         FROM documents GROUP BY 1""",
+    "clean_corpus": """
+        WITH q AS (
+          SELECT doc_id, text FROM documents
+          WHERE LEN(regexp_extract_all(text, '[A-Za-z0-9_]+')) >= 5
+            AND LENGTH(text) >= 30)
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM q GROUP BY md5(text)""",
     "dedup_embedding": """
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
         FROM embeddings a JOIN embeddings b
