@@ -68,7 +68,8 @@ def run_bench() -> dict:
 
     out_dir = f"/tmp/westa_bench_out/{tier}_cpus{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    nact = max(2, NUM_CPUS - max(1, NUM_CPUS // 8))  # reserve ~1/8 cores for read/IO tasks
+    frac = float(os.environ.get("GRAFT_ACTOR_FRACTION", "0.875"))
+    nact = max(2, int(NUM_CPUS * frac))  # reserve ~1/8 cores for read/IO tasks
     cfg = ExtractConfig(extract_concurrency=(nact, nact),
                         read_num_blocks=4 * NUM_CPUS)
     t0 = time.perf_counter()
@@ -163,7 +164,8 @@ def run_extract_only() -> dict:
 
     out_dir = f"/tmp/westa_bench_out/{tier}_cpus{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    nact = max(2, NUM_CPUS - max(1, NUM_CPUS // 8))  # reserve ~1/8 cores for read/IO tasks
+    frac = float(os.environ.get("GRAFT_ACTOR_FRACTION", "0.875"))
+    nact = max(2, int(NUM_CPUS * frac))  # reserve ~1/8 cores for read/IO tasks
     cfg = ExtractConfig(extract_concurrency=(nact, nact),
                         read_num_blocks=4 * NUM_CPUS)
     t0 = time.perf_counter()
