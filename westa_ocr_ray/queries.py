@@ -198,6 +198,44 @@ def m4_priority_code(sf_dir: str) -> rd.Dataset:
     return orders.map_batches(fn, batch_format="pandas")
 
 
+def m_props_json(sf_dir: str) -> rd.Dataset:
+    """JSON-in-TEXT parsing (the reference stores nested objects as JSON
+    strings, repository.py:153-157): extract props.k per event."""
+    import json as _json
+
+    ev = rp(sf_dir, "events", ["event_id", "props"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "k_val": [int(_json.loads(p).get("k", -1)) for p in df["props"]],
+        })
+
+    return ev.map_batches(fn, batch_format="pandas")
+
+
+def top_tokens_per_doc(sf_dir: str) -> rd.Dataset:
+    """Top-3 tokens per document by frequency (ties → lexicographic) —
+    per-doc TF summarization, fully inside map_batches."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        ids, toks, ranks = [], [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            counts = Counter(t for t in text.split(" ") if t)
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+            for r, (tok, _n) in enumerate(best, start=1):
+                ids.append(did)
+                toks.append(tok)
+                ranks.append(r)
+        return pd.DataFrame({"doc_id": ids, "token": toks,
+                             "rk": np.array(ranks, dtype=np.int64)})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
 def part_brand_stats(sf_dir: str) -> rd.Dataset:
     parts = rp(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
 
@@ -761,6 +799,8 @@ QUERIES = {
     "events_daily": events_daily,
     "m8_mask_props": m8_mask_props,
     "part_brand_stats": part_brand_stats,
+    "m_props_json": m_props_json,
+    "top_tokens_per_doc": top_tokens_per_doc,
     "asof_last_order_before_event": asof_last_order_before_event,
     "range_join_balance_band": range_join_balance_band,
     "q3_mktsegment_revenue": q3_mktsegment_revenue,
@@ -867,6 +907,22 @@ ORACLE_SQL = {
         SELECT event_type,
                CAST(median(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE) AS median_cents
         FROM events GROUP BY event_type""",
+    "m_props_json": """
+        SELECT event_id,
+               CAST(COALESCE(json_extract(props, '$.k'), -1) AS BIGINT) AS k_val
+        FROM events""",
+    "top_tokens_per_doc": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        counted AS (
+          SELECT doc_id, token, COUNT(*) AS n FROM toks
+          WHERE token <> '' GROUP BY doc_id, token),
+        ranked AS (
+          SELECT doc_id, token,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY n DESC, token) AS rk
+          FROM counted)
+        SELECT doc_id, token, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 3""",
     "part_brand_stats": """
         SELECT p_brand, COUNT(*) AS n_parts,
                CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size,
