@@ -1,0 +1,33 @@
+"""Storage-seam tests: parquet fallback round-trip and text-lines
+ingestion into the interleaved schema."""
+
+from westa_ocr_ray import storage
+from westa_ocr_ray.config import ExtractConfig
+from westa_ocr_ray.pipelines.extract import extract_dataset
+
+
+def test_roundtrip_documents(tmp_path):
+    from westa_ocr_ray import fixtures
+
+    src = fixtures.ensure_corpus("smoke")
+    ds = storage.read_table(src)
+    out = str(tmp_path / "copy")
+    storage.write_table(ds, out)
+    back = storage.read_table(out)
+    assert back.count() == ds.count()
+    assert set(back.schema().names) == {"doc_id", "spans"}
+
+
+def test_read_text_lines_as_documents(tmp_path):
+    p = tmp_path / "docs.txt"
+    p.write_text("hello   world\nsecond  doc here\nhello   world\n")
+    docs = storage.read_text_lines_as_documents(str(p))
+    rows = docs.take_all()
+    assert len(rows) == 3
+    assert all(r["doc_id"].startswith("line_") for r in rows)
+    # identical lines get identical ids → first-wins dedup collapses them
+    cfg = ExtractConfig(num_parts=2, extract_concurrency=(1, 1))
+    res = sorted(extract_dataset(docs, cfg).take_all(), key=lambda r: r["doc_id"])
+    assert len(res) == 2  # duplicate line deduped
+    texts = sorted(s["text"] for r in res for s in r["spans"])
+    assert texts == ["hello world", "second doc here"]  # normalized

@@ -37,3 +37,35 @@ def write_table(ds: rd.Dataset, path: str, **kwargs) -> None:
         ds.write_lance(path, **kwargs)
         return
     ds.write_parquet(path, **kwargs)
+
+
+def read_text_lines_as_documents(path: str, id_prefix: str = "line") -> rd.Dataset:
+    """Ingest plain text (one document per line, `ray.data.read_text`)
+    into the engine's interleaved documents schema — deterministic doc
+    ids derive from the line content hash, so the ingest is stable
+    across block splits and reruns."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    lines = rd.read_text(path)
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = t.num_rows
+        ids = pa.array(
+            [f"{id_prefix}_{hashlib.md5(s.encode()).hexdigest()[:16]}"
+             for s in texts.to_pylist()], type=pa.string())
+        structs = pa.StructArray.from_arrays(
+            [pa.array(["text"] * n), texts, pa.array([""] * n),
+             pa.array(np.zeros(n, dtype=np.int32))],
+            names=["kind", "text", "media_ref", "offset"])
+        spans = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)), structs)
+        return pa.table({"doc_id": ids, "spans": spans})
+
+    return lines.map_batches(to_docs, batch_format="pyarrow")
