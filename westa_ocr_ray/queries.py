@@ -647,6 +647,48 @@ def q_sim_ann_lsh(sf_dir: str) -> pd.DataFrame:
 
 # ------------------------------------------------------- text analysis
 
+def stratified_sample_by_lang(sf_dir: str, per_lang: int = 20) -> rd.Dataset:
+    """Deterministic stratified sampling: first N docs per language by
+    content-hash order — reproducible on any cluster shape (the scalable
+    alternative to seeded random sampling)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "lang"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "lang"]].copy()
+        df["__h"] = [dedup.md5_hex(str(i)) for i in df["doc_id"]]
+        return df
+
+    def take_n(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__h", "doc_id"], ignore_index=True).head(per_lang)
+        return df[["doc_id", "lang"]]
+
+    return (docs.map_batches(tag, batch_format="pandas")
+            .groupby("lang").map_groups(take_n, batch_format="pandas"))
+
+
+def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-wide top-k token bigrams: per-batch Counter partials →
+    bucketed merge → tiny driver-side top-k (ties → lexicographic)."""
+    docs = rp(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for text in df["text"]:
+            toks = [t for t in text.split(" ") if t]
+            counts.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        return pd.DataFrame({"bg": list(counts.keys()),
+                             "n": np.fromiter(counts.values(), dtype=np.int64,
+                                              count=len(counts))})
+
+    merged = partial_aggregate(docs.map_batches(partial, batch_format="pandas"),
+                               ["bg"], {"n": ("sum", "n")}).to_pandas()
+    merged = merged.sort_values(["n", "bg"], ascending=[False, True],
+                                ignore_index=True).head(k)
+    return merged[["bg", "n"]]
+
+
 def q_text_quality(sf_dir: str) -> rd.Dataset:
     return text_analysis.quality_table(rp(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -826,6 +868,8 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
+    "top_bigrams": top_bigrams,
     "text_quality": q_text_quality,
     "tokens_by_lang": q_tokens_by_lang,
     "text_langid": q_text_langid,
@@ -1006,6 +1050,26 @@ ORACLE_SQL = {
           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
         FROM scored WHERE rank <= 5""",
+    "stratified_sample_by_lang": """
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+          FROM documents)
+        SELECT doc_id, lang FROM r WHERE rk <= 20""",
+    "top_bigrams": """
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS i
+          FROM documents),
+        b AS (
+          SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i)
+                   AS bg, tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+          FROM t WHERE tok <> '')
+        SELECT bg, COUNT(*) AS n FROM b
+        WHERE nxt IS NOT NULL AND nxt <> ''
+        GROUP BY bg ORDER BY n DESC, bg LIMIT 20""",
     "text_quality": f"""
         SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_norm,
                CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_words,
