@@ -689,6 +689,71 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return merged[["bg", "n"]]
 
 
+def top_distinctive_token(sf_dir: str) -> rd.Dataset:
+    """Per-doc most distinctive token — TF-IDF shape with integer-only
+    ranking (tf desc, document-frequency asc, token asc): a global DF
+    pass broadcast into a per-doc TF pass (two-pass + broadcast join)."""
+    import ray as _ray
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            for t in set(tt for tt in text.split(" ") if tt):
+                ids.append(did)
+                toks.append(t)
+        return pd.DataFrame({"doc_id": ids, "token": toks})
+
+    df_counts = partial_aggregate(
+        docs.map_batches(doc_tokens, batch_format="pandas"),
+        ["token"], {"df": ("count", None)}).to_pandas()
+    df_ref = _ray.put(dict(zip(df_counts["token"], df_counts["df"].astype(int))))
+
+    class Pick:
+        def __init__(self) -> None:
+            self.df = _ray.get(df_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+
+            ids, toks = [], []
+            for did, text in zip(df["doc_id"], df["text"]):
+                counts = Counter(t for t in text.split(" ") if t)
+                if not counts:
+                    continue
+                best = min(counts.items(),
+                           key=lambda kv: (-kv[1], self.df.get(kv[0], 0), kv[0]))
+                ids.append(did)
+                toks.append(best[0])
+            return pd.DataFrame({"doc_id": ids, "top_token": toks})
+
+    return docs.map_batches(Pick, batch_format="pandas", concurrency=(1, 8))
+
+
+def order_priorities_concat(sf_dir: str) -> rd.Dataset:
+    """Ordered string aggregation per key (the reference's '; '.join of
+    error messages, worker.py:489): priorities concatenated in
+    (orderdate, orderkey) order per customer."""
+    orders = rp(sf_dir, "orders",
+                ["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["o_custkey"] % 32).astype("int32")
+        return df
+
+    def concat(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__b").sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], ignore_index=True)
+        g = df.groupby("o_custkey", sort=True)["o_orderpriority"].agg("|".join)
+        return pd.DataFrame({"o_custkey": g.index.to_numpy(),
+                             "priorities": g.to_numpy()})
+
+    return (orders.map_batches(tag, batch_format="pandas")
+            .groupby("__b").map_groups(concat, batch_format="pandas"))
+
+
 def q_text_quality(sf_dir: str) -> rd.Dataset:
     return text_analysis.quality_table(rp(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -869,6 +934,8 @@ QUERIES = {
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
     "stratified_sample_by_lang": stratified_sample_by_lang,
+    "top_distinctive_token": top_distinctive_token,
+    "order_priorities_concat": order_priorities_concat,
     "top_bigrams": top_bigrams,
     "text_quality": q_text_quality,
     "tokens_by_lang": q_tokens_by_lang,
@@ -1050,6 +1117,27 @@ ORACLE_SQL = {
           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
         FROM scored WHERE rank <= 5""",
+    "top_distinctive_token": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM toks
+          WHERE token <> '' GROUP BY doc_id, token),
+        dfreq AS (
+          SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+          WHERE token <> '' GROUP BY token),
+        ranked AS (
+          SELECT tf.doc_id, tf.token,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf DESC, dfreq.df ASC, tf.token)
+                   AS rk
+          FROM tf JOIN dfreq USING (token))
+        SELECT doc_id, token AS top_token FROM ranked WHERE rk = 1""",
+    "order_priorities_concat": """
+        SELECT o_custkey,
+               string_agg(o_orderpriority, '|'
+                          ORDER BY o_orderdate, o_orderkey) AS priorities
+        FROM orders GROUP BY o_custkey""",
     "stratified_sample_by_lang": """
         WITH r AS (
           SELECT doc_id, lang,
