@@ -437,6 +437,36 @@ def events_tumbling(sf_dir: str) -> rd.Dataset:
                               "sum_value_cents": ("sum", "value_cents")})
 
 
+def events_value_histogram(sf_dir: str) -> rd.Dataset:
+    """Binned histogram of event values per type (bin width 10)."""
+    ev = rp(sf_dir, "events", ["event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "bin": (np.floor(df["value"] / 10.0) * 10).astype("int64"),
+        })
+
+    return partial_aggregate(ev.map_batches(prep, batch_format="pandas"),
+                             ["event_type", "bin"], {"n": ("count", None)})
+
+
+def events_rolling_sum3(sf_dir: str) -> rd.Dataset:
+    """Per-user rolling window: sum of the last 3 events' value-cents
+    (including current), ordered by (ts, event_id) — the sliding-window
+    aggregate over the per-key ordered log."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["value"])
+        roll = (cents.groupby(df["user_id"])
+                .rolling(3, min_periods=1).sum()
+                .reset_index(drop=True).astype("int64"))
+        return pd.DataFrame({"event_id": df["event_id"], "sum3_cents": roll})
+
+    return _bucketed_by_user(ev, fn)
+
+
 def _bucketed_by_user(ev: rd.Dataset, fn, buckets: int = 32) -> rd.Dataset:
     """Partition events by user hash-bucket, apply fn per bucket with
     rows sorted by (user_id, ts, event_id) — the ordered-log contract
@@ -914,6 +944,8 @@ QUERIES = {
     "median_value_by_type": median_value_by_type,
     "approx_distinct_users": approx_distinct_users,
     "events_tumbling": events_tumbling,
+    "events_value_histogram": events_value_histogram,
+    "events_rolling_sum3": events_rolling_sum3,
     "events_prev_gap": events_prev_gap,
     "events_sessionize": events_sessionize,
     "topk_orders_per_customer": topk_orders_per_customer,
@@ -1046,6 +1078,17 @@ ORACLE_SQL = {
                COUNT(*) AS n,
                CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY event_type, window_start""",
+    "events_value_histogram": """
+        SELECT event_type,
+               CAST(floor(value / 10.0) * 10 AS BIGINT) AS bin, COUNT(*) AS n
+        FROM events GROUP BY event_type, bin""",
+    "events_rolling_sum3": """
+        SELECT event_id,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS sum3_cents
+        FROM events""",
     "events_prev_gap": """
         SELECT event_id,
                CAST(COALESCE(date_diff('microsecond',
