@@ -27,7 +27,6 @@ def entry() -> Any:
     into the same interleaved schema — one streaming pipeline over the
     union."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
     import ray.data as rd
 

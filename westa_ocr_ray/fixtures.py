@@ -20,7 +20,6 @@ import os
 import struct as _struct
 from typing import Dict, List, Optional, Tuple
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 

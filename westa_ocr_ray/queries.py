@@ -870,8 +870,6 @@ def ingest_flat_documents(sf_dir: str) -> rd.Dataset:
     their corpus over), run the full extraction pipeline, and flatten
     back — giving the extraction pipeline itself a SQL oracle
     (text-kind extraction ≡ whitespace normalization)."""
-    from .schema import SPAN_STRUCT
-
     docs = rp(sf_dir, "documents", ["doc_id", "text"])
 
     def to_interleaved(t: pa.Table) -> pa.Table:
