@@ -904,6 +904,32 @@ def ingest_flat_documents(sf_dir: str) -> rd.Dataset:
     return res.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_extract_then_clean(sf_dir: str) -> rd.Dataset:
+    """The end-to-end 100 TB story: extract the interleaved corpus, join
+    each doc's spans back into one text, then run the training-data
+    curation chain (quality filter + exact dedup) on the extracted text.
+    Composability evidence: extraction output is itself a first-class
+    input to every other operator."""
+    from .pipelines.clean import clean_corpus
+
+    res = _extracted(sf_dir)
+
+    def doc_text(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        texts = []
+        for row in spans.to_pylist():
+            texts.append("\n".join(s["text"] for s in row))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, type=pa.string())})
+
+    docs = res.map_batches(doc_text, batch_format="pyarrow")
+    kept = clean_corpus(docs, min_words=10, min_chars=50)
+    return kept.select_columns(["doc_id"])
+
+
 # ----------------------------------------------------------- multimodal
 
 def q_mm_featurize(sf_dir: str) -> rd.Dataset:
@@ -975,6 +1001,7 @@ QUERIES = {
     "extract_pipeline": q_extract_pipeline,
     "extract_flat": q_extract_flat,
     "extract_summary": q_extract_summary,
+    "extract_then_clean": q_extract_then_clean,
     "mm_featurize": q_mm_featurize,
     "mm_frame_sample": q_mm_frame_sample,
 }
