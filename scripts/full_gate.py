@@ -37,7 +37,8 @@ def check_part(path: str, seed: int, mkeys) -> dict:
                      for s in exp["spans"]]
         if got_spans != exp_spans or any(row[k] != exp[k] for k in SUMMARY_KEYS):
             mism += 1
-    return {"part": path, "docs": t.num_rows, "mismatches": mism}
+    idxs = [int(d.rsplit("_", 1)[1]) for d in t.column("doc_id").to_pylist()]
+    return {"part": path, "docs": t.num_rows, "mismatches": mism, "idxs": idxs}
 
 
 def main() -> int:
@@ -75,12 +76,29 @@ def main() -> int:
 
     docs = sum(r["docs"] for r in results)
     mism = sum(r["mismatches"] for r in results)
+
+    # Completeness: the emitted doc_id set must EQUAL the expected
+    # deduplicated corpus set — a silently dropped doc (lost partition
+    # row) is a failure even though every present row matches. Expected:
+    # row i contributes content-id k_i = i-1 if it is a duplicate copy of
+    # row i-1 else i (fixtures.gen_doc_row rule); dedup keeps one row per
+    # distinct k.
+    n = fixtures.TIERS[tier]
+    expected = {i - 1 if (i > 0 and fixtures._rand(seed, i, "dup") < 0.005)
+                else i for i in range(n)}
+    emitted = set()
+    for r in results:
+        emitted.update(r["idxs"])
+    missing = len(expected - emitted)
+    extra = len(emitted - expected)
+
     print(json.dumps({"tier": tier, "docs": docs, "mismatches": mism,
                       "match_rate_pct": round(100 * (1 - mism / max(docs, 1)), 4),
+                      "missing_docs": missing, "extra_docs": extra,
                       "extract_sec": round(extract_sec, 1),
                       "verify_sec": round(verify_sec, 1)}))
     ray.shutdown()
-    return 1 if mism else 0
+    return 1 if (mism or missing or extra) else 0
 
 
 if __name__ == "__main__":

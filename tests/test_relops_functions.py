@@ -36,6 +36,19 @@ def test_hash_join_matches_pandas_merge():
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_hash_join_string_keys():
+    left = pd.DataFrame({"tok": ["apple", "pear", "plum", "fig"],
+                         "x": [1, 2, 3, 4]})
+    right = pd.DataFrame({"t": ["pear", "fig", "fig", "kiwi"],
+                          "y": [20, 40, 41, 90]})
+    got = (relops.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                            "tok", "t", num_buckets=4)
+           .to_pandas().sort_values(["tok", "y"], ignore_index=True))
+    exp = (left.merge(right.rename(columns={"t": "tok"}), on="tok")
+               .sort_values(["tok", "y"], ignore_index=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_hash_join_left_keeps_unmatched():
     left = pd.DataFrame({"id": [1, 2], "x": ["a", "b"]})
     right = pd.DataFrame({"rid": [2], "y": [9]})

@@ -181,7 +181,7 @@ def cluster_pairs(pairs: pd.DataFrame, a_col: str = "doc_a",
     driver: valid because the pair set is post-LSH/post-verify output,
     which is bounded (≈ duplicate count, not corpus size). For a pair
     set too large for one machine, iterate min-label propagation with
-    groupby rounds instead (ray_guide.md near-dup pattern)."""
+    groupby rounds instead (SCALE.md §dedup near-dup pattern)."""
     parent: dict = {}
 
     def find(x):

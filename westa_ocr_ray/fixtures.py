@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 import os
 import struct as _struct
+import time
 from typing import Dict, List, Optional, Tuple
 
 import pyarrow as pa
@@ -336,11 +337,19 @@ def ensure_corpus(tier: str, seed: int = DEFAULT_SEED, root: str = "/tmp/westa_c
         for lo, hi, f in chunks:
             write_chunk(lo, hi, f)
     os.makedirs(os.path.dirname(d), exist_ok=True)
-    if os.path.exists(d):  # lost a race with a concurrent builder; theirs is complete or stale
+    if os.path.exists(d):
+        # Lost a race with a concurrent builder: discard our tmp dir and
+        # wait for the winner's _DONE marker — never write _DONE into a
+        # directory we didn't build (the winner may still be mid-write).
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
-    else:
-        os.rename(tmp, d)
+        for _ in range(600):
+            if os.path.exists(done):
+                return d
+            time.sleep(0.5)
+        raise TimeoutError(f"corpus dir {d} exists but its _DONE marker "
+                           "never appeared (stale partial build?)")
+    os.rename(tmp, d)
     with open(done, "w") as fh:
         fh.write(f"{n}\n")
     return d

@@ -375,7 +375,7 @@ def range_join_balance_band(sf_dir: str) -> rd.Dataset:
 def asof_last_order_before_event(sf_dir: str) -> rd.Dataset:
     """As-of join: for each event, the user's most recent order date at
     or before the event time — bucket both sides by the key, sort within
-    bucket, pd.merge_asof backward (ray_guide.md as-of pattern). Events
+    bucket, pd.merge_asof backward (SCALE.md §joins as-of pattern). Events
     with no prior order drop (inner-asof, matching DuckDB ASOF JOIN)."""
     B = 16
     ev = rp(sf_dir, "events", ["event_id", "user_id", "ts"])
@@ -420,7 +420,7 @@ def asof_last_order_before_event(sf_dir: str) -> rd.Dataset:
 def events_tumbling(sf_dir: str) -> rd.Dataset:
     """Tumbling 5-min windows per event type (the engine's event-time
     window shape: derive the window key in a map, aggregate with the
-    bucketed combiner — ray_guide.md streaming-shaped workloads)."""
+    bucketed combiner — SCALE.md §windows streaming-shaped workloads)."""
     ev = rp(sf_dir, "events", ["event_type", "ts", "value"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -1234,9 +1234,9 @@ ORACLE_SQL = {
         FROM documents""",
     "ingest_flat_documents": """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-               regexp_replace(trim(text), '\\s+', ' ', 'g') AS extracted_text
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text
         FROM documents
-        WHERE length(regexp_replace(trim(text), '\\s+', ' ', 'g')) > 0""",
+        WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0""",
     "tokens_by_lang": """
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens

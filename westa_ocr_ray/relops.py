@@ -86,7 +86,7 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
     """Partitioned hash join for two large sides: bucket both inputs by
     hash(key) % B, co-locate buckets with a single groupby shuffle, and
     merge bucket-locally. Skewed keys can be salted by raising
-    num_buckets. (ray_guide.md 'both sides large' pattern.)"""
+    num_buckets. (SCALE.md §joins 'both sides large' pattern.)"""
 
     l_cols = list(left.schema().names)
     r_cols = list(right.schema().names)
@@ -102,7 +102,11 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             if rename:
                 df = df.rename(columns=rename)
-            df["__bucket"] = (df[key].astype("int64") % num_buckets).astype("int32")
+            # hash_pandas_object handles any key dtype (strings included)
+            # and both sides bucket with the same function, so buckets
+            # co-locate; integer keys keep working unchanged.
+            df["__bucket"] = (pd.util.hash_pandas_object(df[key], index=False)
+                              .to_numpy() % num_buckets).astype("int32")
             df["__side"] = np.int8(side)
             for c in all_cols:
                 if c not in df.columns:

@@ -1,6 +1,6 @@
 """Mergeable sketches for approximate aggregates at scale.
 
-The scale shape (ray_guide.md): one serialized sketch per batch emitted
+The scale shape (SCALE.md §sketches): one serialized sketch per batch emitted
 from map_batches, merged in a tiny second stage — the all-to-all moves
 registers, never rows. The reference has no sketches (SURVEY.md §2.5);
 this is part of the training-data toolkit.
@@ -34,9 +34,16 @@ class HyperLogLog:
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         w = h & np.uint64((1 << (64 - self.p)) - 1)
         # rank = leading-zero count of the low 64-p bits + 1
-        #      = (64-p) - bit_length(w) + 1 ; frexp is exact below 2^53
-        _, exp = np.frexp(w.astype(np.float64))
-        rank = np.where(w == 0, 64 - self.p + 1, (64 - self.p) - exp + 1).astype(np.uint8)
+        #      = (64-p) - bit_length(w) + 1. bit_length is computed
+        # integer-exactly by splitting w into 32-bit halves (each half
+        # fits a float64 mantissa, so frexp's exponent IS bit_length —
+        # no rounding near powers of two even at small p).
+        hi = (w >> np.uint64(32)).astype(np.float64)
+        lo = (w & np.uint64(0xFFFFFFFF)).astype(np.float64)
+        _, ehi = np.frexp(hi)
+        _, elo = np.frexp(lo)
+        bl = np.where(hi > 0, ehi + 32, elo)  # exact bit_length(w)
+        rank = ((64 - self.p) - bl + 1).astype(np.uint8)
         np.maximum.at(self.registers, idx, rank)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":

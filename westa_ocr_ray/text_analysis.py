@@ -26,11 +26,16 @@ def quality_table(ds: rd.Dataset, id_col: str = "doc_id",
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].str.findall(_WORD_RE)
+        # n_stopwords counts whitespace-split tokens (NOT regex words) so
+        # the Python and SQL-oracle tokenizations agree even when a
+        # stopword abuts punctuation ("the," is not a stopword on either
+        # side).
+        ws_toks = df[text_col].str.split(" ")
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(),
             "n_chars_norm": df[text_col].str.len().astype(np.int64),
             "n_words": toks.map(len).astype(np.int64),
-            "n_stopwords": toks.map(
+            "n_stopwords": ws_toks.map(
                 lambda ws: sum(1 for w in ws if w in STOPWORDS)).astype(np.int64),
         })
 
