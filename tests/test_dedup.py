@@ -33,7 +33,8 @@ def test_exact_dedup_first_wins():
 
 
 def test_minhash_lsh_finds_planted_near_dups():
-    pairs = dedup.minhash_lsh_pairs(_docs_with_near_dups(), jaccard_threshold=0.5)
+    pairs = dedup.minhash_lsh_pairs(_docs_with_near_dups(),
+                                    jaccard_threshold=0.5).to_pandas()
     found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     assert (1, 2) in found          # exact dup → jaccard 100
     assert (1, 5) in found or (2, 5) in found   # appended-tokens near dup
@@ -86,6 +87,24 @@ def test_ngram_jaccard_pairs_blocked():
     found = {(a, b) for a, b in zip(out["doc_a"], out["doc_b"])}
     assert (1, 2) in found
     assert not any(4 in p for p in found)
+
+
+def test_dropped_pair_counter_on_pathological_bucket():
+    # 250 identical docs blow past the 200-doc bucket cap: the counter
+    # must report the skipped slots instead of truncating silently.
+    n = 250
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["same exact content for every single doc here"] * n,
+    }))
+    pairs, stats = dedup.ngram_jaccard_pairs(ds, with_stats=True)
+    per_block = n * (n - 1) // 2 - 200 * 199 // 2
+    assert stats["dropped_candidate_pairs"] == per_block
+    assert pairs.count() == 200 * 199 // 2
+
+    _, mh_stats = dedup.minhash_lsh_pairs(ds, with_stats=True)
+    # identical docs share every band: 16 bands × one capped bucket each
+    assert mh_stats["dropped_candidate_pairs"] == 16 * per_block
 
 
 def test_cluster_pairs_transitive():

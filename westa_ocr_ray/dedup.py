@@ -1,32 +1,41 @@
 """Deduplication operators over a (id, text) document table.
 
 All Ray-Data-first: vectorized per-batch signature computation, shuffles
-only on small derived keys (hashes / band buckets), never on raw text
-except where the verify step genuinely needs it.
+only on small derived keys (hashes / band buckets), and a fully
+distributed verify — candidate pairs stay a Dataset, texts are joined on
+via the partitioned hash join, and exact Jaccard is computed inside
+map_batches. Nothing corpus-sized or pair-set-sized ever lands on the
+driver.
 
 - exact: content-hash groupby, first-wins (reference idempotency
   semantics, app/main.py:157-188 / repository.py:256-262).
 - minhash_lsh: shingle → minhash → banded LSH buckets → candidate pairs
-  → exact-Jaccard verification.
-- simhash: 64-bit token-weight fingerprint per doc.
+  → distributed exact-Jaccard verification.
+- simhash: 64-bit token-weight fingerprint per doc (md5-based so a SQL
+  oracle can recompute it bit-for-bit).
 - ngram_jaccard: blocked pairwise n-gram Jaccard.
 - embedding near-dup: cosine over an embedding column (see similarity.py
   for the search variant).
+
+Buckets past the pathological-size cap report how many candidate slots
+they dropped (``with_stats=True``) — truncation is counted, never
+silent.
 """
 
 from __future__ import annotations
 
 import hashlib
 import zlib
-from typing import List
+from typing import List, Sequence
 
 import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from .relops import partial_aggregate, semi_anti_filter
+from .relops import hash_join, partial_aggregate, semi_anti_filter
 
 _MERSENNE = (1 << 61) - 1
+_BUCKET_CAP = 200  # max docs inspected pairwise per LSH bucket / block
 
 
 def _crc(s: str) -> int:
@@ -35,6 +44,92 @@ def _crc(s: str) -> int:
 
 def md5_hex(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _capped_dropped_pairs(bucketed: rd.Dataset, keys: Sequence[str],
+                          cap: int = _BUCKET_CAP) -> int:
+    """Total candidate-pair slots dropped by the per-bucket cap: for each
+    bucket of n docs, C(n,2) - C(min(n,cap),2). Only bucket SIZES shuffle
+    (partial-aggregated counts); the driver receives one integer. The
+    same real pair dropped from several buckets counts once per bucket —
+    an upper bound on distinct lost pairs."""
+    sizes = partial_aggregate(bucketed, list(keys), {"n": ("count", None)})
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.int64)
+        kept = np.minimum(n, cap)
+        dropped = n * (n - 1) // 2 - kept * (kept - 1) // 2
+        return pd.DataFrame({"dropped": [int(dropped.sum())]})
+
+    parts = sizes.map_batches(f, batch_format="pandas").to_pandas()
+    return int(parts["dropped"].sum()) if len(parts) else 0
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def _within_bucket_pairs(rows: rd.Dataset, bucket_keys: Sequence[str],
+                         id_col: str, payload_cols: Sequence[str] = (),
+                         coarse: int = 64, cap: int = _BUCKET_CAP) -> rd.Dataset:
+    """All within-bucket id pairs (doc_a < doc_b, cap per bucket), with
+    optional per-side payload columns carried as ``<col>_a``/``<col>_b``.
+
+    One shuffle on a COARSE hash of the bucket key; buckets are expanded
+    to pairs with numpy inside the partition. (Ray's per-group
+    map_groups dispatch costs ~0.5 ms/bucket and almost every LSH bucket
+    is a singleton — grouping by the raw bucket key turns candidate
+    generation into pure dispatch overhead at 10^3+ buckets.)"""
+    bucket_keys = list(bucket_keys)
+    payload_cols = list(payload_cols)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = np.zeros(len(df), dtype=np.uint64)
+        for k in bucket_keys:
+            h = h * np.uint64(1000003) + (
+                pd.util.hash_pandas_object(df[k], index=False)
+                .to_numpy().astype(np.uint64))
+        df["__cb"] = (h % np.uint64(coarse)).astype("int32")
+        return df
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop_duplicates(bucket_keys + [id_col])
+                .sort_values(bucket_keys + [id_col], ignore_index=True))
+        sizes = df.groupby(bucket_keys, sort=False)[id_col].transform("size")
+        multi = df[sizes >= 2]
+        a_parts, b_parts = [], []
+        pay = {c: ([], []) for c in payload_cols}
+        # only buckets with ≥2 docs reach the python loop — the rare case
+        for _, g in multi.groupby(bucket_keys, sort=False):
+            ids = g[id_col].to_numpy()[:cap]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            a_parts.append(ids[iu])
+            b_parts.append(ids[ju])
+            for c in payload_cols:
+                v = g[c].to_numpy()[:cap]
+                pay[c][0].append(v[iu])
+                pay[c][1].append(v[ju])
+        if not a_parts:
+            out = {"doc_a": pd.Series([], dtype=df[id_col].dtype),
+                   "doc_b": pd.Series([], dtype=df[id_col].dtype)}
+            for c in payload_cols:
+                out[c + "_a"] = pd.Series([], dtype=df[c].dtype)
+                out[c + "_b"] = pd.Series([], dtype=df[c].dtype)
+            return pd.DataFrame(out)
+        out = {"doc_a": np.concatenate(a_parts), "doc_b": np.concatenate(b_parts)}
+        for c in payload_cols:
+            out[c + "_a"] = np.concatenate(pay[c][0])
+            out[c + "_b"] = np.concatenate(pay[c][1])
+        return pd.DataFrame(out)
+
+    return (rows.map_batches(tag, batch_format="pandas")
+            .groupby("__cb").map_groups(expand, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------- exact
@@ -79,45 +174,65 @@ def prefix_dedup_groups(ds: rd.Dataset, id_col: str = "doc_id",
 
 class MinHasher:
     """Stateful signature stage: permutation parameters are derived once
-    per actor (deterministic from seed), applied vectorized per batch."""
+    per actor (deterministic from seed); the whole batch is hashed and
+    permuted as ONE numpy computation — shingles for every doc in the
+    batch are hashed in a single vectorized call and per-doc minima come
+    from np.minimum.reduceat over the doc boundaries (no per-shingle
+    Python loop)."""
+
+    _BAND_MIX = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mixing multiplier
 
     def __init__(self, num_perm: int = 64, shingle: int = 3, seed: int = 42,
                  bands: int = 16, id_col: str = "doc_id", text_col: str = "text") -> None:
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
         self.num_perm, self.shingle, self.bands = num_perm, shingle, bands
         self.rows_per_band = num_perm // bands
         self.id_col, self.text_col = id_col, text_col
 
-    def signature(self, text: str) -> np.ndarray:
+    def _shingles(self, text: str) -> set:
         toks = text.split(" ")
-        sh = {" ".join(toks[i:i + self.shingle])
-              for i in range(max(1, len(toks) - self.shingle + 1))}
-        h = np.fromiter((_crc(s) for s in sh), dtype=np.uint64, count=len(sh))
-        # (perm, shingle) permuted hashes → min per permutation. uint64
-        # wraparound in a*h+b is part of the mixing (deterministic
-        # everywhere); the Mersenne mod keeps values in hash range.
-        a = self.a.astype(np.uint64)
-        b = self.b.astype(np.uint64)
-        vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-        return vals.min(axis=1)
+        return {" ".join(toks[i:i + self.shingle])
+                for i in range(max(1, len(toks) - self.shingle + 1))}
+
+    def _signatures(self, texts: Sequence[str]) -> np.ndarray:
+        """(num_perm, n_docs) signature matrix for a batch of texts."""
+        all_sh: List[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            sh = self._shingles(text)
+            all_sh.extend(sh)
+            counts[i] = len(sh)
+        # one vectorized 64-bit hash over every shingle in the batch
+        h = pd.util.hash_array(np.asarray(all_sh, dtype=object)).astype(np.uint64)
+        # (perm, shingle) permuted hashes; uint64 wraparound in a*h+b is
+        # part of the mixing, the Mersenne mod keeps values in hash range
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        return np.minimum.reduceat(vals, offsets, axis=1)
+
+    def signature(self, text: str) -> np.ndarray:
+        return self._signatures([text])[:, 0]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         """Emit one row per (doc, band): the LSH explode."""
-        ids: List[object] = []
-        band_ids: List[int] = []
-        band_hashes: List[int] = []
-        for doc_id, text in zip(df[self.id_col], df[self.text_col]):
-            sig = self.signature(text)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                ids.append(doc_id)
-                band_ids.append(b)
-                band_hashes.append(_crc(",".join(map(str, chunk))))
-        return pd.DataFrame({self.id_col: ids,
-                             "band_id": np.array(band_ids, dtype=np.int32),
-                             "band_hash": np.array(band_hashes, dtype=np.int64)})
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({self.id_col: df[self.id_col],
+                                 "band_id": pd.Series([], dtype=np.int32),
+                                 "band_hash": pd.Series([], dtype=np.int64)})
+        sigs = self._signatures(list(df[self.text_col]))  # (P, n)
+        rows = sigs.reshape(self.bands, self.rows_per_band, n)
+        bh = np.zeros((self.bands, n), dtype=np.uint64)
+        for r in range(self.rows_per_band):  # rows_per_band is tiny (~4)
+            bh = bh * self._BAND_MIX + rows[:, r, :]
+        return pd.DataFrame({
+            self.id_col: np.repeat(df[self.id_col].to_numpy(), self.bands),
+            "band_id": np.tile(np.arange(self.bands, dtype=np.int32), n),
+            "band_hash": bh.T.reshape(-1).view(np.int64),
+        })
 
 
 def _jaccard(a: str, b: str, shingle: int) -> float:
@@ -130,48 +245,62 @@ def _jaccard(a: str, b: str, shingle: int) -> float:
 
 def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, shingle: int = 3,
-                      seed: int = 42, jaccard_threshold: float = 0.5) -> pd.DataFrame:
-    """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verify.
+                      seed: int = 42, jaccard_threshold: float = 0.5,
+                      with_stats: bool = False):
+    """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verify —
+    every stage distributed:
 
-    shingle→minhash→band→bucket-groupby candidates; the candidate set is
-    assumed small relative to the corpus (it is, for any sane threshold)
-    and is verified driver-side against the candidate docs' texts.
-    Returns (doc_a, doc_b, jaccard_pct:int32), doc_a < doc_b.
-    """
+      shingle→minhash→band (vectorized map_batches) → bucket-groupby
+      candidate pairs → pair dedup across bands (partial_aggregate) →
+      texts hash-joined onto each pair side → Jaccard inside map_batches.
+
+    The candidate PAIR SET never materializes on the driver (at 100 TB
+    with a few-percent dup rate it is itself huge); only the final
+    verified pairs stream out. Returns a Dataset (doc_a, doc_b,
+    jaccard_pct:int32), doc_a < doc_b. ``with_stats=True`` additionally
+    returns {"dropped_candidate_pairs": N} counting pair slots the
+    per-bucket pathological cap skipped."""
     bands_ds = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle=shingle, seed=seed,
                                    bands=bands, id_col=id_col, text_col=text_col),
-        batch_format="pandas", concurrency=(1, 8))
+        batch_format="pandas", batch_size=1024, concurrency=(1, 8))
+    if with_stats:
+        bands_ds = bands_ds.materialize()  # reused by the size counter
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        vals = sorted(df[id_col].unique().tolist())[:200]  # cap pathological buckets
-        if len(vals) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(df[id_col].dtype)
-        pa_, pb_ = [], []
-        for i in range(len(vals)):
-            for j in range(i + 1, len(vals)):
-                pa_.append(vals[i])
-                pb_.append(vals[j])
-        return pd.DataFrame({"doc_a": pa_, "doc_b": pb_})
+    cand = _within_bucket_pairs(bands_ds, ["band_id", "band_hash"], id_col)
+    # the same pair surfaces from every band it shares: distributed dedup
+    pairs = partial_aggregate(cand, ["doc_a", "doc_b"],
+                              {"n_bands": ("count", None)})
 
-    cand = (bands_ds.groupby(["band_id", "band_hash"])
-            .map_groups(bucket_pairs, batch_format="pandas"))
-    pairs = cand.to_pandas().drop_duplicates(ignore_index=True)
-    if pairs.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard_pct": pd.Series([], dtype="int32")})
+    # distributed verify: join each side's text on, Jaccard per batch
+    # (explicit column hints keep the lazy upstream from re-executing
+    # on schema probes)
+    texts = ds.select_columns([id_col, text_col])
+    wa = hash_join(pairs, texts, "doc_a", id_col,
+                   left_cols=["doc_a", "doc_b", "n_bands"],
+                   right_cols=[id_col, text_col])
+    wb = hash_join(wa, texts, "doc_b", id_col,
+                   left_cols=["doc_a", "doc_b", "n_bands", text_col],
+                   right_cols=[id_col, text_col])
+    ta, tb = text_col, text_col + "_r"
+    thr = int(jaccard_threshold * 100)
 
-    need = set(pairs["doc_a"]) | set(pairs["doc_b"])
-    texts_df = semi_anti_filter(ds.select_columns([id_col, text_col]), id_col, need
-                                ).to_pandas()
-    texts = dict(zip(texts_df[id_col], texts_df[text_col]))
-    jac = [int(round(100 * _jaccard(texts[a], texts[b], shingle)))
-           for a, b in zip(pairs["doc_a"], pairs["doc_b"])]
-    pairs["jaccard_pct"] = np.array(jac, dtype=np.int32)
-    out = pairs[pairs["jaccard_pct"] >= int(jaccard_threshold * 100)]
-    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.fromiter(
+            (int(round(100 * _jaccard(a, b, shingle)))
+             for a, b in zip(df[ta], df[tb])),
+            dtype=np.int32, count=len(df))
+        out = pd.DataFrame({"doc_a": df["doc_a"].to_numpy(),
+                            "doc_b": df["doc_b"].to_numpy(),
+                            "jaccard_pct": jac})
+        return out[out["jaccard_pct"] >= thr]
+
+    verified = wb.map_batches(verify, batch_format="pandas")
+    if with_stats:
+        dropped = _capped_dropped_pairs(bands_ds, ["band_id", "band_hash"])
+        return verified, {"dropped_candidate_pairs": dropped}
+    return verified
 
 
 def cluster_pairs(pairs: pd.DataFrame, a_col: str = "doc_a",
@@ -180,8 +309,8 @@ def cluster_pairs(pairs: pd.DataFrame, a_col: str = "doc_a",
     (doc_id, cluster_id = min reachable doc_id). Union-find on the
     driver: valid because the pair set is post-LSH/post-verify output,
     which is bounded (≈ duplicate count, not corpus size). For a pair
-    set too large for one machine, iterate min-label propagation with
-    groupby rounds instead (SCALE.md §dedup near-dup pattern)."""
+    set too large for one machine, use
+    connected_components_distributed (SCALE.md §dedup)."""
     parent: dict = {}
 
     def find(x):
@@ -263,15 +392,17 @@ def connected_components_distributed(edges: rd.Dataset, a_col: str = "doc_a",
 
 def dedup_by_minhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                      jaccard_threshold: float = 0.5, **kwargs) -> rd.Dataset:
-    """End-to-end fuzzy dedup: MinHash+LSH candidate pairs → verified
-    Jaccard → connected components → drop every non-minimum member of
-    each cluster (first-wins) via a broadcast anti-join. Returns the
-    deduplicated dataset (all columns)."""
+    """End-to-end fuzzy dedup: MinHash+LSH candidate pairs → distributed
+    Jaccard verify → distributed connected components → drop every
+    non-minimum member of each cluster (first-wins) via a broadcast
+    anti-join (the drop set is bounded by the duplicate count). Returns
+    the deduplicated dataset (all columns)."""
     pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col,
-                              jaccard_threshold=jaccard_threshold, **kwargs)
-    if pairs.empty:
+                              jaccard_threshold=jaccard_threshold,
+                              **kwargs).materialize()
+    if pairs.count() == 0:
         return ds
-    clusters = cluster_pairs(pairs)
+    clusters = connected_components_distributed(pairs)
     drop = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"])
     return semi_anti_filter(ds, id_col, drop, anti=True)
 
@@ -280,26 +411,49 @@ def dedup_by_minhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "te
 
 
 class SimHasher:
+    """64-bit SimHash, batch-vectorized: tokens for the whole batch are
+    deduplicated (np.unique), each UNIQUE token is md5-hashed once, the
+    per-token ±1 bit matrix is gathered through the inverse index and
+    summed per doc with np.add.reduceat. md5 (not a faster hash) is kept
+    deliberately so a DuckDB oracle can recompute the signature
+    bit-for-bit (queries.ORACLE_SQL['dedup_simhash'])."""
+
     def __init__(self, id_col: str = "doc_id", text_col: str = "text") -> None:
         self.id_col, self.text_col = id_col, text_col
 
+    @staticmethod
+    def _token_signs(unique_toks: np.ndarray) -> np.ndarray:
+        """(U, 64) matrix of ±1: bit i of md5(token)[:8] (big-endian)."""
+        raw = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8]
+                       for t in unique_toks)
+        digests = np.frombuffer(raw, dtype=">u8").astype(np.uint64)
+        bits = ((digests[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        return (2 * bits.astype(np.int64) - 1)
+
+    def _batch(self, texts: Sequence[str]) -> np.ndarray:
+        if len(texts) == 0:
+            return np.empty(0, dtype=np.int64)
+        toks_per = [t.split(" ") for t in texts]
+        counts = np.fromiter((len(t) for t in toks_per), dtype=np.int64,
+                             count=len(toks_per))
+        flat = np.asarray([tok for toks in toks_per for tok in toks], dtype=object)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        signs = self._token_signs(uniq)          # (U, 64)
+        contrib = signs[inv]                     # (T, 64)
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        acc = np.add.reduceat(contrib, offsets, axis=0)  # (n, 64)
+        packed = ((acc > 0).astype(np.uint64)
+                  << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        return packed.view(np.int64)             # two's-complement int64
+
     def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.split(" "):
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-            acc += 2 * bits - 1
-        val = 0
-        for i in range(64):
-            if acc[i] > 0:
-                val |= 1 << i
-        return val - (1 << 64) if val >= (1 << 63) else val  # signed int64
+        return int(self._batch([text])[0])
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             self.id_col: df[self.id_col].to_numpy(),
-            "simhash": np.array([self.simhash(t) for t in df[self.text_col]],
-                                dtype=np.int64),
+            "simhash": self._batch(list(df[self.text_col])),
         })
 
 
@@ -307,15 +461,17 @@ def simhash_table(ds: rd.Dataset, id_col: str = "doc_id",
                   text_col: str = "text") -> rd.Dataset:
     return ds.map_batches(SimHasher,
                           fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
-                          batch_format="pandas", concurrency=(1, 8))
+                          batch_format="pandas", batch_size=1024,
+                          concurrency=(1, 8))
 
 
 def simhash_near_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
-                       max_hamming: int = 3) -> rd.Dataset:
+                       max_hamming: int = 3, with_stats: bool = False):
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into four
     16-bit keys (any pair within hamming ≤ 3 of each other shares at
     least one band exactly — pigeonhole), bucket-groupby candidates,
-    verify hamming. Returns (doc_a, doc_b, hamming:int32)."""
+    verify hamming. Returns (doc_a, doc_b, hamming:int32);
+    ``with_stats=True`` adds the dropped-candidate counter."""
     sigs = simhash_table(ds, id_col=id_col, text_col=text_col)
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
@@ -330,61 +486,66 @@ def simhash_near_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "
             }))
         return pd.concat(out, ignore_index=True)
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, ignore_index=True)
-        a_, b_, ham_ = [], [], []
-        n = min(len(df), 200)  # cap pathological buckets; log via lineage at scale
-        for i in range(n):
-            for j in range(i + 1, n):
-                if df[id_col][i] == df[id_col][j]:
-                    continue
-                ham = bin((int(df["simhash"][i]) ^ int(df["simhash"][j]))
-                          & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming:
-                    a_.append(df[id_col][i])
-                    b_.append(df[id_col][j])
-                    ham_.append(ham)
-        return pd.DataFrame({"doc_a": a_, "doc_b": b_,
-                             "hamming": np.array(ham_, dtype=np.int32)})
+    exploded = sigs.map_batches(explode_bands, batch_format="pandas")
+    if with_stats:
+        exploded = exploded.materialize()
 
-    pairs = (sigs.map_batches(explode_bands, batch_format="pandas")
-             .groupby(["band_id", "band_val"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    cand = _within_bucket_pairs(exploded, ["band_id", "band_val"], id_col,
+                                payload_cols=["simhash"])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ham = _popcount64(df["simhash_a"].to_numpy().astype(np.uint64)
+                          ^ df["simhash_b"].to_numpy().astype(np.uint64))
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": df["doc_a"].to_numpy()[keep],
+                             "doc_b": df["doc_b"].to_numpy()[keep],
+                             "hamming": ham[keep].astype(np.int32)})
+
+    pairs = cand.map_batches(verify, batch_format="pandas")
     # the same pair surfaces from every band it shares: global dedup
-    return partial_aggregate(pairs, ["doc_a", "doc_b"],
-                             {"hamming": ("min", "hamming")})
+    out = partial_aggregate(pairs, ["doc_a", "doc_b"],
+                            {"hamming": ("min", "hamming")})
+    if with_stats:
+        dropped = _capped_dropped_pairs(exploded, ["band_id", "band_val"])
+        return out, {"dropped_candidate_pairs": dropped}
+    return out
 
 
 def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                         block_tokens: int = 2, shingle: int = 3,
-                        threshold_pct: int = 50) -> rd.Dataset:
+                        threshold_pct: int = 50, with_stats: bool = False):
     """Blocked pairwise n-gram Jaccard: docs sharing a leading-token
     block are compared exhaustively within the block (groupby shuffle on
-    the block key only; assumes blocks are small — log a dropped-pairs
-    count if a block exceeds the cap rather than blowing up)."""
-    CAP = 200
+    the block key only). Blocks past the pathological cap are truncated;
+    ``with_stats=True`` returns the dropped-pair counter alongside."""
 
     def add_block(df: pd.DataFrame) -> pd.DataFrame:
         df = df[[id_col, text_col]].copy()
         df["block"] = [md5_hex(" ".join(t.split(" ")[:block_tokens])) for t in df[text_col]]
         return df
 
-    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, ignore_index=True)
-        n = min(len(df), CAP)
-        a_, b_, j_ = [], [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                pct = int(round(100 * _jaccard(df[text_col][i], df[text_col][j], shingle)))
-                if pct >= threshold_pct:
-                    a_.append(df[id_col][i])
-                    b_.append(df[id_col][j])
-                    j_.append(pct)
-        return pd.DataFrame({"doc_a": a_, "doc_b": b_,
-                             "jaccard_pct": np.array(j_, dtype=np.int32)})
+    blocked = ds.map_batches(add_block, batch_format="pandas")
+    if with_stats:
+        blocked = blocked.materialize()
 
-    return (ds.map_batches(add_block, batch_format="pandas")
-            .groupby("block").map_groups(block_pairs, batch_format="pandas"))
+    cand = _within_bucket_pairs(blocked, ["block"], id_col,
+                                payload_cols=[text_col])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        pct = np.fromiter(
+            (int(round(100 * _jaccard(a, b, shingle)))
+             for a, b in zip(df[text_col + "_a"], df[text_col + "_b"])),
+            dtype=np.int32, count=len(df))
+        keep = pct >= threshold_pct
+        return pd.DataFrame({"doc_a": df["doc_a"].to_numpy()[keep],
+                             "doc_b": df["doc_b"].to_numpy()[keep],
+                             "jaccard_pct": pct[keep]})
+
+    pairs = cand.map_batches(verify, batch_format="pandas")
+    if with_stats:
+        dropped = _capped_dropped_pairs(blocked, ["block"])
+        return pairs, {"dropped_candidate_pairs": dropped}
+    return pairs
 
 
 # -------------------------------------------------- embedding near-dup

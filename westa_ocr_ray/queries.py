@@ -579,7 +579,7 @@ def q_dedup_prefix(sf_dir: str) -> rd.Dataset:
                                      n_tokens=4)
 
 
-def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
+def q_dedup_minhash(sf_dir: str) -> rd.Dataset:
     return dedup.minhash_lsh_pairs(rp(sf_dir, "documents", ["doc_id", "text"]),
                                    jaccard_threshold=0.5)
 

@@ -82,14 +82,21 @@ def broadcast_join(ds: rd.Dataset, small: pd.DataFrame, on: Sequence[str] | str,
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
               num_buckets: int = 32, how: str = "inner",
-              suffix: str = "_r") -> rd.Dataset:
+              suffix: str = "_r",
+              left_cols: Optional[Sequence[str]] = None,
+              right_cols: Optional[Sequence[str]] = None) -> rd.Dataset:
     """Partitioned hash join for two large sides: bucket both inputs by
     hash(key) % B, co-locate buckets with a single groupby shuffle, and
     merge bucket-locally. Skewed keys can be salted by raising
-    num_buckets. (SCALE.md §joins 'both sides large' pattern.)"""
+    num_buckets. (SCALE.md §joins 'both sides large' pattern.)
 
-    l_cols = list(left.schema().names)
-    r_cols = list(right.schema().names)
+    Pass ``left_cols``/``right_cols`` when the input is a lazy pipeline:
+    ``Dataset.schema()`` EXECUTES the upstream plan to infer names (an
+    all-to-all upstream can't early-stop at limit 1), so chained joins
+    without the hints run their inputs once per probe."""
+
+    l_cols = list(left_cols) if left_cols is not None else list(left.schema().names)
+    r_cols = list(right_cols) if right_cols is not None else list(right.schema().names)
     # rename right side: key → left key name, collisions → suffix
     r_rename = {right_on: left_on}
     for c in r_cols:
@@ -102,10 +109,14 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             if rename:
                 df = df.rename(columns=rename)
-            # hash_pandas_object handles any key dtype (strings included)
-            # and both sides bucket with the same function, so buckets
-            # co-locate; integer keys keep working unchanged.
-            df["__bucket"] = (pd.util.hash_pandas_object(df[key], index=False)
+            # hash the key's STRING form: works for any dtype (strings
+            # included) and — crucially — gives identical buckets when
+            # the same key arrives as int64 on one side and object on
+            # the other (chained joins fill missing columns with None,
+            # which upcasts carried key columns to object). Float keys
+            # are not supported ("1" vs "1.0").
+            df["__bucket"] = (pd.util.hash_pandas_object(df[key].astype(str),
+                                                         index=False)
                               .to_numpy() % num_buckets).astype("int32")
             df["__side"] = np.int8(side)
             for c in all_cols:
