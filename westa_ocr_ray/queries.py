@@ -156,9 +156,19 @@ def o1_first_line_partkey(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(dec, batch_format="pandas")
 
 
-def o3_topk_recent_events(sf_dir: str) -> rd.Dataset:
+def o3_topk_recent_events(sf_dir: str) -> pd.DataFrame:
+    """Top-100 by recency WITHOUT a global sort: per-batch partial
+    top-k, then a tiny ≤100×num_blocks driver merge (the
+    brute_force_topk pattern — a full all-to-all sort for a top-100 is
+    pure shuffle waste)."""
     ev = rp(sf_dir, "events", ["event_id", "ts", "event_type"])
-    return ev.sort(["ts", "event_id"], descending=True).limit(100)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["ts", "event_id"], ascending=False).head(100)
+
+    small = ev.map_batches(topk, batch_format="pandas").to_pandas()
+    return (small.sort_values(["ts", "event_id"], ascending=False,
+                              ignore_index=True).head(100))
 
 
 def m1_explode_tokens(sf_dir: str) -> rd.Dataset:
@@ -698,7 +708,10 @@ def stratified_sample_by_lang(sf_dir: str, per_lang: int = 20) -> rd.Dataset:
 
 def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Corpus-wide top-k token bigrams: per-batch Counter partials →
-    bucketed merge → tiny driver-side top-k (ties → lexicographic)."""
+    bucketed merge → per-block top-k → tiny k×num_blocks driver merge
+    (ties → lexicographic). The full bigram vocabulary never reaches
+    the driver — after the bucketed merge each count is globally final,
+    so any block-local top-k upper-bounds the global one."""
     docs = rp(sf_dir, "documents", ["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -713,52 +726,62 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
                                               count=len(counts))})
 
     merged = partial_aggregate(docs.map_batches(partial, batch_format="pandas"),
-                               ["bg"], {"n": ("sum", "n")}).to_pandas()
-    merged = merged.sort_values(["n", "bg"], ascending=[False, True],
-                                ignore_index=True).head(k)
-    return merged[["bg", "n"]]
+                               ["bg"], {"n": ("sum", "n")})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "bg"], ascending=[False, True]).head(k)
+
+    small = merged.map_batches(topk, batch_format="pandas").to_pandas()
+    return (small.sort_values(["n", "bg"], ascending=[False, True],
+                              ignore_index=True).head(k)[["bg", "n"]])
 
 
 def top_distinctive_token(sf_dir: str) -> rd.Dataset:
     """Per-doc most distinctive token — TF-IDF shape with integer-only
-    ranking (tf desc, document-frequency asc, token asc): a global DF
-    pass broadcast into a per-doc TF pass (two-pass + broadcast join)."""
-    import ray as _ray
-
+    ranking (tf desc, document-frequency asc, token asc), fully
+    distributed: the (doc, token, tf) table hash-joins the token→DF
+    table ON TOKEN (at web scale the vocabulary is billions of tokens —
+    neither side is broadcast or pulled to the driver), then a bucketed
+    per-doc argmin picks the winner. The TF pass runs twice (once to
+    derive DF, once into the join) — recompute beats holding the
+    corpus-sized token table in memory."""
     docs = rp(sf_dir, "documents", ["doc_id", "text"])
 
-    def doc_tokens(df: pd.DataFrame) -> pd.DataFrame:
-        ids, toks = [], []
+    def doc_tf(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        ids, toks, tfs = [], [], []
         for did, text in zip(df["doc_id"], df["text"]):
-            for t in set(tt for tt in text.split(" ") if tt):
-                ids.append(did)
-                toks.append(t)
-        return pd.DataFrame({"doc_id": ids, "token": toks})
+            c = Counter(t for t in text.split(" ") if t)
+            ids.extend([did] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        return pd.DataFrame({"doc_id": ids, "token": toks,
+                             "tf": np.array(tfs, dtype=np.int64)})
 
-    df_counts = partial_aggregate(
-        docs.map_batches(doc_tokens, batch_format="pandas"),
-        ["token"], {"df": ("count", None)}).to_pandas()
-    df_ref = _ray.put(dict(zip(df_counts["token"], df_counts["df"].astype(int))))
+    tf = docs.map_batches(doc_tf, batch_format="pandas")
+    # (doc, token) rows are distinct, so DF = row count per token
+    df_t = partial_aggregate(tf, ["token"], {"df": ("count", None)})
+    joined = hash_join(tf, df_t, "token", "token",
+                       left_cols=["doc_id", "token", "tf"],
+                       right_cols=["token", "df"])
 
-    class Pick:
-        def __init__(self) -> None:
-            self.df = _ray.get(df_ref)
+    def tag(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.copy()
+        d["__b"] = (pd.util.hash_pandas_object(d["doc_id"].astype(str),
+                                               index=False).to_numpy() % 32
+                    ).astype("int32")
+        return d
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            from collections import Counter
+    def pick(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.sort_values(["doc_id", "tf", "df", "token"],
+                          ascending=[True, False, True, True])
+        best = d.drop_duplicates("doc_id", keep="first")
+        return pd.DataFrame({"doc_id": best["doc_id"].to_numpy(),
+                             "top_token": best["token"].to_numpy()})
 
-            ids, toks = [], []
-            for did, text in zip(df["doc_id"], df["text"]):
-                counts = Counter(t for t in text.split(" ") if t)
-                if not counts:
-                    continue
-                best = min(counts.items(),
-                           key=lambda kv: (-kv[1], self.df.get(kv[0], 0), kv[0]))
-                ids.append(did)
-                toks.append(best[0])
-            return pd.DataFrame({"doc_id": ids, "top_token": toks})
-
-    return docs.map_batches(Pick, batch_format="pandas", concurrency=(1, 8))
+    return (joined.map_batches(tag, batch_format="pandas")
+            .groupby("__b").map_groups(pick, batch_format="pandas"))
 
 
 def order_priorities_concat(sf_dir: str) -> rd.Dataset:
