@@ -243,6 +243,18 @@ def _jaccard(a: str, b: str, shingle: int) -> float:
     return inter / (len(sa) + len(sb) - inter) if inter else 0.0
 
 
+def _jaccard_pct(a: str, b: str, shingle: int) -> int:
+    """Integer Jaccard percent with FLOOR semantics — 100*inter // union.
+    Floor (not round) so the DuckDB oracles reproduce it exactly:
+    Python round() is half-to-even, SQL ROUND is half-away-from-zero,
+    and x.5 ties do occur (e.g. inter/union = 1/8)."""
+    ta, tb = a.split(" "), b.split(" ")
+    sa = {" ".join(ta[i:i + shingle]) for i in range(max(1, len(ta) - shingle + 1))}
+    sb = {" ".join(tb[i:i + shingle]) for i in range(max(1, len(tb) - shingle + 1))}
+    inter = len(sa & sb)
+    return (100 * inter) // (len(sa) + len(sb) - inter) if inter else 0
+
+
 def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, shingle: int = 3,
                       seed: int = 42, jaccard_threshold: float = 0.5,
@@ -288,8 +300,7 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "t
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         jac = np.fromiter(
-            (int(round(100 * _jaccard(a, b, shingle)))
-             for a, b in zip(df[ta], df[tb])),
+            (_jaccard_pct(a, b, shingle) for a, b in zip(df[ta], df[tb])),
             dtype=np.int32, count=len(df))
         out = pd.DataFrame({"doc_a": df["doc_a"].to_numpy(),
                             "doc_b": df["doc_b"].to_numpy(),
@@ -533,7 +544,7 @@ def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = 
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         pct = np.fromiter(
-            (int(round(100 * _jaccard(a, b, shingle)))
+            (_jaccard_pct(a, b, shingle)
              for a, b in zip(df[text_col + "_a"], df[text_col + "_b"])),
             dtype=np.int32, count=len(df))
         keep = pct >= threshold_pct

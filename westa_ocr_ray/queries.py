@@ -607,6 +607,32 @@ def q_dedup_ngram(sf_dir: str) -> rd.Dataset:
     return dedup.ngram_jaccard_pairs(rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_dedup_minhash_planted(sf_dir: str) -> rd.Dataset:
+    """The MinHash-LSH machinery with an EXACT oracle: plant duplicate
+    copies (doc_id+10M, same text) of every 10th doc and ask for pairs
+    at jaccard_threshold=1.0. At J=1 the signature is identical so LSH
+    recall is exactly 1 (all bands match), and floor(100*J)=100 iff the
+    shingle SETS are equal — so the pair set is deterministic and
+    SQL-expressible (group by sorted-distinct-shingle-list hash). This
+    gives the full pipeline (signatures, banding, bucket pair expansion,
+    distributed verify) a hash-checked CORRECTNESS row; the threshold<1
+    variants stay documented-approximate (LSH recall < 1)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        # arrow-in/arrow-out so the union's block types match the
+        # parquet-read side (mixed pandas/arrow unions break batching)
+        t = t.combine_chunks()
+        ids = t.column("doc_id").to_numpy()
+        sub = t.filter(pa.array(ids % 10 == 0))
+        return sub.set_column(
+            sub.schema.get_field_index("doc_id"), "doc_id",
+            pa.compute.add(sub.column("doc_id"), 10_000_000))
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return dedup.minhash_lsh_pairs(docs.union(planted), jaccard_threshold=1.0)
+
+
 def q_dedup_minhash_keep(sf_dir: str) -> rd.Dataset:
     """End-to-end fuzzy dedup: ids surviving MinHash-LSH + connected
     components first-wins removal."""
@@ -968,6 +994,75 @@ def q_mm_frame_sample(sf_dir: str) -> rd.Dataset:
 
 # ------------------------------------------------------------ registry
 
+# Shared SQL fragments ------------------------------------------------
+
+# md5-based 64-bit SimHash recomputed in SQL, bit-for-bit equal to
+# dedup.SimHasher: first 8 md5 bytes big-endian, ±1 per bit per token
+# occurrence (whitespace split, empties kept), bit set iff acc > 0,
+# two's-complement int64.
+_SIMHASH_CORE_SQL = """
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok),1,16)) AS UBIGINT) AS h
+      FROM toks),
+    bits AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM h CROSS JOIN (SELECT unnest(range(64)) AS i) idx
+      GROUP BY doc_id, i),
+    u AS (
+      SELECT doc_id,
+             SUM(CASE WHEN acc > 0
+                 THEN CAST(CAST(1 AS UBIGINT) << i AS HUGEINT) ELSE 0 END) AS uval
+      FROM bits GROUP BY doc_id),
+    simhashes AS (
+      SELECT doc_id,
+             CAST(CASE WHEN uval >= 9223372036854775808
+                  THEN uval - 18446744073709551616::HUGEINT
+                  ELSE uval END AS BIGINT) AS simhash
+      FROM u)"""
+
+# 3-token shingle list per doc (1-based inclusive DuckDB slices mirror
+# python's toks[i:i+3] incl. the short-tail case for <3-token docs),
+# plus the leading-2-token block key.
+_SHINGLES_CORE_SQL = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+    sh AS (SELECT doc_id, array_to_string(toks[1:2], ' ') AS block,
+           list_distinct(list_transform(
+               range(1, greatest(2, len(toks)-1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+           FROM t)"""
+
+
+def _langid_oracle_sql() -> str:
+    """Profile-overlap argmax in SQL, generated from the SAME profile
+    table the engine uses (text_analysis._LANG_PROFILES) so the two can
+    never drift. Tie semantics: first language in sorted order achieving
+    the (strictly positive) max; otherwise 'unknown'."""
+    profs = sorted(text_analysis._LANG_PROFILES.items())
+    langs = [lang for lang, _ in profs]
+    overlaps = ",\n               ".join(
+        "len(list_intersect(words, [{}])) AS o_{}".format(
+            ", ".join(repr(w) for w in sorted(prof)), lang)
+        for lang, prof in profs)
+    mx = "greatest(" + ", ".join(f"o_{l}" for l in langs) + ")"
+    cases = " ".join(f"WHEN o_{l} = {mx} THEN '{l}'" for l in langs)
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                     x -> lower(x))) AS words
+          FROM documents),
+        o AS (SELECT doc_id,
+               {overlaps}
+              FROM w)
+        SELECT doc_id,
+               CASE WHEN {mx} = 0 THEN 'unknown' {cases} END AS pred_lang
+        FROM o"""
+
+
 QUERIES = {
     "g1_lineitem_agg": g1_lineitem_agg,
     "g3_count_orders": g3_count_orders,
@@ -1002,6 +1097,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_planted": q_dedup_minhash_planted,
     "dedup_minhash_keep": q_dedup_minhash_keep,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1177,6 +1273,40 @@ ORACLE_SQL = {
         SELECT md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS prefix_hash,
                CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id, COUNT(*) AS n_docs
         FROM documents GROUP BY 1""",
+    "dedup_simhash": f"""
+        WITH {_SIMHASH_CORE_SQL}
+        SELECT doc_id, simhash FROM simhashes""",
+    "dedup_simhash_pairs": f"""
+        WITH {_SIMHASH_CORE_SQL}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "dedup_ngram": f"""
+        WITH {_SHINGLES_CORE_SQL.format(src='documents')},
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.shingles, b.shingles)) AS inter,
+                 len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles)) AS un
+          FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST((100 * inter) // un AS INTEGER) AS jaccard_pct
+        FROM p WHERE inter > 0 AND (100 * inter) // un >= 50""",
+    "dedup_minhash_planted": f"""
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000 AS doc_id, text FROM documents
+          WHERE doc_id % 10 = 0),
+        {_SHINGLES_CORE_SQL.format(src='d')},
+        keyed AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(shingles), chr(31))) AS shash
+          FROM sh)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(100 AS INTEGER) AS jaccard_pct
+        FROM keyed a JOIN keyed b ON a.shash = b.shash AND a.doc_id < b.doc_id""",
+    "text_langid": _langid_oracle_sql(),
     "clean_corpus": """
         WITH q AS (
           SELECT doc_id, text FROM documents
