@@ -114,3 +114,42 @@ def test_missing_file_ref_records_error():
 def test_media_store_deterministic():
     ref = "media://image/doc_42_00000003/1"
     assert fixtures.media_store(ref) == fixtures.media_store(ref)
+
+
+# --------------------------- structured detail-row parse (M2 twin)
+
+def test_parse_detail_pages_full_semantics():
+    from westa_ocr_ray.extractors import parse_detail_pages
+
+    text = (
+        "--- PAGE 1 ---\n"
+        "[customer]acme \n[order_date]d5\n[order_no]po9\n[details]\n"
+        "a,b,c,d,e,f,g,h,i,j,k,l,m,n,o\n"
+        " 1 , 2 ,3,4,5,6,7,8,9,10,11,12,13,14,15,extra\n"
+        "too,short,row\n"
+        "\n"
+        "--- PAGE 2 ---\nTHIS PAGE IS NOT AN ORDER.\n"
+        "--- PAGE 3 ---\n   \n"          # blank: filtered before parsing
+        "--- PAGE 4 ---\nno markers at all here\n"  # no header/rows: dropped
+    )
+    pages = parse_detail_pages(text)
+    assert len(pages) == 2
+    p1, p2 = pages
+    assert p1["page_idx"] == 1 and not p1["is_non_order"]
+    assert p1["h_customer"] == "acme"            # trimmed
+    assert p1["h_order_date"] == "d5" and p1["h_order_no"] == "po9"
+    rows = p1["detail_rows"]
+    assert len(rows) == 2                        # short row dropped
+    assert rows[0]["slip_no"] == "a" and rows[0]["order_note"] == "o"
+    assert rows[1]["slip_no"] == "1"             # per-column trim
+    assert rows[1]["order_note"] == "15"         # 16th column ignored
+    assert p2 == {"page_idx": 2, "is_non_order": True}
+
+
+def test_parse_detail_pages_header_only_and_empty():
+    from westa_ocr_ray.extractors import parse_detail_pages
+
+    kept = parse_detail_pages("--- PAGE 1 ---\n[customer]c1\n[details]\n")
+    assert kept[0]["detail_rows"] == [] and kept[0]["h_customer"] == "c1"
+    assert parse_detail_pages("") == []
+    assert parse_detail_pages("--- PAGE 1 ---\n[details]\nshort,row\n") == []

@@ -198,3 +198,69 @@ def extract_unit(kind: str, text: str, payload: Optional[bytes]) -> Tuple[str, b
         raise MediaFormatError(f"unknown kind: {kind}")
     except MediaFormatError as exc:
         return "", False, f"extract failed: {exc}"
+
+
+# -------------------------------------- structured detail-row parse (M2)
+
+# Mirrors the reference's parseMultiPageDataFromLLM
+# (docs/google_apps_script_reference.md:346-407) with ASCII marker
+# analogs: page-block split on the numbered delimiter (:349), non-order
+# sentinel page (:355-359), lazy header regexes up to newline / next
+# bracket / end (:362-364, helper :416-419 trims and defaults to ""),
+# detail block = everything after the details marker (:366-372),
+# comma rows trimmed per column with the <15-column drop (:373-396),
+# and the keep-page rule header-or-rows (:401-403).
+
+import re as _re
+
+PAGE_DELIM_RE = _re.compile(r"--- PAGE \d+ ---")
+NON_ORDER_SENTINEL = "THIS PAGE IS NOT AN ORDER."
+_HDR_RES = {
+    "h_customer": _re.compile(r"\[customer\](.*?)(?:\n|\[|$)"),
+    "h_order_date": _re.compile(r"\[order_date\](.*?)(?:\n|\[|$)"),
+    "h_order_no": _re.compile(r"\[order_no\](.*?)(?:\n|\[|$)"),
+}
+_DETAIL_RE = _re.compile(r"\[details\]([\s\S]*)")
+
+DETAIL_FIELDS = [
+    "slip_no", "delivery_loc", "customer_name", "cust_order_no",
+    "order_date_f", "ship_date", "due_date", "cust_item_code",
+    "item_code", "item_name", "qty", "unit", "unit_price",
+    "delivery_note", "order_note",
+]
+
+
+def _extract_hdr(block: str, pat) -> str:
+    m = pat.search(block)
+    return m.group(1).strip() if m and m.group(1) else ""
+
+
+def parse_detail_pages(text: str) -> List[dict]:
+    """Structured parse of one document's multi-page LLM-response text.
+
+    Returns a list of page dicts in block order (1-based ``page_idx``
+    over the NON-blank blocks): sentinel pages as
+    ``{"is_non_order": True}``, order pages as headers + a
+    ``detail_rows`` list of 15-field dicts. Pages with neither a
+    customer header nor detail rows are dropped (reference :401-403)."""
+    blocks = [b for b in PAGE_DELIM_RE.split(text) if b.strip() != ""]
+    pages: List[dict] = []
+    for page_idx, block in enumerate(blocks, start=1):
+        if NON_ORDER_SENTINEL in block:
+            pages.append({"page_idx": page_idx, "is_non_order": True})
+            continue
+        hdrs = {k: _extract_hdr(block, p) for k, p in _HDR_RES.items()}
+        detail_rows: List[dict] = []
+        dm = _DETAIL_RE.search(block)
+        if dm:
+            for row in dm.group(1).strip().split("\n"):
+                if row.strip() == "":
+                    continue
+                cols = [c.strip() for c in row.split(",")]
+                if len(cols) >= 15:
+                    detail_rows.append(dict(zip(DETAIL_FIELDS, cols[:15])))
+                # <15 columns: row skipped (reference :394-396)
+        if hdrs["h_customer"] or detail_rows:
+            pages.append({"page_idx": page_idx, "is_non_order": False,
+                          **hdrs, "detail_rows": detail_rows})
+    return pages

@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from . import dedup, fixtures, multimodal, similarity, text_analysis
+from . import dedup, extractors, fixtures, multimodal, similarity, text_analysis
 from .config import ExtractConfig
 from .pipelines.extract import extract_dataset, read_documents
 from .relops import broadcast_join, hash_join, partial_aggregate
@@ -979,6 +979,80 @@ def q_extract_then_clean(sf_dir: str) -> rd.Dataset:
     return kept.select_columns(["doc_id"])
 
 
+# ------------------------------------------- structured detail parse M2
+
+def _build_structured_text(doc_id: int, text: str) -> str:
+    """Deterministic multi-page LLM-response analog built from a
+    documents row: an order page (headers + 15-field comma rows from
+    consecutive tokens + one malformed <15-col row), a sentinel
+    non-order page for every 3rd doc, and a blank page for every 4th —
+    so the parse exercises every branch of the reference semantics and
+    the oracle can derive the expected output from raw tokens alone."""
+    toks = text.split(" ")
+    parts = ["--- PAGE 1 ---",
+             f"[customer]cust_{doc_id % 7}",
+             f"[order_date]d{doc_id % 28}",
+             f"[order_no]po{doc_id}",
+             "[details]"]
+    n_rows = min(3, len(toks) // 15)
+    for r in range(n_rows):
+        sep = " , " if r % 2 else ","   # parser must trim per column
+        parts.append(sep.join(toks[15 * r:15 * r + 15]))
+    if len(toks) >= 5:
+        parts.append(",".join(toks[:5]))  # <15 columns: parser drops it
+    s = "\n".join(parts)
+    if doc_id % 3 == 0:
+        s += "\n--- PAGE 2 ---\n" + extractors.NON_ORDER_SENTINEL
+    if doc_id % 4 == 0:
+        s += "\n--- PAGE 3 ---\n   "      # blank block: filtered pre-parse
+    return s
+
+
+def parse_detail_rows(sf_dir: str) -> rd.Dataset:
+    """Raw multi-page text → typed flat detail rows (M2: the reference's
+    parseMultiPageDataFromLLM, docs/google_apps_script_reference.md:
+    346-407): page-block split, sentinel pages, header regexes, 15-field
+    comma rows with the <15-column drop, header-or-rows page keep.
+    One flat row per detail row; header-only pages and sentinel pages
+    emit a row_idx=-1 marker row."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    cols = (["doc_id", "page_idx", "row_idx", "is_non_order",
+             "h_customer", "h_order_date", "h_order_no"]
+            + extractors.DETAIL_FIELDS)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = {c: [] for c in cols}
+
+        def emit(did, page_idx, row_idx, non_order, hdrs, fields):
+            out["doc_id"].append(did)
+            out["page_idx"].append(page_idx)
+            out["row_idx"].append(row_idx)
+            out["is_non_order"].append(non_order)
+            for k in ("h_customer", "h_order_date", "h_order_no"):
+                out[k].append(hdrs.get(k, ""))
+            for k in extractors.DETAIL_FIELDS:
+                out[k].append(fields.get(k, ""))
+
+        for did, text in zip(df["doc_id"], df["text"]):
+            structured = _build_structured_text(int(did), text)
+            for page in extractors.parse_detail_pages(structured):
+                if page.get("is_non_order"):
+                    emit(did, page["page_idx"], -1, True, {}, {})
+                elif not page["detail_rows"]:
+                    emit(did, page["page_idx"], -1, False, page, {})
+                else:
+                    for r_idx, row in enumerate(page["detail_rows"]):
+                        emit(did, page["page_idx"], r_idx, False, page, row)
+        res = pd.DataFrame(out)
+        res["doc_id"] = res["doc_id"].astype("int64")
+        res["page_idx"] = res["page_idx"].astype("int32")
+        res["row_idx"] = res["row_idx"].astype("int32")
+        res["is_non_order"] = res["is_non_order"].astype(bool)
+        return res
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
 # ----------------------------------------------------------- multimodal
 
 def q_mm_featurize(sf_dir: str) -> rd.Dataset:
@@ -1115,6 +1189,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "tokens_by_lang": q_tokens_by_lang,
     "text_langid": q_text_langid,
+    "parse_detail_rows": parse_detail_rows,
     "text_fingerprint": q_text_fingerprint,
     "ingest_flat_documents": ingest_flat_documents,
     "extract_pipeline": q_extract_pipeline,
@@ -1307,6 +1382,39 @@ ORACLE_SQL = {
                CAST(100 AS INTEGER) AS jaccard_pct
         FROM keyed a JOIN keyed b ON a.shash = b.shash AND a.doc_id < b.doc_id""",
     "text_langid": _langid_oracle_sql(),
+    "parse_detail_rows": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        base AS (SELECT doc_id, toks,
+                        least(3, len(toks) // 15) AS n_rows FROM t),
+        details AS (
+          SELECT b.doc_id, CAST(1 AS INTEGER) AS page_idx,
+                 CAST(r.r AS INTEGER) AS row_idx, false AS is_non_order,
+                 'cust_' || (b.doc_id % 7) AS h_customer,
+                 'd' || (b.doc_id % 28) AS h_order_date,
+                 'po' || b.doc_id AS h_order_no,
+                 toks[15*r.r+1] AS slip_no, toks[15*r.r+2] AS delivery_loc,
+                 toks[15*r.r+3] AS customer_name, toks[15*r.r+4] AS cust_order_no,
+                 toks[15*r.r+5] AS order_date_f, toks[15*r.r+6] AS ship_date,
+                 toks[15*r.r+7] AS due_date, toks[15*r.r+8] AS cust_item_code,
+                 toks[15*r.r+9] AS item_code, toks[15*r.r+10] AS item_name,
+                 toks[15*r.r+11] AS qty, toks[15*r.r+12] AS unit,
+                 toks[15*r.r+13] AS unit_price, toks[15*r.r+14] AS delivery_note,
+                 toks[15*r.r+15] AS order_note
+          FROM base b CROSS JOIN (SELECT unnest(range(3)) AS r) r
+          WHERE r.r < b.n_rows),
+        headers_only AS (
+          SELECT doc_id, CAST(1 AS INTEGER), CAST(-1 AS INTEGER), false,
+                 'cust_' || (doc_id % 7), 'd' || (doc_id % 28), 'po' || doc_id,
+                 '', '', '', '', '', '', '', '', '', '', '', '', '', '', ''
+          FROM base WHERE n_rows = 0),
+        sentinels AS (
+          SELECT doc_id, CAST(2 AS INTEGER), CAST(-1 AS INTEGER), true,
+                 '', '', '',
+                 '', '', '', '', '', '', '', '', '', '', '', '', '', '', ''
+          FROM base WHERE doc_id % 3 = 0)
+        SELECT * FROM details
+        UNION ALL SELECT * FROM headers_only
+        UNION ALL SELECT * FROM sentinels""",
     "clean_corpus": """
         WITH q AS (
           SELECT doc_id, text FROM documents
