@@ -41,3 +41,8 @@ class ExtractConfig:
     # per-page PAGE_RESULT event granularity (app/worker.py:633-687)
     keep_units: bool = False
     attempt: int = 0                # bumped by resume runs (lineage)
+    # fault-injection seam (tests/test_chaos.py): when set, the FIRST
+    # extract actor to process a batch hard-kills its process (os._exit)
+    # after creating this marker file — proving Ray's task-retry
+    # boundary leaves output byte-identical. None in production.
+    chaos_crash_marker: Optional[str] = None

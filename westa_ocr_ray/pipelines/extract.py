@@ -67,7 +67,8 @@ def build_extracted_units(docs: rd.Dataset, cfg: ExtractConfig,
     masters = fixtures.master_keys(cfg.seed, cfg.pattern)
     return ds.map_batches(
         ExtractModel,
-        fn_constructor_kwargs={"masters": masters, "stage_dir": stage_dir},
+        fn_constructor_kwargs={"masters": masters, "stage_dir": stage_dir,
+                               "chaos_crash_marker": cfg.chaos_crash_marker},
         batch_format="pyarrow",
         batch_size=None if stage_dir is not None else cfg.extract_batch_size,
         concurrency=cfg.extract_concurrency,

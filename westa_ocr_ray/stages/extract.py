@@ -27,7 +27,11 @@ MODEL_VERSION = "sim-ocr-v1"  # recorded in lineage; analog of meta.model (gemin
 
 class ExtractModel:
     def __init__(self, masters: Union[Sequence[str], "object", None] = None,
-                 stage_dir: Optional[str] = None) -> None:
+                 stage_dir: Optional[str] = None,
+                 chaos_crash_marker: Optional[str] = None) -> None:
+        # fault-injection seam (ExtractConfig.chaos_crash_marker): when
+        # set, the first batch hard-kills this actor's process once.
+        self.chaos_crash_marker = chaos_crash_marker
         # accept a plain list or a ray.ObjectRef (broadcast small side, J1)
         try:
             import ray
@@ -47,6 +51,12 @@ class ExtractModel:
         self.stage_dir = stage_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.chaos_crash_marker is not None:
+            import os as _os
+            if not _os.path.exists(self.chaos_crash_marker):
+                with open(self.chaos_crash_marker, "w"):
+                    pass
+                _os._exit(1)  # hard kill: no exception path, no cleanup
         kinds = batch.column("kind").to_pylist()
         texts = batch.column("text").to_pylist()
         payloads = batch.column("payload").to_pylist()
