@@ -153,3 +153,31 @@ def test_parse_detail_pages_header_only_and_empty():
     assert kept[0]["detail_rows"] == [] and kept[0]["h_customer"] == "c1"
     assert parse_detail_pages("") == []
     assert parse_detail_pages("--- PAGE 1 ---\n[details]\nshort,row\n") == []
+
+
+def test_fast_html_tokenizer_matches_htmlparser():
+    """The regex fast path and the stdlib HTMLParser path drive the same
+    _BlockCollector; block structure must be identical on fixture htmls
+    and on html outside the fast subset (which silently falls back)."""
+    from westa_ocr_ray import fixtures
+    from westa_ocr_ray.extractors import _BlockCollector, _collect_blocks
+
+    def slow(html):
+        p = _BlockCollector()
+        p.feed(html)
+        p.close()
+        return p.blocks
+
+    checked = 0
+    for i in range(300):
+        for s in fixtures.gen_doc(42, i)["spans"]:
+            if s["kind"] == "html":
+                assert _collect_blocks(s["text"]).blocks == slow(s["text"])
+                checked += 1
+    assert checked > 50
+
+    for h in ["<p>a &amp; b</p>", "<!-- c --><p>x</p>", "<p>stray < here</p>",
+              "<a href='x>y'>t</a><p>zz</p>", "<P CLASS='x'>UP</P>",
+              "<br/><p>s</p>", "<div><p>unclosed", "plain text",
+              "<script>var x='<p>'</script><p>r</p>", "</div junk><p>a</p>"]:
+        assert _collect_blocks(h).blocks == slow(h)

@@ -85,6 +85,61 @@ class _BlockCollector(HTMLParser):
             parts.append((data, self.link_depth > 0))
 
 
+# Fast tokenizer path: well-formed tags with strictly-quoted attribute
+# values (no '>' inside values), no entities/comments/doctypes/CDATA and
+# no content-model-special elements. Anything else falls back to the
+# stdlib HTMLParser. Both paths drive the SAME _BlockCollector state
+# machine, so the block/score semantics cannot diverge — the fast path
+# only replaces the tokenizer (HTMLParser's goahead/parse_starttag
+# machinery is ~0.4 ms/doc, the single largest engine-side cost in the
+# extract hot loop).
+import re as _re2
+
+_SIMPLE_TAG_RE = _re2.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:-]+(?:=(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s<>\"']+))?)*\s*)"
+    r"(/?)>")
+_FAST_UNSAFE_RE = _re2.compile(r"&|<[!?]|<\s*(?:script|style|textarea|title)\b",
+                               _re2.I)
+
+
+def _collect_blocks(html: str) -> _BlockCollector:
+    p = _BlockCollector()
+    if _FAST_UNSAFE_RE.search(html) is None:
+        ok = True
+        pos = 0
+        for m in _SIMPLE_TAG_RE.finditer(html):
+            if m.start() > pos:
+                seg = html[pos:m.start()]
+                if "<" in seg:      # stray '<' / malformed tag: bail out
+                    ok = False
+                    break
+                p.handle_data(seg)
+            closing, tag, attrs, selfclose = m.groups()
+            if closing:
+                if attrs.strip() or selfclose:  # junk end tag: bail out
+                    ok = False
+                    break
+                p.handle_endtag(tag.lower())
+            else:
+                p.handle_starttag(tag.lower(), [])
+                if selfclose:
+                    p.handle_endtag(tag.lower())
+            pos = m.end()
+        if ok:
+            tail = html[pos:]
+            if "<" in tail:
+                ok = False
+            else:
+                p.handle_data(tail)
+        if ok:
+            return p
+        p = _BlockCollector()   # restart clean for the full parser
+    p.feed(html)
+    p.close()
+    return p
+
+
 def html_main_text(html: str) -> str:
     """DOM-tree text-density boilerplate strip.
 
@@ -93,10 +148,8 @@ def html_main_text(html: str) -> str:
     >= 25 and link density < 1/3; join kept block texts in document
     order with newlines, whitespace-normalized per block.
     """
-    p = _BlockCollector()
     try:
-        p.feed(html)
-        p.close()
+        p = _collect_blocks(html)
     except Exception:
         return normalize_ws(html)  # not parseable — degrade to raw text
     out: List[str] = []
