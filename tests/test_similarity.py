@@ -60,3 +60,25 @@ def test_lsh_buckets_deterministic():
                                                                 ignore_index=True)
     pd.testing.assert_frame_equal(b1, b2)
     assert b1["bucket"].nunique() > 1
+
+
+def test_ann_ivf_recall_vs_brute_force():
+    qids = list(range(8))
+    brute = similarity.brute_force_topk(_emb(), qids, k=5)
+    ivf = similarity.ann_topk_ivf(_emb(), qids, k=5,
+                                  n_centroids=8, n_probe=3, rounds=2)
+    hits = total = 0
+    for q in qids:
+        b = set(brute[brute["query_id"] == q]["neighbor_id"])
+        a = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+        hits += len(b & a)
+        total += len(b)
+    assert hits / total >= 0.5, hits / total
+
+
+def test_ivf_centroids_deterministic():
+    c1 = similarity.ivf_train_centroids(_emb(), n_centroids=4, rounds=2)
+    c2 = similarity.ivf_train_centroids(_emb(), n_centroids=4, rounds=2)
+    assert np.array_equal(c1, c2)
+    assert c1.shape[0] == 4
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)

@@ -717,6 +717,14 @@ def q_sim_ann_lsh(sf_dir: str) -> pd.DataFrame:
         rp(sf_dir, "embeddings", ["vec_id", "embedding"]), QUERY_VEC_IDS, k=5)
 
 
+def q_sim_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF coarse-quantized ANN (approximate; recall gated vs brute
+    force in tests/test_similarity.py — the inverted-file scale path)."""
+    return similarity.ann_topk_ivf(
+        rp(sf_dir, "embeddings", ["vec_id", "embedding"]), QUERY_VEC_IDS, k=5,
+        n_centroids=16, n_probe=4, rounds=2)
+
+
 # ------------------------------------------------------- text analysis
 
 def stratified_sample_by_lang(sf_dir: str, per_lang: int = 20) -> rd.Dataset:
@@ -853,6 +861,10 @@ def q_text_langid(sf_dir: str) -> rd.Dataset:
 
 def q_text_fingerprint(sf_dir: str) -> rd.Dataset:
     return text_analysis.fingerprint_table(rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_token_count_bpe(sf_dir: str) -> rd.Dataset:
+    return text_analysis.token_count_table(rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
 # ----------------------------------------------------- fixture corpus
@@ -1171,6 +1183,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "tokens_by_lang": q_tokens_by_lang,
+    "token_count_bpe": q_token_count_bpe,
     "top_distinctive_token": top_distinctive_token,
     "top_bigrams": top_bigrams,
     "embedding_centroids": embedding_centroids,
@@ -1217,6 +1230,7 @@ QUERIES = {
     "clean_corpus_fuzzy": q_clean_corpus_fuzzy,
     "approx_distinct_users": approx_distinct_users,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_ann_ivf": q_sim_ann_ivf,
     "mm_featurize": q_mm_featurize,
     "mm_frame_sample": q_mm_frame_sample,
 }
@@ -1523,4 +1537,11 @@ ORACLE_SQL = {
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents GROUP BY lang""",
+    "token_count_bpe": """
+        SELECT doc_id,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(LEN(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+')) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM documents""",
 }

@@ -93,6 +93,27 @@ def langid_table(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 8))
 
 
+# explicit ASCII whitespace set (not \s) so Python and DuckDB RE2 agree
+_BPE_ISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+")
+
+
+def token_count_table(ds: rd.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text") -> rd.Dataset:
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace tokens vs a
+    BPE-ish regex segmentation (letter runs | digit runs | punctuation
+    runs — the coarse shape of byte-pair pretokenizers). ASCII classes
+    only so DuckDB's RE2 and Python agree."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_ws_tokens": df[text_col].str.split(" ").map(len).astype(np.int64),
+            "n_bpe_tokens": df[text_col].str.findall(_BPE_ISH_RE).map(len).astype(np.int64),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 class Fingerprinter:
     """Rolling-hash document fingerprint: crc32 token stream → window-w
     rolling combination → fingerprint = min window hash (winnowing-style
