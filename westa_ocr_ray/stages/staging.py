@@ -30,7 +30,13 @@ def stage_write_table(t: pa.Table, stage_dir: str) -> pa.Table:
     os.makedirs(stage_dir, exist_ok=True)
     fname = f"{os.getpid()}-{uuid.uuid4().hex[:12]}.parquet"
     tmp = os.path.join(stage_dir, "." + fname)
-    writer = pq.ParquetWriter(tmp, t.schema)
+    # Stage files are transient intra-job data. Codec tradeoff
+    # (scripts/stage_codec_sweep.py): on RAM-backed local scratch the
+    # encode CPU can outweigh the IO saved; on real network/disk
+    # storage at scale, zstd wins. Default snappy; override per-run.
+    codec = os.environ.get("WESTA_STAGE_CODEC", "snappy")
+    writer = pq.ParquetWriter(tmp, t.schema,
+                              compression=None if codec == "none" else codec)
     for i in range(len(uniq)):
         writer.write_table(t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])))
     writer.close()
