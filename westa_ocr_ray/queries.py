@@ -997,6 +997,101 @@ def q_extract_then_clean(sf_dir: str) -> rd.Dataset:
     return kept.select_columns(["doc_id"])
 
 
+def lm_unigram_score(sf_dir: str) -> rd.Dataset:
+    """Unigram language-model scoring — the model-scoring shape with an
+    exact integer oracle: corpus unigram counts (distributed partial
+    aggregate) hash-join back onto the (doc, token, tf) table on
+    `token` (vocabulary-scale side never broadcast / never on the
+    driver), then per-doc sum of tf·round(1000·ln(N_total/count)) — a
+    surprisal-weighted quality signal. Integer millinats so the value
+    hash is stable."""
+    import math
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_tf(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        ids, toks, tfs = [], [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            c = Counter(t for t in text.split(" ") if t)
+            ids.extend([did] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        return pd.DataFrame({"doc_id": ids, "token": toks,
+                             "tf": np.array(tfs, dtype=np.int64)})
+
+    tf = docs.map_batches(doc_tf, batch_format="pandas")
+    counts = partial_aggregate(tf, ["token"], {"cnt": ("sum", "tf")})
+    # total corpus token count: tiny driver-side reduce over the counts
+    total = int(counts.map_batches(
+        lambda df: pd.DataFrame({"t": [int(df["cnt"].sum())]}),
+        batch_format="pandas").to_pandas()["t"].sum())
+
+    joined = hash_join(tf, counts, "token", "token",
+                       left_cols=["doc_id", "token", "tf"],
+                       right_cols=["token", "cnt"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["cnt"].to_numpy(dtype=np.float64)
+        surprisal = np.round(1000.0 * np.log(total / cnt)).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "part_mn": df["tf"].to_numpy(dtype=np.int64)
+                             * surprisal})
+
+    return partial_aggregate(joined.map_batches(score, batch_format="pandas"),
+                             ["doc_id"], {"surprisal_mn": ("sum", "part_mn")})
+
+
+def zscore_by_lang(sf_dir: str) -> rd.Dataset:
+    """Group-wise normalization: per-language z-score of document
+    length — two-pass (tiny per-group moments table broadcast into a
+    vectorized map), the standard feature-normalization shape. Output
+    scaled to integer milli-z so hashes are stable."""
+    docs = rp(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def lens(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "lang": df["lang"].to_numpy(),
+                             "n": df["text"].str.len().astype(np.int64)})
+
+    sized = docs.map_batches(lens, batch_format="pandas")
+    # n² stays int64 (doc lengths are small): integer sums are exact and
+    # order-independent, so Python and SQL derive identical doubles
+    moments = partial_aggregate(
+        sized.map_batches(
+            lambda df: df.assign(n2=df["n"].astype(np.int64) ** 2),
+            batch_format="pandas"),
+        ["lang"], {"s1": ("sum", "n"), "s2": ("sum", "n2"),
+                   "cnt": ("count", None)}).to_pandas()
+    import math
+
+    moments["mean"] = moments["s1"] / moments["cnt"]
+    # population variance, same expression tree as the SQL oracle:
+    # every op (div, mul, sub, sqrt) is IEEE-754 correctly rounded, so
+    # identical inputs give bit-identical doubles on both sides
+    moments["var"] = moments["s2"] / moments["cnt"] - moments["mean"] ** 2
+    stats_by_lang = {r["lang"]: (r["mean"],
+                                 math.sqrt(r["var"]) if r["var"] > 0 else 0.0)
+                     for _, r in moments.iterrows()}
+    import ray as _ray
+    ref = _ray.put(stats_by_lang)
+
+    class Z:
+        def __init__(self) -> None:
+            self.stats = _ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mean = df["lang"].map(lambda l: self.stats[l][0]).to_numpy()
+            std = df["lang"].map(lambda l: self.stats[l][1]).to_numpy()
+            z = np.where(std > 0, (df["n"].to_numpy() - mean) / std, 0.0)
+            # FLOOR (not round): no .5-tie semantics to disagree on
+            return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                                 "z_milli": np.floor(z * 1000).astype(np.int64)})
+
+    return sized.map_batches(Z, batch_format="pandas", concurrency=(1, 4))
+
+
 # ------------------------------------------- structured detail parse M2
 
 def _build_structured_text(doc_id: int, text: str) -> str:
@@ -1184,6 +1279,8 @@ QUERIES = {
     "text_langid": q_text_langid,
     "tokens_by_lang": q_tokens_by_lang,
     "token_count_bpe": q_token_count_bpe,
+    "lm_unigram_score": lm_unigram_score,
+    "zscore_by_lang": zscore_by_lang,
     "top_distinctive_token": top_distinctive_token,
     "top_bigrams": top_bigrams,
     "embedding_centroids": embedding_centroids,
@@ -1544,4 +1641,33 @@ ORACLE_SQL = {
                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+')) AS BIGINT)
                  AS n_bpe_tokens
         FROM documents""",
+    "lm_unigram_score": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM toks
+          WHERE token <> '' GROUP BY doc_id, token),
+        cnts AS (
+          SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY token),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts)
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf * CAST(ROUND(1000 * ln(CAST(tot.total AS DOUBLE)
+                        / cnts.cnt)) AS BIGINT)) AS BIGINT) AS surprisal_mn
+        FROM tf JOIN cnts USING (token) CROSS JOIN tot
+        GROUP BY tf.doc_id""",
+    "zscore_by_lang": """
+        WITH sized AS (
+          SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS n FROM documents),
+        m AS (
+          SELECT lang,
+                 CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean,
+                 CAST(SUM(n*n) AS DOUBLE) / COUNT(*)
+                   - (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+                     * (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS var
+          FROM sized GROUP BY lang)
+        SELECT s.doc_id,
+               CAST(CASE WHEN m.var > 0
+                    THEN FLOOR(1000 * (s.n - m.mean) / sqrt(m.var))
+                    ELSE 0 END AS BIGINT) AS z_milli
+        FROM sized s JOIN m USING (lang)""",
 }

@@ -30,11 +30,15 @@ def stage_write_table(t: pa.Table, stage_dir: str) -> pa.Table:
     os.makedirs(stage_dir, exist_ok=True)
     fname = f"{os.getpid()}-{uuid.uuid4().hex[:12]}.parquet"
     tmp = os.path.join(stage_dir, "." + fname)
-    # Stage files are transient intra-job data. Codec tradeoff
-    # (scripts/stage_codec_sweep.py): on RAM-backed local scratch the
-    # encode CPU can outweigh the IO saved; on real network/disk
-    # storage at scale, zstd wins. Default snappy; override per-run.
-    codec = os.environ.get("WESTA_STAGE_CODEC", "snappy")
+    # Stage files are transient intra-job data. Codec tradeoff, measured
+    # (scripts/stage_codec_sweep.py, 597k docs @32cpu): none 32.6 s,
+    # snappy 34.4 s, zstd 37.9 s — on RAM-backed scratch the encode CPU
+    # outweighs the IO saved, while on real network/disk storage at
+    # scale zstd wins. Auto: uncompressed on /dev/shm, snappy elsewhere;
+    # WESTA_STAGE_CODEC overrides.
+    codec = os.environ.get("WESTA_STAGE_CODEC")
+    if codec is None:
+        codec = "none" if stage_dir.startswith("/dev/shm") else "snappy"
     writer = pq.ParquetWriter(tmp, t.schema,
                               compression=None if codec == "none" else codec)
     for i in range(len(uniq)):
