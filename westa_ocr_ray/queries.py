@@ -1300,7 +1300,6 @@ QUERIES = {
     "m4_priority_code": m4_priority_code,
     "events_daily": events_daily,
     "m8_mask_props": m8_mask_props,
-    "part_brand_stats": part_brand_stats,
     "m_props_json": m_props_json,
     "top_tokens_per_doc": top_tokens_per_doc,
     "asof_last_order_before_event": asof_last_order_before_event,
@@ -1313,7 +1312,9 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "topk_orders_per_customer": topk_orders_per_customer,
     "order_priorities_concat": order_priorities_concat,
-    # trivial oracles — cheapest rows to lose to a driver budget
+    # trivial/redundant oracles — cheapest rows to lose to a driver budget
+    # (count/distinct/group-stats shapes are already proven by g1/dedup)
+    "part_brand_stats": part_brand_stats,
     "g3_count_orders": g3_count_orders,
     "distinct_event_types": distinct_event_types,
     "sample_events_hash": sample_events_hash,
