@@ -31,3 +31,33 @@ def test_read_text_lines_as_documents(tmp_path):
     assert len(res) == 2  # duplicate line deduped
     texts = sorted(s["text"] for r in res for s in r["spans"])
     assert texts == ["hello world", "second doc here"]  # normalized
+
+
+def test_read_jsonl_as_documents(tmp_path):
+    import json
+
+    from westa_ocr_ray import storage
+    from westa_ocr_ray.pipelines.extract import extract_dataset
+
+    p = tmp_path / "docs.jsonl"
+    recs = [
+        {"doc_id": "a", "text": "hello world"},
+        {"doc_id": "b", "text": "with media", "media_ref": "media://image/b/0"},
+        {"doc_id": "c", "text": "", "media_ref": "media://pdf/c/0"},
+        {"doc_id": "d", "text": "no media here"},
+    ]
+    with open(p, "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+
+    docs = storage.read_jsonl_as_documents(str(p))
+    got = {r["doc_id"]: r["spans"] for r in docs.take_all()}
+    assert set(got) == {"a", "b", "c", "d"}
+    assert [s["kind"] for s in got["b"]] == ["text", "image"]
+    assert got["b"][1]["offset"] == len("with media")
+    assert [s["kind"] for s in got["c"]] == ["pdf"]
+    assert [s["kind"] for s in got["a"]] == ["text"]
+
+    # the ingested table is a first-class input to the flagship pipeline
+    res = extract_dataset(docs).to_pandas()
+    assert set(res["doc_id"]) == {"a", "b", "c", "d"}

@@ -997,6 +997,41 @@ def q_extract_then_clean(sf_dir: str) -> rd.Dataset:
     return kept.select_columns(["doc_id"])
 
 
+def approx_quantiles_value(sf_dir: str) -> pd.DataFrame:
+    """Mergeable-histogram quantiles (p50/p95/p99 of event value per
+    type): per-batch (type, fixed-width bin) counts → bucketed merge →
+    the driver sees only the SKETCH-SIZED histogram (types × bins), not
+    rows. The estimate is the lower bound of the bin holding the
+    rank-ceil(q·n/100)-th value — deterministic, so unlike most
+    sketches it carries an exact SQL oracle. Integer rank arithmetic
+    ((q·n+99)//100) on both sides: no float ceil ties."""
+    W = 500  # bin width in cents
+    ev = rp(sf_dir, "events", ["event_type", "value"])
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["value"])
+        return pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                             "bin": cents // W})
+
+    hist = partial_aggregate(ev.map_batches(binned, batch_format="pandas"),
+                             ["event_type", "bin"],
+                             {"cnt": ("count", None)}).to_pandas()
+    out_t, out_q, out_e = [], [], []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("bin", ignore_index=True)
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        for q_pct in (50, 95, 99):
+            rank = (q_pct * n + 99) // 100
+            b = int(g["bin"][int(np.searchsorted(cum, rank))])
+            out_t.append(etype)
+            out_q.append(q_pct)
+            out_e.append(b * W)
+    return pd.DataFrame({"event_type": out_t,
+                         "q_pct": np.array(out_q, dtype=np.int32),
+                         "est_cents": np.array(out_e, dtype=np.int64)})
+
+
 def lm_unigram_score(sf_dir: str) -> rd.Dataset:
     """Unigram language-model scoring — the model-scoring shape with an
     exact integer oracle: corpus unigram counts (distributed partial
@@ -1281,6 +1316,7 @@ QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "lm_unigram_score": lm_unigram_score,
     "zscore_by_lang": zscore_by_lang,
+    "approx_quantiles_value": approx_quantiles_value,
     "top_distinctive_token": top_distinctive_token,
     "top_bigrams": top_bigrams,
     "embedding_centroids": embedding_centroids,
@@ -1656,6 +1692,26 @@ ORACLE_SQL = {
                         / cnts.cnt)) AS BIGINT)) AS BIGINT) AS surprisal_mn
         FROM tf JOIN cnts USING (token) CROSS JOIN tot
         GROUP BY tf.doc_id""",
+    "approx_quantiles_value": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(FLOOR(ROUND(value*100) / 500) AS BIGINT) AS bin,
+                 COUNT(*) AS cnt
+          FROM events GROUP BY event_type, bin),
+        n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+              FROM c GROUP BY event_type),
+        cum AS (SELECT event_type, bin,
+                       SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                         AS cum
+                FROM c),
+        ranks AS (SELECT event_type, n, unnest([50, 95, 99]) AS q_pct FROM n),
+        sel AS (SELECT r.event_type, r.q_pct, MIN(cum.bin) AS bin
+                FROM ranks r JOIN cum ON cum.event_type = r.event_type
+                  AND cum.cum >= (r.q_pct * r.n + 99) // 100
+                GROUP BY r.event_type, r.q_pct)
+        SELECT event_type, CAST(q_pct AS INTEGER) AS q_pct,
+               CAST(bin * 500 AS BIGINT) AS est_cents
+        FROM sel""",
     "zscore_by_lang": """
         WITH sized AS (
           SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS n FROM documents),

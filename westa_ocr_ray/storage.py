@@ -69,3 +69,59 @@ def read_text_lines_as_documents(path: str, id_prefix: str = "line") -> rd.Datas
         return pa.table({"doc_id": ids, "spans": spans})
 
     return lines.map_batches(to_docs, batch_format="pyarrow")
+
+
+def read_jsonl_as_documents(path: str,
+                            id_field: str = "doc_id",
+                            text_field: str = "text",
+                            media_field: str = "media_ref") -> rd.Dataset:
+    """Ingest JSONL (`ray.data.read_json`, one record per line) into the
+    interleaved documents schema — the webhook/API-payload ingestion
+    path a reference user would port. Records carry a text field and
+    optionally a media ref; each becomes a one- or two-span document
+    (text span at offset 0, media span after it)."""
+    import numpy as np
+    import pyarrow as pa
+
+    rows = rd.read_json(path)
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        names = set(t.schema.names)
+        ids = [str(v) for v in t.column(id_field).to_pylist()]
+        texts = [v if v is not None else ""
+                 for v in t.column(text_field).to_pylist()]
+        media = ([v if v is not None else ""
+                  for v in t.column(media_field).to_pylist()]
+                 if media_field in names else [""] * t.num_rows)
+
+        kinds, span_texts, refs, offsets, counts = [], [], [], [], []
+        for txt, ref in zip(texts, media):
+            k = 0
+            if txt:
+                kinds.append("text")
+                span_texts.append(txt)
+                refs.append("")
+                offsets.append(0)
+                k += 1
+            if ref:
+                kinds.append("pdf" if ref.endswith(".pdf")
+                             or "/pdf/" in ref else "image")
+                span_texts.append("")
+                refs.append(ref)
+                offsets.append(len(txt))
+                k += 1
+            counts.append(k)
+        structs = pa.StructArray.from_arrays(
+            [pa.array(kinds, type=pa.string()),
+             pa.array(span_texts, type=pa.string()),
+             pa.array(refs, type=pa.string()),
+             pa.array(np.array(offsets, dtype=np.int32))],
+            names=["kind", "text", "media_ref", "offset"])
+        bounds = np.zeros(t.num_rows + 1, dtype=np.int32)
+        np.cumsum(counts, out=bounds[1:])
+        spans = pa.ListArray.from_arrays(pa.array(bounds), structs)
+        return pa.table({"doc_id": pa.array(ids, type=pa.string()),
+                         "spans": spans})
+
+    return rows.map_batches(to_docs, batch_format="pyarrow")
