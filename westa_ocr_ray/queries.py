@@ -1346,10 +1346,11 @@ QUERIES = {
     "events_rolling_sum3": events_rolling_sum3,
     "events_prev_gap": events_prev_gap,
     "events_sessionize": events_sessionize,
-    "topk_orders_per_customer": topk_orders_per_customer,
     "order_priorities_concat": order_priorities_concat,
-    # trivial/redundant oracles — cheapest rows to lose to a driver budget
-    # (count/distinct/group-stats shapes are already proven by g1/dedup)
+    # trivial/redundant oracles — cheapest rows to lose to a driver
+    # budget (count/distinct/group-stats/top-k-per-group shapes are
+    # already proven by g1/dedup/top_tokens_per_doc)
+    "topk_orders_per_customer": topk_orders_per_customer,
     "part_brand_stats": part_brand_stats,
     "g3_count_orders": g3_count_orders,
     "distinct_event_types": distinct_event_types,
