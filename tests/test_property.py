@@ -43,3 +43,17 @@ def test_pipeline_equals_oracle_for_any_seed(seed):
         assert spans_key(g["spans"]) == spans_key(e["spans"]), g["doc_id"]
         assert g["status"] == e["status"]
         assert g["total_units"] == e["total_units"]
+
+
+@given(st.text(alphabet="<>/aptdb \"'=x&!-\n0", max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_fast_tokenizer_equivalent_or_falls_back(s):
+    """Invariant: for ANY input string the fast HTML tokenizer either
+    falls back to HTMLParser or produces the identical block structure —
+    tag-soup must never silently diverge."""
+    from westa_ocr_ray.extractors import _BlockCollector, _collect_blocks
+
+    slow = _BlockCollector()
+    slow.feed(s)
+    slow.close()
+    assert _collect_blocks(s).blocks == slow.blocks
