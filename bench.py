@@ -27,7 +27,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey",
                  "dedup_exact", "dedup_minhash", "sim_topk", "text_quality",
                  "tokens_by_lang", "events_sessionize", "topk_orders_per_customer",
-                 "embedding_centroids"]
+                 "embedding_centroids",
+                 # round-2 additions (new keys; round-1 keys unchanged)
+                 "parse_detail_rows", "lm_unigram_score"]
 
 
 def _warm_workers(ncpu: int) -> None:

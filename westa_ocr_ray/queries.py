@@ -1057,7 +1057,11 @@ def lm_unigram_score(sf_dir: str) -> rd.Dataset:
                              "tf": np.array(tfs, dtype=np.int64)})
 
     tf = docs.map_batches(doc_tf, batch_format="pandas")
-    counts = partial_aggregate(tf, ["token"], {"cnt": ("sum", "tf")})
+    # materialize the unigram table ONCE (it feeds both the total reduce
+    # and the join; lazy reuse would re-execute the whole tf pipeline
+    # per consumer). Blocks stay distributed in the object store — this
+    # is the DF table itself, never a driver pull.
+    counts = partial_aggregate(tf, ["token"], {"cnt": ("sum", "tf")}).materialize()
     # total corpus token count: tiny driver-side reduce over the counts
     total = int(counts.map_batches(
         lambda df: pd.DataFrame({"t": [int(df["cnt"].sum())]}),
