@@ -56,3 +56,26 @@ def test_frame_sample_keeps_every_nth_page():
 def test_real_decode_is_gated_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"anything")
+
+
+def test_resize_media_shrinks_and_reparses():
+    from westa_ocr_ray import fixtures, multimodal
+    from westa_ocr_ray.extractors import parse_pages
+    from westa_ocr_ray.pipelines.extract import read_documents
+
+    docs = read_documents(fixtures.ensure_corpus("smoke"))
+    media = multimodal.media_table(docs)
+    out = multimodal.resize_media(media, factor=2, max_runs=3).to_pandas()
+    ok = out[out["error"] == ""]
+    assert len(ok) > 0
+    assert (ok["resized_bytes"] <= ok["orig_bytes"]).all()
+    # resized payloads are valid media: they re-parse, with capped runs
+    # and scaled coordinates
+    row = ok.iloc[0]
+    pages = parse_pages(row["payload"])
+    assert all(len(runs) <= 3 for _f, runs in pages)
+    orig = dict(zip(out["media_ref"], out["orig_bytes"]))
+    assert row["orig_bytes"] == orig[row["media_ref"]]
+    bad = out[out["error"] != ""]
+    # corrupt payloads surface as error rows, not failures
+    assert (bad["resized_bytes"] == 0).all()

@@ -132,3 +132,59 @@ def frame_sample(media: rd.Dataset, every_n: int = 2) -> rd.Dataset:
                          "payload": pa.array(blobs, type=pa.binary())})
 
     return media.map_batches(fn, batch_format="pyarrow", batch_size=32)
+
+
+class MediaResizer:
+    """Actor-pool resize/downscale stage — the image-resize analog on
+    the synthetic page format (a real codec would decode → resize →
+    re-encode here with the same signature; see decode_image_real for
+    the gated real path). Deterministic transform: run coordinates are
+    scaled by 1/factor and each page keeps at most max_runs runs, then
+    the payload is re-serialized — output is a genuinely smaller binary
+    with the same schema, so downstream stages are exercised for real."""
+
+    def __init__(self, factor: int = 2, max_runs: int = 4) -> None:
+        self.factor, self.max_runs = factor, max_runs
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        refs, kinds, orig_b, new_b, payloads, errors = [], [], [], [], [], []
+        for ref, kind, payload in zip(t.column("media_ref").to_pylist(),
+                                      t.column("kind").to_pylist(),
+                                      t.column("payload").to_pylist()):
+            refs.append(ref)
+            kinds.append(kind)
+            orig_b.append(len(payload))
+            try:
+                pages = extractors.parse_pages(payload)
+            except extractors.MediaFormatError as exc:
+                new_b.append(0)
+                payloads.append(b"")
+                errors.append(f"decode failed: {exc}")
+                continue
+            shrunk = []
+            for flags, runs in pages:
+                kept = [(x // self.factor, y // self.factor, txt)
+                        for x, y, txt in runs[:self.max_runs]]
+                shrunk.append((flags, kept))
+            magic = payload[:4]
+            out = fixtures.serialize_pages(magic, shrunk)
+            new_b.append(len(out))
+            payloads.append(out)
+            errors.append("")
+        return pa.table({
+            "media_ref": pa.array(refs, type=pa.string()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "orig_bytes": pa.array(orig_b, type=pa.int64()),
+            "resized_bytes": pa.array(new_b, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "error": pa.array(errors, type=pa.string()),
+        })
+
+
+def resize_media(media: rd.Dataset, factor: int = 2, max_runs: int = 4,
+                 concurrency=(1, 8), batch_size: int = 32) -> rd.Dataset:
+    return media.map_batches(MediaResizer,
+                             fn_constructor_kwargs=dict(factor=factor,
+                                                        max_runs=max_runs),
+                             batch_format="pyarrow", batch_size=batch_size,
+                             concurrency=concurrency)

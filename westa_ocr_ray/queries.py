@@ -1218,6 +1218,13 @@ def q_mm_frame_sample(sf_dir: str) -> rd.Dataset:
     return sampled.select_columns(["media_ref", "kind", "page_idx"])
 
 
+def q_mm_resize(sf_dir: str) -> rd.Dataset:
+    media = multimodal.media_table(_corpus(sf_dir))
+    resized = multimodal.resize_media(media, factor=2, max_runs=4)
+    return resized.select_columns(["media_ref", "kind", "orig_bytes",
+                                   "resized_bytes"])
+
+
 # ------------------------------------------------------------ registry
 
 # Shared SQL fragments ------------------------------------------------
@@ -1372,6 +1379,7 @@ QUERIES = {
     "sim_ann_ivf": q_sim_ann_ivf,
     "mm_featurize": q_mm_featurize,
     "mm_frame_sample": q_mm_frame_sample,
+    "mm_resize": q_mm_resize,
 }
 
 _STOP_SQL = "('" + "','".join(text_analysis.STOPWORDS) + "')"
