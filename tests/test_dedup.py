@@ -154,3 +154,23 @@ def test_embedding_near_dup_pairs():
         rd.from_pandas(pd.DataFrame(rows)), threshold=0.95).to_pandas()
     pairs = {(a, b) for a, b in zip(out["vec_id_a"], out["vec_id_b"])}
     assert pairs == {(1, 2)}
+
+
+def test_connected_components_partitioned_matches_union_find():
+    # chains of length 4 plus cross-links: converges in a few pointer-
+    # jumping rounds (each Ray round costs seconds of fixed overhead at
+    # toy scale, so the test graph is chosen to converge fast; the
+    # random-graph equivalence is covered by the broadcast variant's
+    # test, which shares the propagation semantics)
+    rows = []
+    for k in range(0, 30, 3):
+        rows += [(k, k + 1), (k + 1, k + 2)]
+    rows += [(2, 15), (8, 27)]  # merge some chains transitively
+    edges = pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+    exp = dedup.cluster_pairs(edges).sort_values("doc_id", ignore_index=True)
+    got = (dedup.connected_components_partitioned(rd.from_pandas(edges),
+                                                  num_buckets=4)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "cluster_id"]].astype("int64"),
+        exp[["doc_id", "cluster_id"]].astype("int64"))

@@ -401,6 +401,98 @@ def connected_components_distributed(edges: rd.Dataset, a_col: str = "doc_a",
                          "cluster_id": labels.to_numpy()})
 
 
+def connected_components_partitioned(edges: rd.Dataset, a_col: str = "doc_a",
+                                     b_col: str = "doc_b",
+                                     max_rounds: int = 50,
+                                     num_buckets: int = 32) -> rd.Dataset:
+    """Connected components with NO broadcast side: the label table is a
+    hash-partitioned Dataset joined onto the edges each round (the
+    variant connected_components_distributed's docstring promises for
+    >10^8 dup nodes, where a broadcast label table no longer fits).
+
+    Per round: edges ⨝ labels on each endpoint (partitioned hash join),
+    per-edge min label propagated to both endpoints, PLUS a
+    pointer-jumping pass (each node also adopts its current label's own
+    label — labels ⨝ labels), min-reduced per node (bucketed partial
+    aggregate), then a distributed changed-count join decides
+    convergence. Labels only decrease, so the check is exact; pointer
+    jumping makes rounds ~log(chain length) instead of linear.
+    Everything that crosses the wire is (id, label) pairs — the driver
+    sees one integer per round. Requires NUMERIC node ids (the
+    convergence scalar is the label sum; hash string ids to int64
+    first). Returns a Dataset (doc_id, cluster_id)."""
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": pd.concat([df[a_col], df[b_col]],
+                                                 ignore_index=True)})
+
+    labels = (partial_aggregate(edges.map_batches(to_nodes, batch_format="pandas"),
+                                ["doc_id"], {"n": ("count", None)})
+              .map_batches(lambda df: pd.DataFrame({"doc_id": df["doc_id"],
+                                                    "label": df["doc_id"]}),
+                           batch_format="pandas").materialize())
+    edges = edges.select_columns([a_col, b_col]).materialize()
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        wa = hash_join(edges, labels, a_col, "doc_id",
+                       num_buckets=num_buckets,
+                       left_cols=[a_col, b_col],
+                       right_cols=["doc_id", "label"])
+        wb = hash_join(wa, labels, b_col, "doc_id",
+                       num_buckets=num_buckets,
+                       left_cols=[a_col, b_col, "label"],
+                       right_cols=["doc_id", "label"])
+
+        def propagate(df: pd.DataFrame) -> pd.DataFrame:
+            m = np.minimum(df["label"].to_numpy(), df["label_r"].to_numpy())
+            out = pd.DataFrame({
+                "doc_id": pd.concat([df[a_col], df[b_col]], ignore_index=True),
+                "label": np.concatenate([m, m]),
+            })
+            return out.groupby("doc_id", sort=False, as_index=False).min()
+
+        # min over propagated labels AND the previous label (isolated-in-
+        # this-round nodes keep theirs). The repartition before
+        # materializing is load-bearing: Ray's sort keeps the input
+        # block count and unions concatenate block lists, so without it
+        # the label table's block count grows ~3× per round and the
+        # per-round wall time explodes (measured: 3 s → 77 s by round 4).
+        upd = wb.map_batches(propagate, batch_format="pandas")
+
+        # pointer jumping: node → its label's label (labels ⨝ labels on
+        # label=doc_id); halves long propagation chains every round
+        jump = hash_join(labels, labels, "label", "doc_id",
+                         num_buckets=num_buckets,
+                         left_cols=["doc_id", "label"],
+                         right_cols=["doc_id", "label"])
+        jumped = jump.map_batches(
+            lambda df: pd.DataFrame({"doc_id": df["doc_id"],
+                                     "label": df["label_r"]}),
+            batch_format="pandas")
+
+        new_labels = (partial_aggregate(upd.union(labels).union(jumped),
+                                        ["doc_id"],
+                                        {"label": ("min", "label")})
+                      .repartition(num_buckets).materialize())
+
+        # convergence: labels only ever decrease, so an unchanged label
+        # SUM means an unchanged label table — one scalar per round
+        # instead of a distributed compare join
+        new_sum = int(new_labels.map_batches(
+            lambda df: pd.DataFrame({"s": [int(df["label"].sum())]}),
+            batch_format="pandas").to_pandas()["s"].sum())
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    return labels.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"],
+                                 "cluster_id": df["label"]}),
+        batch_format="pandas")
+
+
 def dedup_by_minhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                      jaccard_threshold: float = 0.5, **kwargs) -> rd.Dataset:
     """End-to-end fuzzy dedup: MinHash+LSH candidate pairs → distributed
