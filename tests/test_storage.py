@@ -61,3 +61,27 @@ def test_read_jsonl_as_documents(tmp_path):
     # the ingested table is a first-class input to the flagship pipeline
     res = extract_dataset(docs).to_pandas()
     assert set(res["doc_id"]) == {"a", "b", "c", "d"}
+
+
+def test_ensure_corpus_lost_race_waits_for_winner(tmp_path):
+    """A builder that loses the directory race must NOT stamp _DONE on
+    the winner's possibly mid-write directory: it waits for the
+    winner's marker and errors out if it never appears."""
+    import pytest
+
+    from westa_ocr_ray import fixtures
+
+    root = str(tmp_path)
+    d = fixtures.corpus_dir("smoke", fixtures.DEFAULT_SEED, root)
+    import os
+    os.makedirs(d)  # simulate a winner mid-write (no _DONE yet)
+    with pytest.raises(TimeoutError):
+        fixtures.ensure_corpus("smoke", root=root, n_docs=5,
+                               lost_race_wait_s=1.0)
+    assert not os.path.exists(os.path.join(d, "_DONE"))
+
+    # winner finishes → the loser returns the winner's dir
+    with open(os.path.join(d, "_DONE"), "w") as fh:
+        fh.write("5\n")
+    assert fixtures.ensure_corpus("smoke", root=root, n_docs=5,
+                                  lost_race_wait_s=1.0) == d

@@ -293,7 +293,8 @@ def corpus_dir(tier: str, seed: int = DEFAULT_SEED,
 
 
 def ensure_corpus(tier: str, seed: int = DEFAULT_SEED, root: str = "/tmp/westa_corpus",
-                  n_docs: Optional[int] = None, files: Optional[int] = None) -> str:
+                  n_docs: Optional[int] = None, files: Optional[int] = None,
+                  lost_race_wait_s: float = 300.0) -> str:
     """Write (once) the fixture corpus parquet for a tier; returns its dir.
 
     Generation is a pure function of the row index, so the file layout is
@@ -343,7 +344,7 @@ def ensure_corpus(tier: str, seed: int = DEFAULT_SEED, root: str = "/tmp/westa_c
         # directory we didn't build (the winner may still be mid-write).
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
-        for _ in range(600):
+        for _ in range(max(1, int(lost_race_wait_s / 0.5))):
             if os.path.exists(done):
                 return d
             time.sleep(0.5)
