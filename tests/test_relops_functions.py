@@ -104,3 +104,27 @@ def test_csv_quote_and_masters_csv():
             {"key": "k2", "pattern": "B", "value": "v2"}]
     csv = build_masters_csv(rows, "A")
     assert csv == 'key,value\nk1,"v,1"'
+
+
+def test_hash_join_salted_hot_key():
+    import numpy as np
+
+    # 90% of left rows share one hot key
+    left = pd.DataFrame({"k": [7] * 180 + list(range(20)),
+                         "x": np.arange(200)})
+    right = pd.DataFrame({"rk": [7, 7, 3, 12], "y": [70, 71, 30, 120]})
+    exp = (left.merge(right.rename(columns={"rk": "k"}), on="k")
+               .sort_values(["k", "x", "y"], ignore_index=True))
+    got = (relops.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                            "k", "rk", num_buckets=16,
+                            hot_keys={7}, salt=4)
+           .to_pandas().sort_values(["k", "x", "y"], ignore_index=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # left join keeps unmatched-left rows exactly once
+    gotl = (relops.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                             "k", "rk", num_buckets=16, how="left",
+                             hot_keys={7}, salt=4)
+            .to_pandas())
+    expl = left.merge(right.rename(columns={"rk": "k"}), on="k", how="left")
+    assert len(gotl) == len(expl)

@@ -84,16 +84,28 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
               num_buckets: int = 32, how: str = "inner",
               suffix: str = "_r",
               left_cols: Optional[Sequence[str]] = None,
-              right_cols: Optional[Sequence[str]] = None) -> rd.Dataset:
+              right_cols: Optional[Sequence[str]] = None,
+              hot_keys=None, salt: int = 8) -> rd.Dataset:
     """Partitioned hash join for two large sides: bucket both inputs by
     hash(key) % B, co-locate buckets with a single groupby shuffle, and
-    merge bucket-locally. Skewed keys can be salted by raising
-    num_buckets. (SCALE.md §joins 'both sides large' pattern.)
+    merge bucket-locally. (SCALE.md §joins 'both sides large' pattern.)
+
+    Skew: a hot key maps every one of its rows to ONE bucket no matter
+    how large num_buckets is. Pass the known hot keys (from a cheap
+    count pass or domain knowledge) as ``hot_keys``: left-side hot rows
+    spread deterministically over ``salt`` consecutive buckets and
+    right-side hot rows replicate into all of them, so the hot key's
+    work fans out ``salt``-wide while every pair still meets exactly
+    once. Inner/left joins only (a replicated right row would multiply
+    unmatched-right output under full/right semantics).
 
     Pass ``left_cols``/``right_cols`` when the input is a lazy pipeline:
     ``Dataset.schema()`` EXECUTES the upstream plan to infer names (an
     all-to-all upstream can't early-stop at limit 1), so chained joins
     without the hints run their inputs once per probe."""
+    if hot_keys:
+        assert how in ("inner", "left"), "salting supports inner/left joins"
+    hot = frozenset(str(k) for k in (hot_keys or ()))
 
     l_cols = list(left_cols) if left_cols is not None else list(left.schema().names)
     r_cols = list(right_cols) if right_cols is not None else list(right.schema().names)
@@ -115,9 +127,34 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
             # the other (chained joins fill missing columns with None,
             # which upcasts carried key columns to object). Float keys
             # are not supported ("1" vs "1.0").
-            df["__bucket"] = (pd.util.hash_pandas_object(df[key].astype(str),
-                                                         index=False)
-                              .to_numpy() % num_buckets).astype("int32")
+            key_str = df[key].astype(str)
+            base = pd.util.hash_pandas_object(key_str, index=False).to_numpy()
+            if hot:
+                is_hot = key_str.isin(hot).to_numpy()
+                if side == 0:
+                    # spread each hot LEFT row over `salt` buckets,
+                    # deterministically from its position within the batch
+                    offs = np.where(is_hot,
+                                    np.arange(len(df), dtype=np.uint64)
+                                    % np.uint64(salt), np.uint64(0))
+                    base = base + offs
+                elif is_hot.any():
+                    # replicate hot RIGHT rows into all `salt` buckets
+                    rep = df[is_hot]
+                    rep_base = base[is_hot]
+                    parts = [df.assign(__bucket=(base % num_buckets)
+                                       .astype("int32"))]
+                    for s in range(1, salt):
+                        parts.append(rep.assign(
+                            __bucket=((rep_base + np.uint64(s)) % num_buckets)
+                            .astype("int32")))
+                    df = pd.concat(parts, ignore_index=True)
+                    df["__side"] = np.int8(side)
+                    for c in all_cols:
+                        if c not in df.columns:
+                            df[c] = None
+                    return df[all_cols + ["__bucket", "__side"]]
+            df["__bucket"] = (base % num_buckets).astype("int32")
             df["__side"] = np.int8(side)
             for c in all_cols:
                 if c not in df.columns:
