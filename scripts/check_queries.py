@@ -76,6 +76,16 @@ def main() -> int:
                 print(f"X {name:28s} ROWCOUNT got={len(got)} exp={len(exp)}")
                 failures += 1
                 continue
+            # the driver's value hash is TYPE-sensitive: an int64 column
+            # silently upcast to object (join None-filling) passes a
+            # value-only compare locally and then fails the driver
+            dtype_bad = [c for c in exp.columns
+                         if str(got[c].dtype) != str(exp[c].dtype)]
+            if dtype_bad:
+                print(f"X {name:28s} DTYPES: " + ", ".join(
+                    f"{c}({got[c].dtype}!={exp[c].dtype})" for c in dtype_bad))
+                failures += 1
+                continue
             try:
                 pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                               check_exact=False, rtol=1e-9)

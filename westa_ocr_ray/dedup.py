@@ -305,7 +305,10 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "t
         out = pd.DataFrame({"doc_a": df["doc_a"].to_numpy(),
                             "doc_b": df["doc_b"].to_numpy(),
                             "jaccard_pct": jac})
-        return out[out["jaccard_pct"] >= thr]
+        # join None-filling upcasts id columns to object; restore the
+        # native dtype (int64 ids stay int64 — the driver's value hash
+        # is type-sensitive), string ids pass through unchanged
+        return out[out["jaccard_pct"] >= thr].infer_objects()
 
     verified = wb.map_batches(verify, batch_format="pandas")
     if with_stats:

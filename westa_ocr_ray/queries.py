@@ -817,8 +817,11 @@ def top_distinctive_token(sf_dir: str) -> rd.Dataset:
         d = d.sort_values(["doc_id", "tf", "df", "token"],
                           ascending=[True, False, True, True])
         best = d.drop_duplicates("doc_id", keep="first")
+        # restore native id dtype (join None-filling upcasts to object;
+        # the driver's value hash is type-sensitive)
         return pd.DataFrame({"doc_id": best["doc_id"].to_numpy(),
-                             "top_token": best["token"].to_numpy()})
+                             "top_token": best["token"].to_numpy()
+                             }).infer_objects()
 
     return (joined.map_batches(tag, batch_format="pandas")
             .groupby("__b").map_groups(pick, batch_format="pandas"))
@@ -1074,9 +1077,11 @@ def lm_unigram_score(sf_dir: str) -> rd.Dataset:
     def score(df: pd.DataFrame) -> pd.DataFrame:
         cnt = df["cnt"].to_numpy(dtype=np.float64)
         surprisal = np.round(1000.0 * np.log(total / cnt)).astype(np.int64)
+        # infer_objects: join None-filling upcasts doc_id to object and
+        # the driver's value hash is type-sensitive
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
                              "part_mn": df["tf"].to_numpy(dtype=np.int64)
-                             * surprisal})
+                             * surprisal}).infer_objects()
 
     return partial_aggregate(joined.map_batches(score, batch_format="pandas"),
                              ["doc_id"], {"surprisal_mn": ("sum", "part_mn")})
