@@ -85,3 +85,32 @@ def test_ensure_corpus_lost_race_waits_for_winner(tmp_path):
         fh.write("5\n")
     assert fixtures.ensure_corpus("smoke", root=root, n_docs=5,
                                   lost_race_wait_s=1.0) == d
+
+
+def test_read_csv_as_documents_and_partitioned_sink(tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import storage
+    from westa_ocr_ray.pipelines.extract import extract_dataset
+
+    p = tmp_path / "docs.csv"
+    pd.DataFrame({"doc_id": [1, 2, 3],
+                  "text": ["alpha beta", "gamma delta", "epsilon"],
+                  "lang": ["en", "en", "de"]}).to_csv(p, index=False)
+    docs = storage.read_csv_as_documents(str(p))
+    got = {r["doc_id"]: r["spans"] for r in docs.take_all()}
+    assert set(got) == {"1", "2", "3"}
+    assert got["1"][0]["kind"] == "text" and got["1"][0]["text"] == "alpha beta"
+    res = extract_dataset(docs)
+    assert res.count() == 3
+
+    out = tmp_path / "parts"
+    tbl = rd.from_pandas(pd.DataFrame({
+        "k": ["a", "a", "b"], "v": [1, 2, 3]}))
+    storage.write_partitioned(tbl, str(out), by=["k"])
+    import glob
+    dirs = sorted(d.split("/")[-1] for d in glob.glob(str(out / "k=*")))
+    assert dirs == ["k=a", "k=b"]
+    back = rd.read_parquet(str(out)).to_pandas()
+    assert sorted(back["v"]) == [1, 2, 3]

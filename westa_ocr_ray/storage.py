@@ -125,3 +125,41 @@ def read_jsonl_as_documents(path: str,
                          "spans": spans})
 
     return rows.map_batches(to_docs, batch_format="pyarrow")
+
+
+def read_csv_as_documents(path: str,
+                          id_field: str = "doc_id",
+                          text_field: str = "text") -> rd.Dataset:
+    """Ingest CSV (`ray.data.read_csv`) into the interleaved documents
+    schema — the masters-CSV-shaped ingestion path (reference
+    models.py:21-26 consumes CSV rows); each record becomes a
+    single-text-span document."""
+    import numpy as np
+    import pyarrow as pa
+
+    rows = rd.read_csv(path)
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = t.num_rows
+        ids = pa.compute.cast(t.column(id_field), pa.string())
+        texts = pa.compute.cast(t.column(text_field), pa.string())
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        structs = pa.StructArray.from_arrays(
+            [pa.array(["text"] * n), texts, pa.array([""] * n),
+             pa.array(np.zeros(n, dtype=np.int32))],
+            names=["kind", "text", "media_ref", "offset"])
+        spans = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)), structs)
+        return pa.table({"doc_id": ids, "spans": spans})
+
+    return rows.map_batches(to_docs, batch_format="pyarrow")
+
+
+def write_partitioned(ds: rd.Dataset, path: str, by: list) -> None:
+    """Partitioned parquet sink (one directory per key value, hive
+    layout via Ray's native partition_cols) — the resumable-output
+    shape the brief mandates: a failed run re-lists directories and
+    skips finished partitions; never one giant file."""
+    ds.write_parquet(path, partition_cols=list(by))
