@@ -39,3 +39,24 @@ def test_approx_distinct_on_dataset():
     assert abs(est - 1000) / 1000 < 0.05
     # deterministic
     assert est == approx_distinct(rd.from_pandas(df), "user_id", p=12)
+
+
+def test_misra_gries_heavy_hitters_guarantee():
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import sketches
+
+    # one dominant value (35%), a mid value (15%), long uniform tail
+    vals = (["hot"] * 3500 + ["warm"] * 1500
+            + [f"t{i % 500}" for i in range(5000)])
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    k = 10
+    out = sketches.heavy_hitters(ds, "v", k=k)
+    got = dict(zip(out["v"], out["min_count"]))
+    n = len(vals)
+    # every value with freq > n/k MUST be present with a lower-bound
+    # count within n/k of truth
+    for val, true in (("hot", 3500), ("warm", 1500)):
+        assert val in got
+        assert true - n / k <= got[val] <= true

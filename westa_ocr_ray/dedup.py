@@ -654,6 +654,36 @@ def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = 
     return pairs
 
 
+def shared_chunk_pairs(ds: rd.Dataset, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       chunk_tokens: int = 10) -> rd.Dataset:
+    """Substring-level duplication signal (the coarse shape of
+    suffix-array training-data dedup): docs are cut into NON-overlapping
+    ``chunk_tokens``-token chunks, chunks hash, and docs sharing ≥1
+    chunk hash pair up with the shared-chunk count. Only (id, hash)
+    rows shuffle; pair expansion reuses the coarse-bucket path.
+    Returns (doc_a, doc_b, n_shared_chunks), exact and SQL-expressible
+    (queries.ORACLE_SQL['dedup_shared_chunks'])."""
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        for did, text in zip(df[id_col], df[text_col]):
+            toks = text.split(" ")
+            seen = set()
+            for i in range(len(toks) // chunk_tokens):
+                h = md5_hex(" ".join(toks[chunk_tokens * i:chunk_tokens * (i + 1)]))
+                if h not in seen:       # distinct (doc, chunk)
+                    seen.add(h)
+                    ids.append(did)
+                    hashes.append(h)
+        return pd.DataFrame({id_col: ids, "ch": hashes})
+
+    chunks = ds.map_batches(chunk, batch_format="pandas")
+    cand = _within_bucket_pairs(chunks, ["ch"], id_col)
+    return partial_aggregate(cand, ["doc_a", "doc_b"],
+                             {"n_shared_chunks": ("count", None)})
+
+
 # -------------------------------------------------- embedding near-dup
 
 

@@ -334,6 +334,22 @@ def median_value_by_type(sf_dir: str) -> rd.Dataset:
     return ev.groupby("event_type").map_groups(fn, batch_format="pandas")
 
 
+def heavy_hitter_tokens(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy hitters over the exploded token stream — the
+    memory-bounded streaming counterpart of top_bigrams (approximate by
+    design: guarantee-gated in tests/test_sketches.py)."""
+    from . import sketches
+
+    docs = rp(sf_dir, "documents", ["text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.assign(token=df["text"].str.split(" "))[["token"]]
+        return out.explode("token", ignore_index=True).dropna()
+
+    toks = docs.map_batches(explode, batch_format="pandas")
+    return sketches.heavy_hitters(toks, "token", k=20)
+
+
 def approx_distinct_users(sf_dir: str) -> pa.Table:
     """HLL approximate distinct user count (sketches.py) — approximate,
     so no SQL oracle; tests assert the error bound vs exact."""
@@ -663,6 +679,10 @@ def q_clean_corpus_fuzzy(sf_dir: str) -> rd.Dataset:
     kept = clean_corpus(rp(sf_dir, "documents", ["doc_id", "text"]),
                         fuzzy=True, jaccard_threshold=0.8)
     return kept.select_columns(["doc_id"])
+
+
+def q_dedup_shared_chunks(sf_dir: str) -> rd.Dataset:
+    return dedup.shared_chunk_pairs(rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_dedup_embedding(sf_dir: str) -> rd.Dataset:
@@ -1323,6 +1343,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram": q_dedup_ngram,
+    "dedup_shared_chunks": q_dedup_shared_chunks,
     "dedup_embedding": q_dedup_embedding,
     "clean_corpus": q_clean_corpus,
     # text / similarity (oracle-bearing)
@@ -1380,6 +1401,7 @@ QUERIES = {
     "dedup_minhash_keep": q_dedup_minhash_keep,
     "clean_corpus_fuzzy": q_clean_corpus_fuzzy,
     "approx_distinct_users": approx_distinct_users,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_ivf": q_sim_ann_ivf,
     "mm_featurize": q_mm_featurize,
@@ -1554,6 +1576,18 @@ ORACLE_SQL = {
           FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, CAST((100 * inter) // un AS INTEGER) AS jaccard_pct
         FROM p WHERE inter > 0 AND (100 * inter) // un >= 50""",
+    "dedup_shared_chunks": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        c AS (
+          SELECT doc_id,
+                 md5(array_to_string(toks[10*i.i+1:10*i.i+10], ' ')) AS ch
+          FROM t CROSS JOIN (SELECT unnest(range(0, 1000)) AS i) i
+          WHERE 10*i.i + 10 <= len(toks)),
+        d AS (SELECT DISTINCT doc_id, ch FROM c)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared_chunks
+        FROM d a JOIN d b ON a.ch = b.ch AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b""",
     "dedup_minhash_planted": f"""
         WITH d AS (
           SELECT doc_id, text FROM documents

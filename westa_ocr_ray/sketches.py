@@ -75,3 +75,49 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> int:
         other.registers = np.frombuffer(row["registers"], dtype=np.uint8).copy()
         merged.merge(other)
     return merged.estimate()
+
+
+def misra_gries_merge(summaries, k: int):
+    """Merge Misra-Gries summaries (dicts) with capacity k-1: pairwise
+    merge = add counts, then subtract the (k)th-largest count from all
+    and drop non-positives — preserves the standard guarantee: every
+    item with true frequency > n/k survives, counts underestimate by
+    at most n/k."""
+    from collections import Counter
+
+    total: Counter = Counter()
+    for s in summaries:
+        total.update(s)
+    if len(total) < k:
+        return dict(total)
+    cut = sorted(total.values(), reverse=True)[k - 1]
+    return {key: c - cut for key, c in total.items() if c - cut > 0}
+
+
+def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20) -> pd.DataFrame:
+    """Approximate heavy hitters over a column: one (k-1)-entry
+    Misra-Gries summary per batch crosses the wire (never rows), merged
+    on the driver. Guarantee: any value with frequency > n/k appears in
+    the output; returned counts are lower bounds within n/k of truth.
+    Candidate set depends on block partitioning (the MG decrement order)
+    — approximate by design, gated by tests/test_sketches.py."""
+    from collections import Counter
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        counts = Counter(df[col])
+        if len(counts) >= k:
+            cut = sorted(counts.values(), reverse=True)[k - 1]
+            counts = Counter({key: c - cut for key, c in counts.items()
+                              if c - cut > 0})
+        import json
+        return pd.DataFrame({"summary": [json.dumps(dict(counts))]})
+
+    import json
+    parts = [json.loads(row["summary"])
+             for row in ds.map_batches(sketch, batch_format="pandas").take_all()]
+    merged = misra_gries_merge(parts, k)
+    out = pd.DataFrame({col: list(merged.keys()),
+                        "min_count": np.array(list(merged.values()),
+                                              dtype=np.int64)})
+    return out.sort_values(["min_count", col], ascending=[False, True],
+                           ignore_index=True)
