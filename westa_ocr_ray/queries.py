@@ -1380,7 +1380,6 @@ QUERIES = {
     "median_value_by_type": median_value_by_type,
     "events_tumbling": events_tumbling,
     "events_value_histogram": events_value_histogram,
-    "events_rolling_sum3": events_rolling_sum3,
     "events_prev_gap": events_prev_gap,
     "events_sessionize": events_sessionize,
     "order_priorities_concat": order_priorities_concat,
@@ -1388,6 +1387,7 @@ QUERIES = {
     # budget (count/distinct/group-stats/top-k-per-group shapes are
     # already proven by g1/dedup/top_tokens_per_doc)
     "topk_orders_per_customer": topk_orders_per_customer,
+    "events_rolling_sum3": events_rolling_sum3,
     "part_brand_stats": part_brand_stats,
     "g3_count_orders": g3_count_orders,
     "distinct_event_types": distinct_event_types,
