@@ -71,7 +71,7 @@ def run_bench() -> dict:
     frac = float(os.environ.get("GRAFT_ACTOR_FRACTION", "0.875"))
     nact = max(2, int(NUM_CPUS * frac))  # reserve ~1/8 cores for read/IO tasks
     cfg = ExtractConfig(extract_concurrency=(nact, nact),
-                        read_num_blocks=4 * NUM_CPUS)
+                        read_num_blocks=8 * NUM_CPUS)
     # best-of-N: the host shows ±40% hypervisor-steal windows
     # (BASELINE.md); one run can land anywhere in that band
     extract_runs = []
@@ -233,7 +233,7 @@ def run_extract_only() -> dict:
     frac = float(os.environ.get("GRAFT_ACTOR_FRACTION", "0.875"))
     nact = max(2, int(NUM_CPUS * frac))  # reserve ~1/8 cores for read/IO tasks
     cfg = ExtractConfig(extract_concurrency=(nact, nact),
-                        read_num_blocks=4 * NUM_CPUS)
+                        read_num_blocks=8 * NUM_CPUS)
     t0 = time.perf_counter()
     metrics = run_extract(corpus, out_dir, cfg)
     extract_sec = time.perf_counter() - t0

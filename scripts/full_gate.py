@@ -63,7 +63,7 @@ def main() -> int:
     t0 = time.perf_counter()
     nact = max(2, ncpu - max(1, ncpu // 8))
     run_extract(corpus, out, ExtractConfig(extract_concurrency=(nact, nact),
-                                           read_num_blocks=4 * ncpu))
+                                           read_num_blocks=8 * ncpu))
     extract_sec = time.perf_counter() - t0
 
     seed = fixtures.DEFAULT_SEED

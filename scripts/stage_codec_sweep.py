@@ -37,7 +37,7 @@ def main() -> int:
 
     nact = max(2, ncpu - max(1, ncpu // 8))
     cfg = ExtractConfig(extract_concurrency=(nact, nact),
-                        read_num_blocks=4 * ncpu)
+                        read_num_blocks=8 * ncpu)
     out = {}
     for codec in ("snappy", "none", "zstd"):
         best = None
