@@ -11,14 +11,19 @@ Coverage map (SURVEY.md §2 op → query):
   G1/G4 g1_lineitem_agg · G3 g3_count_orders · J1 j1_region_revenue ·
   J2 dedup_exact · J4/M11 j4_customer_order_counts · M9 m9_status_filter
   · O1 o1_first_line_partkey · O3 o3_topk_recent_events · M1
-  m1_explode_tokens · M3 m3_regex_first_word · M4 m4_priority_code · M5
-  events_daily · M8 m8_mask_props · S1-S6/A1/G1/O1 extract_* +
+  m1_explode_tokens · M2 parse_detail_rows (structured detail-row parse,
+  GAS :346-407 twin) · M3 m3_regex_first_word · M4 m4_priority_code ·
+  M5 events_daily · M8 m8_mask_props · S1-S6/A1/G1/O1 extract_* +
   ingest_flat_documents (full pipeline, SQL-checkable on the flat
   corpus; fixture oracle = tests/test_pipeline_e2e.py).
-Beyond the reference: dedup_* (+clean_corpus chains), sim_*, text_*,
-  mm_*, events windows/sessions, as-of + range + native + multi-way
-  joins, HLL sketch, grouped median, embedding centroids. Full table in
-  README.md.
+Beyond the reference: dedup_* incl. planted-oracle minhash, SQL-exact
+  simhash, chunk-level shared-substring pairs, and clean_corpus chains;
+  sim_* (brute / LSH / IVF); text_* (quality, langid, BPE-ish token
+  counts, LM surprisal scoring, z-score normalization, fingerprints);
+  sketches (HLL, histogram quantiles with exact oracle, Misra-Gries
+  heavy hitters); mm_* (featurize / frame-sample / resize plumbing);
+  events windows/sessions; as-of + range + native + multi-way + salted
+  joins; grouped median; embedding centroids. Full table in README.md.
 """
 
 from __future__ import annotations
