@@ -281,19 +281,20 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "t
         bands_ds = bands_ds.materialize()  # reused by the size counter
 
     cand = _within_bucket_pairs(bands_ds, ["band_id", "band_hash"], id_col)
-    # the same pair surfaces from every band it shares: distributed dedup
-    pairs = partial_aggregate(cand, ["doc_a", "doc_b"],
-                              {"n_bands": ("count", None)})
 
-    # distributed verify: join each side's text on, Jaccard per batch
-    # (explicit column hints keep the lazy upstream from re-executing
-    # on schema probes)
+    # distributed verify: join each side's text on, Jaccard per batch.
+    # The same pair surfaces from every band it shares; its copies all
+    # hash to the same doc_a bucket, so the first join deduplicates them
+    # IN-BUCKET (left_dedup_cols) — no separate pair-dedup shuffle.
+    # Explicit column hints keep the lazy upstream from re-executing on
+    # schema probes.
     texts = ds.select_columns([id_col, text_col])
-    wa = hash_join(pairs, texts, "doc_a", id_col,
-                   left_cols=["doc_a", "doc_b", "n_bands"],
-                   right_cols=[id_col, text_col])
+    wa = hash_join(cand, texts, "doc_a", id_col,
+                   left_cols=["doc_a", "doc_b"],
+                   right_cols=[id_col, text_col],
+                   left_dedup_cols=["doc_a", "doc_b"])
     wb = hash_join(wa, texts, "doc_b", id_col,
-                   left_cols=["doc_a", "doc_b", "n_bands", text_col],
+                   left_cols=["doc_a", "doc_b", text_col],
                    right_cols=[id_col, text_col])
     ta, tb = text_col, text_col + "_r"
     thr = int(jaccard_threshold * 100)

@@ -85,7 +85,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
               suffix: str = "_r",
               left_cols: Optional[Sequence[str]] = None,
               right_cols: Optional[Sequence[str]] = None,
-              hot_keys=None, salt: int = 8) -> rd.Dataset:
+              hot_keys=None, salt: int = 8,
+              left_dedup_cols: Optional[Sequence[str]] = None) -> rd.Dataset:
     """Partitioned hash join for two large sides: bucket both inputs by
     hash(key) % B, co-locate buckets with a single groupby shuffle, and
     merge bucket-locally. (SCALE.md §joins 'both sides large' pattern.)
@@ -102,10 +103,22 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
     Pass ``left_cols``/``right_cols`` when the input is a lazy pipeline:
     ``Dataset.schema()`` EXECUTES the upstream plan to infer names (an
     all-to-all upstream can't early-stop at limit 1), so chained joins
-    without the hints run their inputs once per probe."""
+    without the hints run their inputs once per probe.
+
+    ``left_dedup_cols``: drop duplicate left rows on these columns
+    INSIDE the join bucket — a free global dedup when the dedup key set
+    includes the join key (all copies land in one bucket), saving the
+    separate aggregate shuffle a pre-join dedup would cost. Not valid
+    together with hot-key salting (salting splits a key's rows across
+    buckets)."""
     if hot_keys:
         assert how in ("inner", "left"), "salting supports inner/left joins"
+        assert not left_dedup_cols, "left_dedup_cols requires single-bucket keys"
+    if left_dedup_cols:
+        assert left_on in left_dedup_cols, \
+            "in-bucket dedup is only global when the join key is part of it"
     hot = frozenset(str(k) for k in (hot_keys or ()))
+    dedup_cols = list(left_dedup_cols) if left_dedup_cols else None
 
     l_cols = list(left_cols) if left_cols is not None else list(left.schema().names)
     r_cols = list(right_cols) if right_cols is not None else list(right.schema().names)
@@ -171,6 +184,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         lhs = df.loc[df["__side"] == 0, keep_l]
+        if dedup_cols:
+            lhs = lhs.drop_duplicates(dedup_cols)
         rhs = df.loc[df["__side"] == 1, keep_r]
         return lhs.merge(rhs, on=left_on, how=how)
 
