@@ -5,10 +5,11 @@ bench-tier fixture corpus (resumable write path, the real workload) plus
 a set of representative queries over $GRAFT_SF_DIR. Prints ONE JSON
 line.
 
---scaling: runs the headline extraction at num_cpus=8 and num_cpus=32 in
-fresh processes on the same corpus and reports both throughputs and the
-scaling efficiency (the in-sandbox evidence for the N→4N criterion; see
-BASELINE.md measurement protocol).
+--scaling: one JSON with three tiers of evidence for the N→4N
+criterion (see BASELINE.md measurement protocol): the deconfounded
+4-vs-16-cpu matched-actor-fraction pair (headline), the raw 8-vs-32
+pair, and a no-Ray sha256 microbench quantifying the host's own
+all-core ceiling.
 """
 
 from __future__ import annotations
