@@ -174,3 +174,13 @@ def test_connected_components_partitioned_matches_union_find():
     pd.testing.assert_frame_equal(
         got[["doc_id", "cluster_id"]].astype("int64"),
         exp[["doc_id", "cluster_id"]].astype("int64"))
+
+
+def test_dedup_by_minhash_large_path_matches_small_path():
+    # force the no-driver branch (partitioned CC + join-based drop) and
+    # require identical survivors to the union-find branch
+    small = dedup.dedup_by_minhash(_docs_with_near_dups()).to_pandas()
+    large = dedup.dedup_by_minhash(_docs_with_near_dups(),
+                                   small_pairs_threshold=0).to_pandas()
+    assert sorted(large["doc_id"]) == sorted(small["doc_id"])
+    assert set(large.columns) == {"doc_id", "text"}

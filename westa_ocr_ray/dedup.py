@@ -498,20 +498,46 @@ def connected_components_partitioned(edges: rd.Dataset, a_col: str = "doc_a",
 
 
 def dedup_by_minhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
-                     jaccard_threshold: float = 0.5, **kwargs) -> rd.Dataset:
+                     jaccard_threshold: float = 0.5,
+                     small_pairs_threshold: int = 1_000_000,
+                     **kwargs) -> rd.Dataset:
     """End-to-end fuzzy dedup: MinHash+LSH candidate pairs → distributed
-    Jaccard verify → distributed connected components → drop every
-    non-minimum member of each cluster (first-wins) via a broadcast
-    anti-join (the drop set is bounded by the duplicate count). Returns
-    the deduplicated dataset (all columns)."""
+    Jaccard verify → connected components → drop every non-minimum
+    member of each cluster (first-wins). Returns the deduplicated
+    dataset (all columns).
+
+    Clustering routes by the VERIFIED pair count (already known from the
+    materialize): below ``small_pairs_threshold`` the pair set fits one
+    machine comfortably and driver union-find + a broadcast anti-join is
+    fastest; above it, the fully partitioned label-propagation CC runs
+    and the drop filter becomes a hash join — no driver materialization
+    on that path at all."""
     pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col,
                               jaccard_threshold=jaccard_threshold,
                               **kwargs).materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ds
-    clusters = connected_components_distributed(pairs)
-    drop = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"])
-    return semi_anti_filter(ds, id_col, drop, anti=True)
+    if n_pairs <= small_pairs_threshold:
+        clusters = cluster_pairs(pairs.to_pandas())
+        drop = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                                "doc_id"])
+        return semi_anti_filter(ds, id_col, drop, anti=True)
+
+    labels = connected_components_partitioned(pairs)
+
+    def non_keepers(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"] != df["cluster_id"]]
+        return pd.DataFrame({id_col: sub["doc_id"], "__drop": True})
+
+    drop_ds = labels.map_batches(non_keepers, batch_format="pandas")
+    joined = hash_join(ds, drop_ds, id_col, id_col, how="left",
+                       right_cols=[id_col, "__drop"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["__drop"].isna()].drop(columns="__drop")
+
+    return joined.map_batches(keep, batch_format="pandas")
 
 
 # -------------------------------------------------------------- simhash
