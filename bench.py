@@ -71,8 +71,11 @@ def run_bench() -> dict:
 
     frac = float(os.environ.get("GRAFT_ACTOR_FRACTION", "0.875"))
     nact = max(2, int(NUM_CPUS * frac))  # reserve ~1/8 cores for read/IO tasks
+    # measured block-count optimum (same-window A/Bs, BASELINE.md):
+    # 8 blocks/cpu below 16 cpus, ~256 at 16-32 cpus (512 regresses)
+    rb = 8 * NUM_CPUS if NUM_CPUS < 16 else max(256, 4 * NUM_CPUS)
     cfg = ExtractConfig(extract_concurrency=(nact, nact),
-                        read_num_blocks=8 * NUM_CPUS)
+                        read_num_blocks=rb)
     # best-of-N: the host shows ±40% hypervisor-steal windows
     # (BASELINE.md); one run can land anywhere in that band
     extract_runs = []
@@ -233,8 +236,11 @@ def run_extract_only() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     frac = float(os.environ.get("GRAFT_ACTOR_FRACTION", "0.875"))
     nact = max(2, int(NUM_CPUS * frac))  # reserve ~1/8 cores for read/IO tasks
+    # measured block-count optimum (same-window A/Bs, BASELINE.md):
+    # 8 blocks/cpu below 16 cpus, ~256 at 16-32 cpus (512 regresses)
+    rb = 8 * NUM_CPUS if NUM_CPUS < 16 else max(256, 4 * NUM_CPUS)
     cfg = ExtractConfig(extract_concurrency=(nact, nact),
-                        read_num_blocks=8 * NUM_CPUS)
+                        read_num_blocks=rb)
     t0 = time.perf_counter()
     metrics = run_extract(corpus, out_dir, cfg)
     extract_sec = time.perf_counter() - t0
