@@ -184,3 +184,36 @@ def test_dedup_by_minhash_large_path_matches_small_path():
                                    small_pairs_threshold=0).to_pandas()
     assert sorted(large["doc_id"]) == sorted(small["doc_id"])
     assert set(large.columns) == {"doc_id", "text"}
+
+
+def test_connected_components_partitioned_string_ids():
+    # the flagship corpus produces STRING doc_ids; the partitioned CC
+    # hashes them to int64 internally and joins the originals back
+    edges = pd.DataFrame(
+        [("doc_a1", "doc_a2"), ("doc_a2", "doc_a3"), ("doc_b1", "doc_b2")],
+        columns=["doc_a", "doc_b"])
+    got = (dedup.connected_components_partitioned(rd.from_pandas(edges),
+                                                  num_buckets=4)
+           .to_pandas())
+    by = got.set_index("doc_id")["cluster_id"]
+    assert len(got) == 5
+    assert by["doc_a1"] == by["doc_a2"] == by["doc_a3"]
+    assert by["doc_b1"] == by["doc_b2"]
+    assert by["doc_a1"] != by["doc_b1"]
+    # the representative is a member of its own cluster
+    assert set(got["cluster_id"]).issubset(set(got["doc_id"]))
+
+
+def test_dedup_by_minhash_large_path_string_ids():
+    # the at-scale route (partitioned CC + join drop filter) must work on
+    # string doc_ids end-to-end (ADVICE r2: it used to crash here)
+    def stringify(df):
+        df = df.copy()
+        df["doc_id"] = "doc_" + df["doc_id"].astype(str)
+        return df
+
+    docs = _docs_with_near_dups().map_batches(stringify, batch_format="pandas")
+    small = dedup.dedup_by_minhash(docs).to_pandas()
+    large = dedup.dedup_by_minhash(docs, small_pairs_threshold=0).to_pandas()
+    assert sorted(large["doc_id"]) == sorted(small["doc_id"])
+    assert len(small) < 5  # some near-dups actually dropped

@@ -128,3 +128,67 @@ def test_hash_join_salted_hot_key():
             .to_pandas())
     expl = left.merge(right.rename(columns={"rk": "k"}), on="k", how="left")
     assert len(gotl) == len(expl)
+
+
+def test_hash_join_salt_clamped_to_num_buckets():
+    import numpy as np
+
+    # salt > num_buckets used to wrap hot-key replicas onto already-used
+    # buckets, making hot pairs meet (and emit) more than once
+    left = pd.DataFrame({"k": [7] * 50 + [1, 2, 3], "x": np.arange(53)})
+    right = pd.DataFrame({"rk": [7, 1], "y": [70, 10]})
+    exp = (left.merge(right.rename(columns={"rk": "k"}), on="k")
+               .sort_values(["k", "x", "y"], ignore_index=True))
+    got = (relops.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                            "k", "rk", num_buckets=4,
+                            hot_keys={7}, salt=16)
+           .to_pandas().sort_values(["k", "x", "y"], ignore_index=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_hash_join_bucket_fn_fusion():
+    # bucket_fn aggregates inside the join task; result must equal the
+    # unfused join + groupby
+    left = pd.DataFrame({"id": [1, 1, 2, 2, 3], "v": [1, 2, 3, 4, 5]})
+    right = pd.DataFrame({"rid": [1, 2, 3], "w": [10, 20, 30]})
+
+    def agg(df):
+        df = df.assign(p=df["v"] * df["w"])
+        return df.groupby("id", as_index=False).agg(p=("p", "sum"))
+
+    got = (relops.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                            "id", "rid", num_buckets=4, bucket_fn=agg)
+           .to_pandas().sort_values("id", ignore_index=True))
+    exp = agg(left.merge(right.rename(columns={"rid": "id"}), on="id")) \
+        .sort_values("id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_auto_buckets_sizing_rule():
+    import ray
+
+    # floor preserved on tiny inputs
+    assert relops.auto_buckets(floor=64, size_bytes=1) >= 64
+    # grows with data size: one bucket per TARGET_BUCKET_BYTES
+    big = relops.auto_buckets(floor=64,
+                              size_bytes=1000 * relops.TARGET_BUCKET_BYTES)
+    assert big >= 1000
+    # grows with cluster CPUs (test session: 4 CPUs → floor dominates,
+    # but the term must be present and non-zero)
+    assert relops.auto_buckets(floor=1) >= 4 * int(
+        ray.cluster_resources().get("CPU", 1))
+    # operators accept the default (None) and still compute correctly
+    df = pd.DataFrame({"k": ["a", "b", "a"], "v": [1, 2, 3]})
+    got = (relops.partial_aggregate(rd.from_pandas(df), ["k"],
+                                    {"s": ("sum", "v")})
+           .to_pandas().sort_values("k", ignore_index=True))
+    assert list(got["s"]) == [4, 2]
+
+
+def test_input_size_bytes():
+    import os
+
+    p = "/root/testdata/sf0.001/lineitem.parquet"
+    if os.path.exists(p):
+        assert relops.input_size_bytes(p) == os.path.getsize(p)
+    assert relops.input_size_bytes("/nonexistent/path") == 0

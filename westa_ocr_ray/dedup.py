@@ -26,13 +26,13 @@ from __future__ import annotations
 
 import hashlib
 import zlib
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from .relops import hash_join, partial_aggregate, semi_anti_filter
+from .relops import auto_buckets, hash_join, partial_aggregate, semi_anti_filter
 
 _MERSENNE = (1 << 61) - 1
 _BUCKET_CAP = 200  # max docs inspected pairwise per LSH bucket / block
@@ -76,7 +76,8 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 def _within_bucket_pairs(rows: rd.Dataset, bucket_keys: Sequence[str],
                          id_col: str, payload_cols: Sequence[str] = (),
-                         coarse: int = 64, cap: int = _BUCKET_CAP) -> rd.Dataset:
+                         coarse: Optional[int] = None, cap: int = _BUCKET_CAP,
+                         size_hint_bytes: Optional[int] = None) -> rd.Dataset:
     """All within-bucket id pairs (doc_a < doc_b, cap per bucket), with
     optional per-side payload columns carried as ``<col>_a``/``<col>_b``.
 
@@ -84,7 +85,15 @@ def _within_bucket_pairs(rows: rd.Dataset, bucket_keys: Sequence[str],
     to pairs with numpy inside the partition. (Ray's per-group
     map_groups dispatch costs ~0.5 ms/bucket and almost every LSH bucket
     is a singleton — grouping by the raw bucket key turns candidate
-    generation into pure dispatch overhead at 10^3+ buckets.)"""
+    generation into pure dispatch overhead at 10^3+ buckets.)
+
+    ``coarse`` defaults to the auto_buckets sizing rule (floor 64 = the
+    round-2 constant): one coarse group is one map_groups task, so the
+    group count must grow with cluster AND (via ``size_hint_bytes``,
+    typically the banded/blocked table's byte size) with data — a fixed
+    64 would put ~1/64 of the entire exploded table in one task."""
+    if coarse is None:
+        coarse = auto_buckets(floor=64, size_bytes=size_hint_bytes)
     bucket_keys = list(bucket_keys)
     payload_cols = list(payload_cols)
 
@@ -258,7 +267,8 @@ def _jaccard_pct(a: str, b: str, shingle: int) -> int:
 def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, shingle: int = 3,
                       seed: int = 42, jaccard_threshold: float = 0.5,
-                      with_stats: bool = False):
+                      with_stats: bool = False,
+                      size_hint_bytes: Optional[int] = None):
     """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verify —
     every stage distributed:
 
@@ -280,7 +290,8 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "t
     if with_stats:
         bands_ds = bands_ds.materialize()  # reused by the size counter
 
-    cand = _within_bucket_pairs(bands_ds, ["band_id", "band_hash"], id_col)
+    cand = _within_bucket_pairs(bands_ds, ["band_id", "band_hash"], id_col,
+                                size_hint_bytes=size_hint_bytes)
 
     # distributed verify: join each side's text on, Jaccard per batch.
     # The same pair surfaces from every band it shares; its copies all
@@ -422,9 +433,65 @@ def connected_components_partitioned(edges: rd.Dataset, a_col: str = "doc_a",
     convergence. Labels only decrease, so the check is exact; pointer
     jumping makes rounds ~log(chain length) instead of linear.
     Everything that crosses the wire is (id, label) pairs — the driver
-    sees one integer per round. Requires NUMERIC node ids (the
-    convergence scalar is the label sum; hash string ids to int64
-    first). Returns a Dataset (doc_id, cluster_id)."""
+    sees one integer per round.
+
+    The label algebra is NUMERIC (np.minimum + the label-sum convergence
+    scalar); non-numeric node ids (the extraction corpus's string
+    doc_ids) are hashed to int64 internally (low 63 md5 bits —
+    deterministic across processes) with a distributed (id, hash)
+    mapping joined back at the end, so callers always see their original
+    ids. A 63-bit collision (P ≈ n²/2^64: ~5e-4 at 10^8 dup nodes)
+    conservatively over-merges two clusters. The returned cluster_id is
+    the MINIMUM ORIGINAL id in the component for string ids too (a
+    bucketed min per component recomputes the representative after the
+    hash-space propagation), matching cluster_pairs' union-find
+    first-wins semantics exactly.
+    Returns a Dataset (doc_id, cluster_id)."""
+    import pyarrow as pa
+
+    edges = edges.select_columns([a_col, b_col]).materialize()
+    sch = edges.schema()  # free: edges is materialized
+    id_type = dict(zip(sch.names, sch.types))[a_col]
+
+    def _is_numeric(t) -> bool:
+        # Ray Schema.types mixes pyarrow DataTypes (arrow blocks) with
+        # numpy dtypes / python types (pandas blocks)
+        try:
+            return pa.types.is_integer(t) or pa.types.is_floating(t)
+        except (AttributeError, TypeError):
+            pass
+        try:
+            return np.issubdtype(np.dtype(t), np.number)
+        except Exception:
+            return False
+
+    numeric_ids = _is_numeric(id_type)
+
+    mapping = None
+    if not numeric_ids:
+        def _h63(s: pd.Series) -> np.ndarray:
+            return np.fromiter(
+                (int.from_bytes(hashlib.md5(str(v).encode("utf-8")).digest()[:8],
+                                "big") >> 1 for v in s),
+                dtype=np.int64, count=len(s))
+
+        def to_mapping(df: pd.DataFrame) -> pd.DataFrame:
+            orig = pd.concat([df[a_col], df[b_col]], ignore_index=True)
+            return pd.DataFrame({"__h": _h63(orig), "__orig": orig.to_numpy()})
+
+        # distinct (hash, original) pairs, distributed — collisions keep
+        # the min original (1:1 in practice; see docstring)
+        mapping = partial_aggregate(edges.map_batches(to_mapping,
+                                                      batch_format="pandas"),
+                                    ["__h"], {"__orig": ("min", "__orig")},
+                                    num_buckets=num_buckets).materialize()
+
+        def hash_edges(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({a_col: _h63(df[a_col]),
+                                 b_col: _h63(df[b_col])})
+
+        edges = edges.map_batches(hash_edges,
+                                  batch_format="pandas").materialize()
 
     def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": pd.concat([df[a_col], df[b_col]],
@@ -435,7 +502,6 @@ def connected_components_partitioned(edges: rd.Dataset, a_col: str = "doc_a",
               .map_batches(lambda df: pd.DataFrame({"doc_id": df["doc_id"],
                                                     "label": df["doc_id"]}),
                            batch_format="pandas").materialize())
-    edges = edges.select_columns([a_col, b_col]).materialize()
 
     prev_sum = None
     for _ in range(max_rounds):
@@ -491,9 +557,34 @@ def connected_components_partitioned(edges: rd.Dataset, a_col: str = "doc_a",
             break
         prev_sum = new_sum
 
-    return labels.map_batches(
+    out = labels.map_batches(
         lambda df: pd.DataFrame({"doc_id": df["doc_id"],
                                  "cluster_id": df["label"]}),
+        batch_format="pandas")
+    if mapping is None:
+        return out
+    # string ids: join the original node ids back (the mapping is a
+    # Dataset — nothing broadcast, nothing on the driver), then
+    # re-canonicalize each component to its MIN ORIGINAL id so the
+    # representative matches the union-find path's first-wins choice
+    # (min over hashes ≠ min over strings).
+    j1 = hash_join(out, mapping, "doc_id", "__h", num_buckets=num_buckets,
+                   left_cols=["doc_id", "cluster_id"],
+                   right_cols=["__h", "__orig"])
+    j1 = j1.map_batches(
+        lambda df: pd.DataFrame({"__doc_orig": df["__orig"].to_numpy(),
+                                 "cluster_id": df["cluster_id"].to_numpy()}),
+        batch_format="pandas").materialize()  # feeds the rep agg AND the join
+    reps = partial_aggregate(j1, ["cluster_id"],
+                             {"__rep": ("min", "__doc_orig")},
+                             num_buckets=num_buckets)
+    j2 = hash_join(j1, reps, "cluster_id", "cluster_id",
+                   num_buckets=num_buckets,
+                   left_cols=["__doc_orig", "cluster_id"],
+                   right_cols=["cluster_id", "__rep"])
+    return j2.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["__doc_orig"].to_numpy(),
+                                 "cluster_id": df["__rep"].to_numpy()}),
         batch_format="pandas")
 
 
@@ -599,7 +690,8 @@ def simhash_table(ds: rd.Dataset, id_col: str = "doc_id",
 
 
 def simhash_near_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
-                       max_hamming: int = 3, with_stats: bool = False):
+                       max_hamming: int = 3, with_stats: bool = False,
+                       size_hint_bytes: Optional[int] = None):
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into four
     16-bit keys (any pair within hamming ≤ 3 of each other shares at
     least one band exactly — pigeonhole), bucket-groupby candidates,
@@ -624,7 +716,8 @@ def simhash_near_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "
         exploded = exploded.materialize()
 
     cand = _within_bucket_pairs(exploded, ["band_id", "band_val"], id_col,
-                                payload_cols=["simhash"])
+                                payload_cols=["simhash"],
+                                size_hint_bytes=size_hint_bytes)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         ham = _popcount64(df["simhash_a"].to_numpy().astype(np.uint64)
@@ -646,7 +739,8 @@ def simhash_near_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "
 
 def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                         block_tokens: int = 2, shingle: int = 3,
-                        threshold_pct: int = 50, with_stats: bool = False):
+                        threshold_pct: int = 50, with_stats: bool = False,
+                        size_hint_bytes: Optional[int] = None):
     """Blocked pairwise n-gram Jaccard: docs sharing a leading-token
     block are compared exhaustively within the block (groupby shuffle on
     the block key only). Blocks past the pathological cap are truncated;
@@ -662,7 +756,8 @@ def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = 
         blocked = blocked.materialize()
 
     cand = _within_bucket_pairs(blocked, ["block"], id_col,
-                                payload_cols=[text_col])
+                                payload_cols=[text_col],
+                                size_hint_bytes=size_hint_bytes)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         pct = np.fromiter(
@@ -683,14 +778,18 @@ def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = 
 
 def shared_chunk_pairs(ds: rd.Dataset, id_col: str = "doc_id",
                        text_col: str = "text",
-                       chunk_tokens: int = 10) -> rd.Dataset:
+                       chunk_tokens: int = 10, with_stats: bool = False,
+                       size_hint_bytes: Optional[int] = None):
     """Substring-level duplication signal (the coarse shape of
     suffix-array training-data dedup): docs are cut into NON-overlapping
     ``chunk_tokens``-token chunks, chunks hash, and docs sharing ≥1
     chunk hash pair up with the shared-chunk count. Only (id, hash)
     rows shuffle; pair expansion reuses the coarse-bucket path.
     Returns (doc_a, doc_b, n_shared_chunks), exact and SQL-expressible
-    (queries.ORACLE_SQL['dedup_shared_chunks'])."""
+    (queries.ORACLE_SQL['dedup_shared_chunks']). Like the other pair
+    generators, a chunk hash shared by more than _BUCKET_CAP docs is
+    truncated; ``with_stats=True`` returns the dropped-pair counter
+    alongside (counted, never silent)."""
 
     def chunk(df: pd.DataFrame) -> pd.DataFrame:
         ids, hashes = [], []
@@ -706,9 +805,16 @@ def shared_chunk_pairs(ds: rd.Dataset, id_col: str = "doc_id",
         return pd.DataFrame({id_col: ids, "ch": hashes})
 
     chunks = ds.map_batches(chunk, batch_format="pandas")
-    cand = _within_bucket_pairs(chunks, ["ch"], id_col)
-    return partial_aggregate(cand, ["doc_a", "doc_b"],
-                             {"n_shared_chunks": ("count", None)})
+    if with_stats:
+        chunks = chunks.materialize()  # reused by the size counter
+    cand = _within_bucket_pairs(chunks, ["ch"], id_col,
+                                size_hint_bytes=size_hint_bytes)
+    out = partial_aggregate(cand, ["doc_a", "doc_b"],
+                            {"n_shared_chunks": ("count", None)})
+    if with_stats:
+        dropped = _capped_dropped_pairs(chunks, ["ch"])
+        return out, {"dropped_candidate_pairs": dropped}
+    return out
 
 
 # -------------------------------------------------- embedding near-dup

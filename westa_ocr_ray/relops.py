@@ -15,12 +15,70 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+# --------------------------------------------------------------- sizing
+
+
+#: target bytes of (shuffled) data per bucket: one bucket is processed by
+#: ONE map_groups task, so this bounds per-task memory (SCALE.md
+#: §partitioning states the same rule for the extraction partition count
+#: P: ~1 GB of output per partition; buckets here see post-combine /
+#: key-projected rows, so a smaller target keeps slack for pandas
+#: overhead).
+TARGET_BUCKET_BYTES = 256 << 20
+
+
+def auto_buckets(floor: int = 64, size_bytes: Optional[int] = None,
+                 per_cpu: int = 4,
+                 target_bytes: int = TARGET_BUCKET_BYTES) -> int:
+    """Bucket-count sizing rule for the bucketed exchanges below
+    (VERDICT r2 #1: fixed fan-in constants don't scale).
+
+    Two scaling axes, take the max:
+    - cluster axis: ``per_cpu`` buckets per cluster CPU, so the bucketed
+      stage keeps every core busy and grows with cluster size;
+    - data axis: ``size_bytes / target_bytes`` when the caller knows the
+      input size (cheap for parquet inputs — file bytes; NOT derivable
+      from a lazy transformed Dataset, whose ``size_bytes()`` executes
+      the plan), so one bucket's rows always fit a worker task.
+
+    ``floor`` preserves each call site's round-2 constant as the
+    minimum, keeping small-input behavior (and every CORRECTNESS oracle,
+    which is bucket-count independent) unchanged."""
+    n = floor
+    try:
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            n = max(n, per_cpu * cpus)
+    except Exception:
+        pass
+    if size_bytes:
+        n = max(n, -(-int(size_bytes) // target_bytes))
+    return n
+
+
+def input_size_bytes(*paths: str) -> int:
+    """Total on-disk bytes of parquet files/dirs — the cheap data-size
+    hint for auto_buckets (metadata only, no read)."""
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files if f.endswith(".parquet"))
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
 # ------------------------------------------------------------------ agg
 
 
 def partial_aggregate(ds: rd.Dataset, keys: Sequence[str],
                       aggs: Dict[str, Tuple[str, str]],
-                      num_buckets: int = 64) -> rd.Dataset:
+                      num_buckets: Optional[int] = None,
+                      size_hint_bytes: Optional[int] = None) -> rd.Dataset:
     """groupby with a per-batch combiner (SURVEY.md §2.5 G4): aggregate
     inside map_batches first — one row per key per batch — then shuffle
     only the partials, hash-bucketed. ``aggs``: out_col -> (op, in_col)
@@ -33,7 +91,13 @@ def partial_aggregate(ds: rd.Dataset, keys: Sequence[str],
       combine is a vectorized pandas groupby per bucket. (Ray's native
       groupby().aggregate() pays per-key overhead in the reduce — ~60x
       slower at 10^5+ distinct keys in ray 2.49; measured in BASELINE.md.)
+
+    num_buckets defaults to the auto_buckets sizing rule (floor 64 = the
+    round-2 constant); pass ``size_hint_bytes`` when the input size is
+    known so the bucket count also scales with data.
     """
+    if num_buckets is None:
+        num_buckets = auto_buckets(floor=64, size_bytes=size_hint_bytes)
     keys = list(keys)
 
     first_ops = {}
@@ -81,12 +145,14 @@ def broadcast_join(ds: rd.Dataset, small: pd.DataFrame, on: Sequence[str] | str,
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
-              num_buckets: int = 32, how: str = "inner",
+              num_buckets: Optional[int] = None, how: str = "inner",
               suffix: str = "_r",
               left_cols: Optional[Sequence[str]] = None,
               right_cols: Optional[Sequence[str]] = None,
               hot_keys=None, salt: int = 8,
-              left_dedup_cols: Optional[Sequence[str]] = None) -> rd.Dataset:
+              left_dedup_cols: Optional[Sequence[str]] = None,
+              bucket_fn=None,
+              size_hint_bytes: Optional[int] = None) -> rd.Dataset:
     """Partitioned hash join for two large sides: bucket both inputs by
     hash(key) % B, co-locate buckets with a single groupby shuffle, and
     merge bucket-locally. (SCALE.md §joins 'both sides large' pattern.)
@@ -110,7 +176,23 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
     includes the join key (all copies land in one bucket), saving the
     separate aggregate shuffle a pre-join dedup would cost. Not valid
     together with hot-key salting (salting splits a key's rows across
-    buckets)."""
+    buckets).
+
+    ``bucket_fn``: optional post-merge transform applied to each joined
+    bucket INSIDE the join task (fusion hook): map/partial-aggregate the
+    joined rows before they ever leave the bucket, saving a full pass
+    (and shuffle volume) over the join output. Receives and returns a
+    pandas DataFrame.
+
+    num_buckets defaults to the auto_buckets sizing rule (floor 32 =
+    the round-2 constant); pass ``size_hint_bytes`` when the bigger
+    side's size is known so the bucket count also scales with data."""
+    if num_buckets is None:
+        num_buckets = auto_buckets(floor=32, size_bytes=size_hint_bytes)
+    # salted right-side replicas land on `salt` CONSECUTIVE buckets; with
+    # salt > num_buckets the replicas would wrap onto already-used
+    # buckets and hot-key pairs would meet (and emit) more than once
+    salt = min(salt, num_buckets)
     if hot_keys:
         assert how in ("inner", "left"), "salting supports inner/left joins"
         assert not left_dedup_cols, "left_dedup_cols requires single-bucket keys"
@@ -187,7 +269,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
         if dedup_cols:
             lhs = lhs.drop_duplicates(dedup_cols)
         rhs = df.loc[df["__side"] == 1, keep_r]
-        return lhs.merge(rhs, on=left_on, how=how)
+        merged = lhs.merge(rhs, on=left_on, how=how)
+        return bucket_fn(merged) if bucket_fn is not None else merged
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 

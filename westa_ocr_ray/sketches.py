@@ -59,9 +59,28 @@ class HyperLogLog:
         return int(round(est))
 
 
-def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> int:
+def _premerge_buckets(payload_col: str, n_buckets: int = 64):
+    """Deterministic bucket tag for sketch rows (hash of the payload —
+    sketch batches are 1-row, so a within-batch round-robin would put
+    every sketch in bucket 0; the content hash spreads them)."""
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (pd.util.hash_pandas_object(df[payload_col].astype(str),
+                                                index=False).to_numpy()
+                     % n_buckets).astype("int32")
+        return df
+    return tag
+
+
+def approx_distinct(ds: rd.Dataset, col: str, p: int = 12,
+                    premerge_buckets: int = 64) -> int:
     """Approximate COUNT(DISTINCT col): per-batch HLL registers (one
-    m-byte row per batch crosses the wire), merged on the driver."""
+    m-byte row per batch crosses the wire), tree-merged — a bucketed
+    pre-merge stage collapses the per-block sketches to ≤
+    ``premerge_buckets`` rows (register max is associative/commutative,
+    so the estimate is IDENTICAL to a flat merge), and the driver merges
+    only those. At 100 TB that is ~64 rows through the driver instead of
+    one per input block (VERDICT r2 #2)."""
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
         hll = HyperLogLog(p)
@@ -69,8 +88,20 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> int:
                                                   index=False).to_numpy())
         return pd.DataFrame({"registers": [hll.registers.tobytes()]})
 
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for raw in df["registers"]:
+            np.maximum(regs, np.frombuffer(raw, dtype=np.uint8), out=regs)
+        return pd.DataFrame({"registers": [regs.tobytes()]})
+
+    parts = (ds.map_batches(sketch, batch_format="pandas")
+             .map_batches(_premerge_buckets("registers", premerge_buckets),
+                          batch_format="pandas")
+             .groupby("__b")
+             .map_groups(lambda df: merge_bucket(df.drop(columns="__b")),
+                         batch_format="pandas"))
     merged = HyperLogLog(p)
-    for row in ds.map_batches(sketch, batch_format="pandas").take_all():
+    for row in parts.take_all():  # ≤ premerge_buckets rows
         other = HyperLogLog(p)
         other.registers = np.frombuffer(row["registers"], dtype=np.uint8).copy()
         merged.merge(other)
@@ -94,13 +125,19 @@ def misra_gries_merge(summaries, k: int):
     return {key: c - cut for key, c in total.items() if c - cut > 0}
 
 
-def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20) -> pd.DataFrame:
+def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
+                  premerge_buckets: int = 64) -> pd.DataFrame:
     """Approximate heavy hitters over a column: one (k-1)-entry
-    Misra-Gries summary per batch crosses the wire (never rows), merged
-    on the driver. Guarantee: any value with frequency > n/k appears in
-    the output; returned counts are lower bounds within n/k of truth.
-    Candidate set depends on block partitioning (the MG decrement order)
-    — approximate by design, gated by tests/test_sketches.py."""
+    Misra-Gries summary per batch crosses the wire (never rows),
+    tree-merged — a bucketed pre-merge collapses per-block summaries to
+    ≤ ``premerge_buckets`` before the driver merge (MG summaries are
+    mergeable with the error bound intact — Agarwal et al. 2012,
+    "Mergeable Summaries" — so the n/k guarantee survives the tree).
+    Guarantee: any value with frequency > n/k appears in the output;
+    returned counts are lower bounds within n/k of truth. Candidate set
+    depends on block partitioning (the MG decrement order) —
+    approximate by design, gated by tests/test_sketches.py."""
+    import json
     from collections import Counter
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
@@ -109,12 +146,19 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20) -> pd.DataFrame:
             cut = sorted(counts.values(), reverse=True)[k - 1]
             counts = Counter({key: c - cut for key, c in counts.items()
                               if c - cut > 0})
-        import json
         return pd.DataFrame({"summary": [json.dumps(dict(counts))]})
 
-    import json
-    parts = [json.loads(row["summary"])
-             for row in ds.map_batches(sketch, batch_format="pandas").take_all()]
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        merged = misra_gries_merge([json.loads(s) for s in df["summary"]], k)
+        return pd.DataFrame({"summary": [json.dumps(merged)]})
+
+    parts_ds = (ds.map_batches(sketch, batch_format="pandas")
+                .map_batches(_premerge_buckets("summary", premerge_buckets),
+                             batch_format="pandas")
+                .groupby("__b")
+                .map_groups(lambda df: merge_bucket(df.drop(columns="__b")),
+                            batch_format="pandas"))
+    parts = [json.loads(row["summary"]) for row in parts_ds.take_all()]
     merged = misra_gries_merge(parts, k)
     out = pd.DataFrame({col: list(merged.keys()),
                         "min_count": np.array(list(merged.values()),
