@@ -47,7 +47,16 @@ def main() -> int:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    from westa_ocr_ray.queries import ORACLE_SQL, QUERIES
+    from westa_ocr_ray import fixtures
+    from westa_ocr_ray.queries import (ORACLE_SQL, QUERIES,
+                                       TIER_ORACLE_BUILDERS)
+
+    # tier-dependent oracles (inline VALUES from the serial reference)
+    # must match THIS sf dir's fixture tier, not the driver's sf0.01
+    ORACLE_SQL = dict(ORACLE_SQL)
+    tier = fixtures.tier_for_sf_dir(sf_dir)
+    for name, builder in TIER_ORACLE_BUILDERS.items():
+        ORACLE_SQL[name] = builder(tier)
 
     con = duckdb.connect()
     for t in TABLES:

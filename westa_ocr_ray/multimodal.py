@@ -25,18 +25,25 @@ def media_table(docs: rd.Dataset, seed: int = fixtures.DEFAULT_SEED) -> rd.Datas
     because rows are wide."""
 
     def fn(t: pa.Table) -> pa.Table:
-        doc_ids, refs, kinds, payloads = [], [], [], []
-        for did, spans in zip(t.column("doc_id").to_pylist(),
-                              t.column("spans").to_pylist()):
-            for s in spans:
-                if s["kind"] in ("pdf", "image"):
-                    doc_ids.append(did)
-                    refs.append(s["media_ref"])
-                    kinds.append(s["kind"])
-                    payloads.append(fixtures.media_store(s["media_ref"], seed))
-        return pa.table({"doc_id": pa.array(doc_ids, type=pa.string()),
-                         "media_ref": pa.array(refs, type=pa.string()),
-                         "kind": pa.array(kinds, type=pa.string()),
+        import pyarrow.compute as pc
+
+        # flatten + filter with Arrow kernels (no python over span
+        # lists); python only touches the media rows for the fetch call
+        t = t.combine_chunks()
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans)
+        kinds = flat.field("kind")
+        mask = pc.is_in(kinds, value_set=pa.array(["pdf", "image"]))
+        doc_ids = pc.filter(pc.take(t.column("doc_id"), parent), mask)
+        refs = pc.filter(flat.field("media_ref"), mask)
+        kinds = pc.filter(kinds, mask)
+        payloads = [fixtures.media_store(r, seed) for r in refs.to_pylist()]
+        return pa.table({"doc_id": pc.cast(doc_ids, pa.string()),
+                         "media_ref": refs,
+                         "kind": kinds,
                          "payload": pa.array(payloads, type=pa.binary())})
 
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=64)

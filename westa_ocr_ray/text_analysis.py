@@ -6,7 +6,6 @@ actor `__init__`."""
 from __future__ import annotations
 
 import re
-import zlib
 from typing import Dict
 
 import numpy as np
@@ -115,27 +114,28 @@ def token_count_table(ds: rd.Dataset, id_col: str = "doc_id",
 
 
 class Fingerprinter:
-    """Rolling-hash document fingerprint: crc32 token stream → window-w
-    rolling combination → fingerprint = min window hash (winnowing-style
-    single-value summary, stable under small edits away from the min)."""
+    """Winnowing-style document fingerprint: fingerprint = min over all
+    ``window``-token sliding windows of the window text's 64-bit hash
+    (first 8 md5 bytes, big-endian) — a single-value summary stable
+    under small edits away from the minimum window. md5 (not a faster
+    rolling hash) deliberately, so a DuckDB oracle recomputes it
+    bit-for-bit (queries.ORACLE_SQL['text_fingerprint']); the >>1 keeps
+    the value in positive int64 range, and min commutes with the
+    monotone shift so both sides may shift after the min. Docs shorter
+    than the window hash as one whole-text window."""
 
     def __init__(self, window: int = 8) -> None:
         self.window = window
 
     def fingerprint(self, text: str) -> int:
-        hs = np.fromiter((zlib.crc32(t.encode()) for t in text.split(" ")),
-                         dtype=np.int64)
-        if len(hs) == 0:
-            return 0
-        w = min(self.window, len(hs))
-        # rolling polynomial combination over each window
-        weights = (31 ** np.arange(w, dtype=np.int64)) % (1 << 31)
-        if len(hs) < self.window:
-            vals = np.array([(hs * weights[:len(hs)]).sum()], dtype=np.int64)
-        else:
-            windows = np.lib.stride_tricks.sliding_window_view(hs, w)
-            vals = (windows * weights).sum(axis=1)
-        return int(vals.min() & 0x7FFFFFFFFFFFFFFF)
+        import hashlib
+
+        toks = text.split(" ")
+        w = self.window
+        best = min(
+            hashlib.md5(" ".join(toks[i:i + w]).encode("utf-8")).digest()[:8]
+            for i in range(max(1, len(toks) - w + 1)))
+        return int.from_bytes(best, "big") >> 1
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
