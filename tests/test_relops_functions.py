@@ -192,3 +192,25 @@ def test_input_size_bytes():
     if os.path.exists(p):
         assert relops.input_size_bytes(p) == os.path.getsize(p)
     assert relops.input_size_bytes("/nonexistent/path") == 0
+
+
+def test_semi_anti_filter_scalable_matches_broadcast():
+    import numpy as np
+
+    big = rd.from_pandas(pd.DataFrame({"k": list(range(200)),
+                                       "v": np.arange(200) * 10}))
+    keys = rd.from_pandas(pd.DataFrame(
+        {"kk": [3, 7, 7, 42, 99, 150]}))  # dup key: must not multiply rows
+    key_set = {3, 7, 42, 99, 150}
+
+    for anti in (False, True):
+        exp = (relops.semi_anti_filter(big, "k", key_set, anti=anti)
+               .to_pandas().sort_values("k", ignore_index=True))
+        # tiny filter (m_bits=256) forces MANY false positives: the
+        # exact-resolution join must still produce bit-exact output
+        got = (relops.semi_anti_filter_scalable(big, "k", keys,
+                                                key_col="kk", anti=anti,
+                                                m_bits=256, num_buckets=4)
+               .to_pandas().sort_values("k", ignore_index=True))
+        pd.testing.assert_frame_equal(got[["k", "v"]].astype("int64"),
+                                      exp[["k", "v"]].astype("int64"))

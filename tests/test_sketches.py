@@ -60,3 +60,22 @@ def test_misra_gries_heavy_hitters_guarantee():
     for val, true in (("hot", 3500), ("warm", 1500)):
         assert val in got
         assert true - n / k <= got[val] <= true
+
+
+def test_bloom_no_false_negatives_and_bounded_fp():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import sketches
+
+    keys = pd.DataFrame({"k": [f"key_{i}" for i in range(2000)]})
+    bloom = sketches.bloom_from_dataset(
+        rd.from_pandas(keys).repartition(8), "k", m_bits=1 << 16, k=4)
+    # every inserted key must hit (no false negatives, ever)
+    hits = sketches.bloom_might_contain(keys["k"], bloom, 1 << 16, 4)
+    assert hits.all()
+    # absent keys: FP rate near the analytic (1-e^{-kn/m})^k ≈ 0.3%
+    absent = pd.Series([f"other_{i}" for i in range(5000)])
+    fp = sketches.bloom_might_contain(absent, bloom, 1 << 16, 4).mean()
+    assert fp < 0.02

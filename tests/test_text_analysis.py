@@ -69,3 +69,20 @@ def test_fingerprint_table_runs():
     out = text_analysis.fingerprint_table(_ds(rows)).to_pandas()
     assert len(out) == 10
     assert out["fingerprint"].nunique() > 1
+
+
+def test_pack_sequences_matches_python_oracle():
+    rows = [{"doc_id": 1, "text": " ".join(f"t{i}" for i in range(70))},
+            {"doc_id": 2, "text": "only three tokens"},
+            {"doc_id": 3, "text": ""}]
+    out = (text_analysis.pack_sequences(_ds(rows), seq_len=32).to_pandas()
+           .sort_values(["doc_id", "seq_idx"], ignore_index=True))
+    exp = []
+    for r in rows:
+        toks = r["text"].split(" ")
+        for s in range((len(toks) + 31) // 32):
+            chunk = toks[32 * s:32 * (s + 1)]
+            exp.append((r["doc_id"], s, len(chunk), chunk[0]))
+    assert list(map(tuple, out.to_numpy())) == exp
+    # doc 1: 70 tokens -> 32 + 32 + 6
+    assert list(out[out["doc_id"] == 1]["n_tokens"]) == [32, 32, 6]

@@ -275,8 +275,66 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def semi_anti_filter_scalable(ds: rd.Dataset, key: str, keys: rd.Dataset,
+                              key_col: Optional[str] = None,
+                              anti: bool = False,
+                              m_bits: int = 1 << 23, k: int = 4,
+                              num_buckets: Optional[int] = None) -> rd.Dataset:
+    """EXACT semi/anti join against a key DATASET of any size — the
+    scale path for semi_anti_filter, whose broadcast frozenset is
+    bounded by driver/worker memory (at 10^12 docs the resume anti-join
+    key set no longer broadcasts).
+
+    Two stages, both distributed:
+    1. a tree-merged Bloom filter of the key side (1 MiB default) is
+       ray.put once; every batch resolves its DEFINITE rows locally —
+       bloom-miss rows are certainly not in `keys` (kept for anti,
+       dropped for semi). With a few-percent FP rate, ~all of the
+       non-matching corpus never enters the join.
+    2. only the bloom-HIT rows (true matches + FPs) go through the
+       partitioned hash join for exact resolution.
+
+    Output = certain ∪ exactly-resolved; bit-exact vs semi_anti_filter
+    (tested side-by-side incl. a forced-FP tiny filter)."""
+    from .sketches import bloom_from_dataset, bloom_might_contain
+
+    key_col = key_col or key
+    ds_cols = list(ds.schema().names)  # cheap for reads; see docstring
+    keys = keys.select_columns([key_col]).materialize()  # reused 2x
+    bloom = ray.put(bloom_from_dataset(keys, key_col, m_bits=m_bits, k=k))
+
+    def split(certain_side: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            maybe = bloom_might_contain(df[key], ray.get(bloom), m_bits, k)
+            return df[~maybe] if certain_side else df[maybe]
+        return fn
+
+    uncertain = ds.map_batches(split(False), batch_format="pandas")
+    # GLOBAL key dedup before the left join — a key present in several
+    # right-side blocks would otherwise multiply matched left rows
+    marked = partial_aggregate(keys, [key_col], {"__m": ("count", None)},
+                               num_buckets=num_buckets)
+    joined = hash_join(uncertain, marked, key, key_col, how="left",
+                       num_buckets=num_buckets,
+                       left_cols=ds_cols,
+                       right_cols=[key_col, "__m"])
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df["__m"].notna().to_numpy()
+        out = df[~hit] if anti else df[hit]
+        return out.drop(columns="__m").infer_objects()
+
+    resolved = joined.map_batches(resolve, batch_format="pandas")
+    if anti:
+        certain = ds.map_batches(split(True), batch_format="pandas")
+        return certain.union(resolved)
+    return resolved
+
+
 def semi_anti_filter(ds: rd.Dataset, key: str, key_set, anti: bool = False) -> rd.Dataset:
-    """Semi/anti join via a broadcast key set (M9 resume anti-join)."""
+    """Semi/anti join via a broadcast key set (M9 resume anti-join).
+    Bounded by the key set fitting the object store + one worker heap;
+    semi_anti_filter_scalable is the unbounded-key-side variant."""
     ref = ray.put(frozenset(key_set))
 
     def fn(t: pa.Table) -> pa.Table:

@@ -60,13 +60,20 @@ class HyperLogLog:
 
 
 def _premerge_buckets(payload_col: str, n_buckets: int = 64):
-    """Deterministic bucket tag for sketch rows (hash of the payload —
-    sketch batches are 1-row, so a within-batch round-robin would put
-    every sketch in bucket 0; the content hash spreads them)."""
+    """Deterministic bucket tag for sketch rows (md5 of the payload
+    bytes — sketch batches are 1-row, so a within-batch round-robin
+    would put every sketch in bucket 0; the content hash spreads them.
+    Payloads may be raw non-utf8 bytes, hence md5 over bytes rather
+    than a pandas string hash)."""
+    import hashlib
+
+    def _h(v) -> int:
+        b = v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+        return int.from_bytes(hashlib.md5(b).digest()[:4], "big")
+
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__b"] = (pd.util.hash_pandas_object(df[payload_col].astype(str),
-                                                index=False).to_numpy()
+        df["__b"] = (df[payload_col].map(_h).to_numpy().astype(np.int64)
                      % n_buckets).astype("int32")
         return df
     return tag
@@ -165,3 +172,64 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
                                               dtype=np.int64)})
     return out.sort_values(["min_count", col], ascending=[False, True],
                            ignore_index=True)
+
+
+# ------------------------------------------------------------ bloom
+
+def _bloom_indices(values: pd.Series, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit indices via double hashing of the stringified key:
+    idx_i = (h1 + i*h2) mod m (Kirsch-Mitzenmacher)."""
+    h1 = pd.util.hash_pandas_object(values.astype(str),
+                                    index=False).to_numpy().astype(np.uint64)
+    # independent-ish second hash: multiply-xorshift mix of h1
+    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) ^ (h1 >> np.uint64(29))
+    h2 |= np.uint64(1)  # odd, so strides cover the table
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_from_dataset(ds: rd.Dataset, col: str, m_bits: int = 1 << 23,
+                       k: int = 4, premerge_buckets: int = 64) -> bytes:
+    """Distributed Bloom-filter build over a key column: per-batch
+    partial bitmaps, tree-merged (bitwise OR is associative/commutative,
+    same shape as the HLL pre-merge) so the driver ORs ≤
+    ``premerge_buckets`` bitmaps, never one per block. Returns the
+    packed bitmap bytes (m_bits/8; default 1 MiB)."""
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        if len(df):
+            idx = _bloom_indices(df[col], m_bits, k).reshape(-1)
+            np.bitwise_or.at(bits, idx // 8,
+                             np.uint8(1) << (idx % 8).astype(np.uint8))
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
+        for raw in df["bits"]:
+            np.bitwise_or(acc, np.frombuffer(raw, dtype=np.uint8), out=acc)
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
+    parts = (ds.map_batches(sketch, batch_format="pandas")
+             .map_batches(_premerge_buckets("bits", premerge_buckets),
+                          batch_format="pandas")
+             .groupby("__b")
+             .map_groups(lambda df: merge_bucket(df.drop(columns="__b")),
+                         batch_format="pandas"))
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in parts.take_all():  # ≤ premerge_buckets rows
+        np.bitwise_or(acc, np.frombuffer(row["bits"], dtype=np.uint8), out=acc)
+    return acc.tobytes()
+
+
+def bloom_might_contain(values: pd.Series, bloom: bytes, m_bits: int,
+                        k: int = 4) -> np.ndarray:
+    """Vectorized membership test: True = maybe present (FP rate ≈
+    (1-e^{-kn/m})^k), False = DEFINITELY absent."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    bits = np.frombuffer(bloom, dtype=np.uint8)
+    idx = _bloom_indices(values, m_bits, k)
+    hit = (bits[idx // 8] >> (idx % 8).astype(np.uint8)) & np.uint8(1)
+    return hit.all(axis=1).astype(bool)

@@ -148,3 +148,31 @@ class Fingerprinter:
 def fingerprint_table(ds: rd.Dataset, window: int = 8) -> rd.Dataset:
     return ds.map_batches(Fingerprinter, fn_constructor_kwargs=dict(window=window),
                           batch_format="pandas", concurrency=(1, 8))
+
+
+def pack_sequences(ds: rd.Dataset, id_col: str = "doc_id",
+                   text_col: str = "text", seq_len: int = 32) -> rd.Dataset:
+    """LM-training sequence packing (per-doc): each document's
+    whitespace tokens split into fixed-length ``seq_len`` sequences →
+    (doc_id, seq_idx, n_tokens, first_token) rows — the chunking half of
+    training-data sequence preparation, embarrassingly parallel (the
+    cross-doc greedy packing variant needs per-partition state and is a
+    stateful-actor stage, not a map). Exact and SQL-expressible
+    (queries.ORACLE_SQL['pack_sequences'])."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids, seqs, ns, firsts = [], [], [], []
+        for did, text in zip(df[id_col], df[text_col]):
+            toks = text.split(" ")
+            for s in range((len(toks) + seq_len - 1) // seq_len):
+                chunk = toks[seq_len * s:seq_len * (s + 1)]
+                ids.append(did)
+                seqs.append(s)
+                ns.append(len(chunk))
+                firsts.append(chunk[0])
+        return pd.DataFrame({id_col: ids,
+                             "seq_idx": np.array(seqs, dtype=np.int32),
+                             "n_tokens": np.array(ns, dtype=np.int32),
+                             "first_token": firsts})
+
+    return ds.map_batches(fn, batch_format="pandas")
