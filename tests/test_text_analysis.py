@@ -86,3 +86,31 @@ def test_pack_sequences_matches_python_oracle():
     assert list(map(tuple, out.to_numpy())) == exp
     # doc 1: 70 tokens -> 32 + 32 + 6
     assert list(out[out["doc_id"] == 1]["n_tokens"]) == [32, 32, 6]
+
+
+def test_pack_sequences_greedy_budget_respected():
+    rows = [{"doc_id": i, "text": " ".join(["w"] * (5 + 7 * (i % 4)))}
+            for i in range(40)]
+    out = (text_analysis.pack_sequences_greedy(_ds(rows), budget=30,
+                                               buckets=4)
+           .to_pandas())
+    assert len(out) == 40
+    # python oracle: same hash-bucket, same sorted-order greedy fold
+    import numpy as np
+    df = pd.DataFrame(rows)
+    df["n"] = df["text"].str.split(" ").map(len)
+    df["bucket"] = (pd.util.hash_pandas_object(df["doc_id"].astype(str),
+                                               index=False).to_numpy() % 4)
+    for b, g in df.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        cur, filled, exp = 0, 0, {}
+        for did, n in zip(g["doc_id"], g["n"]):
+            if filled and filled + n > 30:
+                cur, filled = cur + 1, 0
+            exp[did] = cur
+            filled += n
+        sub = out[out["bucket"] == b].set_index("doc_id")["pack_idx"]
+        assert {k: int(v) for k, v in sub.items()} == exp
+    # every pack's total ≤ budget unless it is a single oversize doc
+    tot = out.groupby(["bucket", "pack_idx"])["n_tokens"].agg(["sum", "count"])
+    assert ((tot["sum"] <= 30) | (tot["count"] == 1)).all()

@@ -974,6 +974,14 @@ def q_pack_sequences(sf_dir: str) -> rd.Dataset:
         rp(sf_dir, "documents", ["doc_id", "text"]), seq_len=32)
 
 
+def q_pack_greedy(sf_dir: str) -> rd.Dataset:
+    """Cross-doc greedy token-budget packing (rows-only: the greedy fold
+    is inherently sequential per bucket and not SQL-expressible; the
+    python oracle lives in tests/test_text_analysis.py)."""
+    return text_analysis.pack_sequences_greedy(
+        rp(sf_dir, "documents", ["doc_id", "text"]), budget=256)
+
+
 def q_semi_anti_bloom(sf_dir: str) -> rd.Dataset:
     """Events by BUILDING-segment customers — the semi-join (and, by
     symmetry, the resume anti-join) shape at unbounded key-side scale:
@@ -1653,6 +1661,7 @@ QUERIES = {
     # documented-approximate / stub (rows-only by design): LSH recall<1
     # (dedup_minhash* at threshold<1, clean_corpus_fuzzy, sim_ann_lsh),
     # sketches (approx_distinct_users), codec stubs
+    "pack_greedy": q_pack_greedy,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_keep": q_dedup_minhash_keep,
     "clean_corpus_fuzzy": q_clean_corpus_fuzzy,

@@ -176,3 +176,50 @@ def pack_sequences(ds: rd.Dataset, id_col: str = "doc_id",
                              "first_token": firsts})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def pack_sequences_greedy(ds: rd.Dataset, id_col: str = "doc_id",
+                          text_col: str = "text", budget: int = 256,
+                          buckets: int = None) -> rd.Dataset:
+    """Cross-doc greedy token-budget packing — the stateful half of
+    sequence preparation (pack_sequences chunks within docs; this packs
+    consecutive docs into ≤ ``budget``-token bins). Docs are hashed into
+    buckets and packed in sorted-doc_id order within each bucket, so the
+    output is deterministic on any cluster shape; a doc longer than the
+    budget gets its own pack (chunk it first with pack_sequences).
+    Returns (bucket, doc_id, pack_idx, n_tokens). The greedy scan is an
+    inherently sequential fold, so it runs per-bucket (one bounded
+    map_groups task each) rather than per-corpus."""
+    from .relops import auto_buckets
+
+    if buckets is None:
+        buckets = auto_buckets(floor=32)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": df[text_col].str.split(" ").map(len)
+            .astype(np.int64),
+            "bucket": (pd.util.hash_pandas_object(df[id_col].astype(str),
+                                                  index=False).to_numpy()
+                       % buckets).astype("int32"),
+        })
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, ignore_index=True)
+        ns = df["n_tokens"].to_numpy()
+        pack_idx = np.empty(len(ns), dtype=np.int32)
+        cur, filled = 0, 0
+        for i, n in enumerate(ns):  # sequential fold, bounded per bucket
+            if filled and filled + n > budget:
+                cur += 1
+                filled = 0
+            pack_idx[i] = cur
+            filled += n
+        return pd.DataFrame({"bucket": df["bucket"].to_numpy(),
+                             id_col: df[id_col].to_numpy(),
+                             "pack_idx": pack_idx,
+                             "n_tokens": ns})
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("bucket").map_groups(pack, batch_format="pandas"))
