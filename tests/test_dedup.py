@@ -217,3 +217,33 @@ def test_dedup_by_minhash_large_path_string_ids():
     large = dedup.dedup_by_minhash(docs, small_pairs_threshold=0).to_pandas()
     assert sorted(large["doc_id"]) == sorted(small["doc_id"])
     assert len(small) < 5  # some near-dups actually dropped
+
+
+def test_shingle_table_matches_python_and_sql_convention():
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f", "x y", "p q r s"]})
+    got = (dedup.shingle_table(rd.from_pandas(rows), n=4).to_pandas()
+           .sort_values(["doc_id", "g"], ignore_index=True))
+    exp = []
+    for _, r in rows.iterrows():
+        toks = r["text"].split(" ")
+        for i in range(max(1, len(toks) - 3)):
+            exp.append((r["doc_id"], " ".join(toks[i:i + 4])))
+    exp = sorted(exp)
+    assert list(map(tuple, got.to_numpy())) == exp
+    # a doc shorter than n contributes its whole text once
+    assert list(got[got["doc_id"] == 2]["g"]) == ["x y"]
+
+
+def test_decontaminate_drops_overlapping_docs():
+    bench = pd.DataFrame({"doc_id": [100],
+                          "text": ["alpha beta gamma delta epsilon"]})
+    pool = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["zz alpha beta gamma delta yy",   # shares a 4-gram -> drop
+                 "alpha beta zeta gamma delta",    # no shared 4-gram -> keep
+                 "one two three four five six"]})  # disjoint -> keep
+    got = dedup.decontaminate(rd.from_pandas(pool), rd.from_pandas(bench),
+                              n=4, cols=["doc_id", "text"]).to_pandas()
+    assert sorted(got["doc_id"]) == [2, 3]

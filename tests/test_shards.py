@@ -1,0 +1,57 @@
+"""Training-shard export: deterministic md5 assignment, partitioned
+layout, _SUCCESS resume skip, and stats-vs-direct equality."""
+
+import glob
+import os
+
+import pandas as pd
+import ray.data as rd
+
+from westa_ocr_ray import shards
+from westa_ocr_ray.dedup import md5_hex
+
+
+def _docs(n=200):
+    return pd.DataFrame({"doc_id": range(n),
+                         "n_chars": [10 + (i % 7) for i in range(n)]})
+
+
+def test_shard_assign_deterministic_and_layout(tmp_path):
+    df = _docs()
+    out = str(tmp_path / "shards")
+    shards.export_training_shards(rd.from_pandas(df), out, num_shards=8)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert 1 < len(dirs) <= 8
+    back = pd.read_parquet(out).sort_values("doc_id", ignore_index=True)
+    assert len(back) == len(df)
+    # hive partition column round-trips; assignment matches the md5 rule
+    exp = [int(md5_hex(str(i))[:8], 16) % 8 for i in df["doc_id"]]
+    assert list(back["shard"].astype(int)) == exp
+
+
+def test_export_resume_skips_on_marker(tmp_path):
+    out = str(tmp_path / "s2")
+    shards.export_training_shards(rd.from_pandas(_docs(50)), out, num_shards=4)
+    before = sorted(glob.glob(os.path.join(out, "**", "*.parquet"),
+                              recursive=True))
+    mtimes = [os.path.getmtime(p) for p in before]
+    shards.export_training_shards(rd.from_pandas(_docs(50)), out, num_shards=4)
+    after = sorted(glob.glob(os.path.join(out, "**", "*.parquet"),
+                             recursive=True))
+    assert before == after
+    assert mtimes == [os.path.getmtime(p) for p in after]
+
+
+def test_shard_stats_matches_direct():
+    df = _docs(300)
+    stats = (shards.shard_stats(rd.from_pandas(df), num_shards=8)
+             .to_pandas().sort_values("shard", ignore_index=True))
+    df = df.copy()
+    df["shard"] = [int(md5_hex(str(i))[:8], 16) % 8 for i in df["doc_id"]]
+    exp = (df.groupby("shard").agg(n_docs=("doc_id", "size"),
+                                   sum_n_chars=("n_chars", "sum"))
+           .reset_index())
+    assert list(stats["shard"]) == list(exp["shard"])
+    assert list(stats["n_docs"]) == list(exp["n_docs"])
+    assert list(stats["sum_n_chars"]) == list(exp["sum_n_chars"])

@@ -114,3 +114,28 @@ def test_pack_sequences_greedy_budget_respected():
     # every pack's total ≤ budget unless it is a single oversize doc
     tot = out.groupby(["bucket", "pack_idx"])["n_tokens"].agg(["sum", "count"])
     assert ((tot["sum"] <= 30) | (tot["count"] == 1)).all()
+
+
+def test_repetition_stats_matches_python_oracle():
+    rows = [{"doc_id": 1, "text": "a b a b a b a b"},      # heavy bigram rep
+            {"doc_id": 2, "text": "w x y z q r s t u v n o"},  # all distinct
+            {"doc_id": 3, "text": "k"},                    # single token
+            {"doc_id": 4, "text": "m m m m m m m m m m"}]  # one token repeated
+    out = (text_analysis.repetition_stats(_ds(rows)).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    from collections import Counter
+    for _, r in out.iterrows():
+        toks = [t["text"] for t in rows if t["doc_id"] == r["doc_id"]][0].split(" ")
+        tc = Counter(toks)
+        bc = Counter(a + " " + b for a, b in zip(toks, toks[1:]))
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct"] == len(tc)
+        assert r["max_tok_count"] == max(tc.values())
+        assert r["n_bigrams"] == max(len(toks) - 1, 0)
+        assert r["max_bigram_count"] == (max(bc.values()) if bc else 0)
+        exp_keep = int(max(tc.values()) * 4 <= len(toks)
+                       and (max(bc.values()) if bc else 0) * 8
+                       <= max(len(toks) - 1, 0))
+        assert r["keep"] == exp_keep
+    # doc 2 is the only clean one; 1 and 4 trip both rules, 3 trips tok rule
+    assert list(out["keep"]) == [0, 1, 0, 0]

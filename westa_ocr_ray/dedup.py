@@ -840,3 +840,75 @@ def embedding_near_dup_pairs(emb: rd.Dataset, id_col: str = "vec_id",
                              "vec_id_b": hi.astype(np.int64)})
 
     return emb.groupby(group_col).map_groups(group_fn, batch_format="pandas")
+
+
+# ---------------------------------------------- decontamination
+
+
+def shingle_table(ds: rd.Dataset, n: int = 4, id_col: str = "doc_id",
+                  text_col: str = "text") -> rd.Dataset:
+    """(id, g) rows: every overlapping ``n``-token shingle of every doc,
+    built with ONE numpy pass per batch (flat token array + shifted-add
+    string construction — no per-row Python). A doc shorter than ``n``
+    tokens contributes its whole text as its single shingle, matching
+    the DuckDB slice convention toks[i:i+n-1] with
+    range(1, greatest(2, len-n+2))."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        nrows = len(df)
+        if nrows == 0:
+            return pd.DataFrame({id_col: df[id_col], "g": pd.Series([], dtype=object)})
+        toks = df[text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        did = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        if len(flat) >= n:
+            valid = did[:len(flat) - n + 1] == did[n - 1:]
+            g = flat[:len(flat) - n + 1][valid]
+            for j in range(1, n):
+                g = g + " " + flat[j:len(flat) - n + 1 + j][valid]
+            gdid = did[:len(flat) - n + 1][valid]
+        else:
+            g = np.array([], dtype=object)
+            gdid = np.array([], dtype=np.int64)
+        ids = df[id_col].to_numpy()
+        out_ids, out_g = [ids[gdid]], [g]
+        short = lens < n
+        if short.any():  # whole text is the single shingle
+            out_ids.append(ids[short])
+            out_g.append(df[text_col].to_numpy()[short])
+        return pd.DataFrame({id_col: np.concatenate(out_ids),
+                             "g": np.concatenate(out_g)})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def decontaminate(ds: rd.Dataset, bench: rd.Dataset, n: int = 4,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  num_buckets: Optional[int] = None,
+                  cols: Optional[Sequence[str]] = None) -> rd.Dataset:
+    """Benchmark decontamination (the n-gram-overlap filter training
+    pipelines run against eval sets, a la GPT-3 appx C / PaLM): drop
+    every corpus doc sharing >= 1 ``n``-token shingle with any benchmark
+    doc. Exact and fully distributed, composed from the scale-path
+    primitives:
+      corpus shingles --bloom-semi-join--> benchmark shingle set
+        -> contaminated doc ids (bucketed distinct)
+        -> corpus --bloom-ANTI-join--> contaminated ids.
+    The benchmark side is tiny relative to the corpus (eval sets are
+    ~10^4-10^6 docs at 10^12-doc corpus scale), so its tree-merged Bloom
+    filter broadcasts once and ~all clean batches never enter a join;
+    only bloom-hit shingle rows reach the exact hash-join resolve.
+    SQL-expressible: queries.ORACLE_SQL['decontaminate']."""
+    from .relops import semi_anti_filter_scalable
+
+    doc_sh = shingle_table(ds, n, id_col, text_col)
+    bench_sh = shingle_table(bench, n, id_col, text_col)
+    hit = semi_anti_filter_scalable(doc_sh, "g", bench_sh, key_col="g",
+                                    anti=False, num_buckets=num_buckets,
+                                    cols=[id_col, "g"])
+    cont_ids = partial_aggregate(hit, [id_col], {"__n": ("count", None)},
+                                 num_buckets=num_buckets).select_columns([id_col])
+    ds_cols = list(cols) if cols is not None else list(ds.schema().names)
+    return semi_anti_filter_scalable(ds, id_col, cont_ids, anti=True,
+                                     num_buckets=num_buckets, cols=ds_cols)

@@ -1007,6 +1007,39 @@ def q_semi_anti_bloom(sf_dir: str) -> rd.Dataset:
     return kept.map_batches(fin, batch_format="pandas")
 
 
+def q_text_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition quality metrics + integer-rule keep flag
+    (no shuffle — per-doc metrics are batch-local)."""
+    return text_analysis.repetition_stats(
+        rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Benchmark decontamination: docs with doc_id %% 41 == 0 play the
+    eval set; every other doc sharing a 4-token shingle with any of
+    them is dropped. Exact (bloom prefilter + hash-join resolve on the
+    shingle hits, then an anti-join on the contaminated ids)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    pool = docs.map_batches(lambda df: df[df["doc_id"] % 41 != 0],
+                            batch_format="pandas")
+    bench = docs.map_batches(
+        lambda df: df.loc[df["doc_id"] % 41 == 0, ["doc_id", "text"]],
+        batch_format="pandas")
+    clean = dedup.decontaminate(pool, bench, n=4,
+                                cols=["doc_id", "text", "n_chars"])
+    return clean.map_batches(lambda df: df[["doc_id", "n_chars"]],
+                             batch_format="pandas")
+
+
+def q_shard_stats(sf_dir: str) -> rd.Dataset:
+    """Deterministic md5-hash training-shard manifest: 16 shards, per-
+    shard doc count + byte sum (shards.export_training_shards writes the
+    same assignment as hive-partitioned parquet)."""
+    from . import shards
+    return shards.shard_stats(rp(sf_dir, "documents", ["doc_id", "n_chars"]),
+                              num_shards=16)
+
+
 # ----------------------------------------------------- fixture corpus
 
 def _corpus(sf_dir: str) -> rd.Dataset:
@@ -1419,6 +1452,18 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas")
     checksum(tk, ["chk"], "topk2")
     checksum(events_rolling_sum3(sf_dir), ["sum3_cents"], "rolling3")
+    # round-3 folds: tumbling window, per-user lag, ordered string agg
+    # (their individually-registered versions moved past the window to
+    # make room for text_repetition / decontaminate / shard_stats)
+    checksum(events_tumbling(sf_dir),
+             ["window_start", "n", "sum_value_cents"], "tumbling")
+    checksum(events_prev_gap(sf_dir), ["event_id", "prev_gap_us"], "prevgap")
+    opc = order_priorities_concat(sf_dir).map_batches(
+        lambda df: pd.DataFrame(
+            {"cust": df["o_custkey"].to_numpy(dtype=np.int64),
+             "plen": df["priorities"].str.len().to_numpy(dtype=np.int64)}),
+        batch_format="pandas")
+    checksum(opc, ["cust", "plen"], "concat")
     return pd.DataFrame({"metric": [r[0] for r in rows],
                          "k": [str(r[1]) for r in rows],
                          "v": np.array([r[2] for r in rows], dtype=np.int64)})
@@ -1576,10 +1621,13 @@ def _langid_oracle_sql() -> str:
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
 # query comes first — exactly 50 of them — and the rows-only /
-# documented-approximate entries come after. The seven trivial shapes
-# registered past the window stay value-checked every round via their
-# in-window twin `combined_small_shapes`; scripts/check_queries.py
-# covers EVERY ORACLE_SQL entry locally regardless of the window.
+# documented-approximate entries come after. The ten trivial/redundant
+# shapes registered past the window (seven from round 2 plus
+# events_tumbling / events_prev_gap / order_priorities_concat, whose
+# slots went to the round-3 training-data operators) stay value-checked
+# every round via their in-window twin `combined_small_shapes`;
+# scripts/check_queries.py covers EVERY ORACLE_SQL entry locally
+# regardless of the window.
 QUERIES = {
     # flagship extraction family: SQL-checkable twins first
     # (ingest_flat_documents = full pipeline on the flat corpus;
@@ -1633,14 +1681,20 @@ QUERIES = {
     "asof_last_order_before_event": asof_last_order_before_event,
     "range_join_balance_band": range_join_balance_band,
     "median_value_by_type": median_value_by_type,
-    "events_tumbling": events_tumbling,
     "events_value_histogram": events_value_histogram,
-    "events_prev_gap": events_prev_gap,
     "events_sessionize": events_sessionize,
-    "order_priorities_concat": order_priorities_concat,
+    # round-3 training-data operators (in-window; their slots come from
+    # events_tumbling / events_prev_gap / order_priorities_concat, whose
+    # checksums moved into combined_small_shapes below)
+    "text_repetition": q_text_repetition,
+    "decontaminate": q_decontaminate,
+    "shard_stats": q_shard_stats,
     # trivial/redundant oracles — past the driver window by design;
     # their SHAPES stay value-checked every round through the in-window
     # combined_small_shapes checksum twin
+    "events_tumbling": events_tumbling,
+    "events_prev_gap": events_prev_gap,
+    "order_priorities_concat": order_priorities_concat,
     "topk_orders_per_customer": topk_orders_per_customer,
     "events_rolling_sum3": events_rolling_sum3,
     "part_brand_stats": part_brand_stats,
@@ -1893,6 +1947,44 @@ ORACLE_SQL = {
         WHERE EXISTS (SELECT 1 FROM customer c
                       WHERE c.c_custkey = e.user_id
                         AND c.c_mktsegment = 'BUILDING')""",
+    "text_repetition": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        tc0 AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+        tc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                      CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                      CAST(MAX(c) AS BIGINT) AS max_tok_count
+               FROM tc0 GROUP BY doc_id),
+        bg0 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+                FROM t, unnest(range(1, len(toks))) AS u(i)),
+        bc0 AS (SELECT doc_id, g, COUNT(*) AS c FROM bg0 GROUP BY doc_id, g),
+        bc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                      CAST(MAX(c) AS BIGINT) AS max_bigram_count
+               FROM bc0 GROUP BY doc_id)
+        SELECT tc.doc_id, n_tokens, n_distinct, max_tok_count,
+               COALESCE(n_bigrams, 0) AS n_bigrams,
+               COALESCE(max_bigram_count, 0) AS max_bigram_count,
+               CAST(CASE WHEN max_tok_count * 4 <= n_tokens
+                          AND COALESCE(max_bigram_count, 0) * 8
+                              <= COALESCE(n_bigrams, 0)
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM tc LEFT JOIN bc ON tc.doc_id = bc.doc_id""",
+    "decontaminate": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g FROM t,
+               unnest(range(1, greatest(2, len(toks) - 2))) AS u(i)),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 41 = 0),
+        cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING(g)
+                 WHERE s.doc_id % 41 <> 0)
+        SELECT d.doc_id, d.n_chars FROM documents d
+        WHERE d.doc_id % 41 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM cont)""",
+    "shard_stats": """
+        SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT) % 16 AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        FROM documents GROUP BY 1""",
     "combined_small_shapes": """
         SELECT 'count_orders' AS metric, '' AS k, COUNT(*) AS v FROM orders
         UNION ALL
@@ -1938,7 +2030,42 @@ ORACLE_SQL = {
         FROM (SELECT SUM(CAST(ROUND(value*100) AS BIGINT))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s3
-              FROM events)""",
+              FROM events)
+        UNION ALL
+        SELECT 'tumbling_count', '', COUNT(*) FROM
+        (SELECT event_type, CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS ws
+         FROM events GROUP BY 1, 2)
+        UNION ALL
+        SELECT 'tumbling_sum_window_start', '', CAST(SUM(ws) AS BIGINT) FROM
+        (SELECT event_type, CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS ws
+         FROM events GROUP BY 1, 2)
+        UNION ALL
+        SELECT 'tumbling_sum_n', '', COUNT(*) FROM events
+        UNION ALL
+        SELECT 'tumbling_sum_sum_value_cents', '',
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'prevgap_count', '', COUNT(*) FROM events
+        UNION ALL
+        SELECT 'prevgap_sum_event_id', '', CAST(SUM(event_id) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'prevgap_sum_prev_gap_us', '', CAST(SUM(g) AS BIGINT) FROM
+        (SELECT CAST(COALESCE(date_diff('microsecond',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts), -1) AS BIGINT) AS g
+         FROM events)
+        UNION ALL
+        SELECT 'concat_count', '', COUNT(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'concat_sum_cust', '', CAST(SUM(c) AS BIGINT) FROM
+        (SELECT DISTINCT o_custkey AS c FROM orders)
+        UNION ALL
+        SELECT 'concat_sum_plen', '', CAST(SUM(LEN(p)) AS BIGINT) FROM
+        (SELECT string_agg(o_orderpriority, '|'
+                           ORDER BY o_orderdate, o_orderkey) AS p
+         FROM orders GROUP BY o_custkey)""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,

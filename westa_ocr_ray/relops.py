@@ -279,7 +279,8 @@ def semi_anti_filter_scalable(ds: rd.Dataset, key: str, keys: rd.Dataset,
                               key_col: Optional[str] = None,
                               anti: bool = False,
                               m_bits: int = 1 << 23, k: int = 4,
-                              num_buckets: Optional[int] = None) -> rd.Dataset:
+                              num_buckets: Optional[int] = None,
+                              cols: Optional[Sequence[str]] = None) -> rd.Dataset:
     """EXACT semi/anti join against a key DATASET of any size — the
     scale path for semi_anti_filter, whose broadcast frozenset is
     bounded by driver/worker memory (at 10^12 docs the resume anti-join
@@ -299,7 +300,10 @@ def semi_anti_filter_scalable(ds: rd.Dataset, key: str, keys: rd.Dataset,
     from .sketches import bloom_from_dataset, bloom_might_contain
 
     key_col = key_col or key
-    ds_cols = list(ds.schema().names)  # cheap for reads; see docstring
+    # `cols` skips the schema probe for lazy TRANSFORMED inputs, where
+    # Dataset.schema() partially executes the upstream plan (the same
+    # hint mechanism as hash_join's left_cols/right_cols)
+    ds_cols = list(cols) if cols is not None else list(ds.schema().names)
     keys = keys.select_columns([key_col]).materialize()  # reused 2x
     bloom = ray.put(bloom_from_dataset(keys, key_col, m_bits=m_bits, k=k))
 

@@ -223,3 +223,65 @@ def pack_sequences_greedy(ds: rd.Dataset, id_col: str = "doc_id",
 
     return (ds.map_batches(tag, batch_format="pandas")
             .groupby("bucket").map_groups(pack, batch_format="pandas"))
+
+
+def repetition_stats(ds: rd.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     max_tok_frac4: int = 4,
+                     max_bg_frac8: int = 8) -> rd.Dataset:
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1:
+    most-frequent-word fraction / top-2-gram fraction), the repetition
+    half of web-corpus quality filtering (quality_table covers the
+    length/stopword half). Per-doc metrics need only that doc's text, so
+    the whole operator is one embarrassingly-parallel map_batches — no
+    shuffle. Counts are exploded to flat token / bigram arrays once per
+    batch and reduced with pandas C groupbys (no per-row Python).
+
+    keep uses INTEGER threshold arithmetic so the DuckDB oracle
+    (queries.ORACLE_SQL['text_repetition']) reproduces it bit-for-bit:
+    keep = max_tok_count * max_tok_frac4 <= n_tokens           (< 1/4)
+         AND max_bigram_count * max_bg_frac8 <= n_bigrams      (< 1/8)
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({id_col: df[id_col],
+                                 **{c: pd.Series([], dtype=np.int64)
+                                    for c in ("n_tokens", "n_distinct",
+                                              "max_tok_count", "n_bigrams",
+                                              "max_bigram_count", "keep")}})
+        toks = df[text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        did = np.repeat(np.arange(n, dtype=np.int64), lens)
+        tok_counts = (pd.DataFrame({"d": did, "t": flat})
+                      .groupby(["d", "t"], sort=False).size())
+        per_doc = tok_counts.groupby(level="d")
+        n_distinct = per_doc.size().reindex(range(n), fill_value=0)
+        max_tok = per_doc.max().reindex(range(n), fill_value=0)
+        # bigrams: adjacent flat positions within the same doc
+        if len(flat) > 1:
+            same = did[:-1] == did[1:]
+            bg = (flat[:-1] + " " + flat[1:])[same]
+            bdid = did[:-1][same]
+            bg_counts = (pd.DataFrame({"d": bdid, "g": bg})
+                         .groupby(["d", "g"], sort=False).size())
+            max_bg = (bg_counts.groupby(level="d").max()
+                      .reindex(range(n), fill_value=0))
+        else:
+            max_bg = pd.Series(np.zeros(n, dtype=np.int64))
+        n_bg = np.maximum(lens - 1, 0)
+        max_tok_v = max_tok.to_numpy(dtype=np.int64)
+        max_bg_v = max_bg.to_numpy(dtype=np.int64)
+        keep = ((max_tok_v * max_tok_frac4 <= lens)
+                & (max_bg_v * max_bg_frac8 <= n_bg)).astype(np.int64)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "n_tokens": lens,
+                             "n_distinct": n_distinct.to_numpy(dtype=np.int64),
+                             "max_tok_count": max_tok_v,
+                             "n_bigrams": n_bg,
+                             "max_bigram_count": max_bg_v,
+                             "keep": keep})
+
+    return ds.map_batches(fn, batch_format="pandas")
