@@ -4,7 +4,10 @@ import pandas as pd
 import ray.data as rd
 
 from westa_ocr_ray.pipelines.clean import (clean_corpus, dedup_exact_keep,
+                                           prepare_training_data,
                                            quality_filter)
+from westa_ocr_ray.relops import semi_anti_filter_scalable
+from westa_ocr_ray.text_analysis import repetition_filter, repetition_stats
 
 LONG = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
         "lam mu nu xi omicron pi rho sigma tau upsilon")
@@ -41,3 +44,65 @@ def test_clean_corpus_full_chain():
     assert 1 in ids and 5 in ids
     assert 2 not in ids and 4 not in ids
     assert 3 not in ids  # fuzzy near-dup removed
+
+
+def test_dedup_exact_keep_scalable_matches_broadcast():
+    # planted dup pair + dup triple among uniques; both paths must emit
+    # the identical first-wins survivor set with columns intact
+    rows = ([{"doc_id": i, "text": LONG} for i in (7, 2)]
+            + [{"doc_id": i, "text": "triple " + LONG} for i in (9, 4, 6)]
+            + [{"doc_id": 10 + i, "text": f"unique number {i} " + LONG}
+               for i in range(5)])
+    a = dedup_exact_keep(_ds(rows), scalable=True,
+                         cols=["doc_id", "text"]).to_pandas()
+    b = dedup_exact_keep(_ds(rows), scalable=False).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"]) == [2, 4] + list(range(10, 15))
+    assert sorted(a.columns) == sorted(b.columns) == ["doc_id", "text"]
+
+
+def test_semi_anti_scalable_empty_key_side():
+    ds = _ds([{"doc_id": i, "text": LONG} for i in range(4)])
+    none = _ds([{"doc_id": 1}]).filter(lambda r: False)
+    kept = semi_anti_filter_scalable(ds, "doc_id", none, anti=True,
+                                     cols=["doc_id", "text"]).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 2, 3]
+    semi = semi_anti_filter_scalable(ds, "doc_id", none, anti=False,
+                                     cols=["doc_id", "text"]).to_pandas()
+    assert len(semi) == 0
+
+
+def test_repetition_filter_matches_stats_keep():
+    rows = [{"doc_id": 1, "text": LONG},
+            {"doc_id": 2, "text": "spam " * 40},
+            {"doc_id": 3, "text": "go stop " * 30},
+            {"doc_id": 4, "text": "varied words every time nothing repeats "
+                                  "in this sentence at all okay done"}]
+    kept = repetition_filter(_ds(rows)).to_pandas()
+    stats = repetition_stats(_ds(rows)).to_pandas()
+    expect = sorted(stats.loc[stats["keep"] == 1, "doc_id"])
+    assert sorted(kept["doc_id"]) == expect
+    assert 2 not in set(kept["doc_id"])  # max-token rule
+    assert 3 not in set(kept["doc_id"])  # max-bigram rule
+
+
+def test_prepare_training_data_end_to_end():
+    uniq = [{"doc_id": i,
+             "text": f"document {i} keeps plenty of distinct vocabulary "
+                     f"tokens varied {i} content body",
+             "n_chars": 80} for i in range(10, 20)]
+    rows = ([{"doc_id": 1, "text": LONG, "n_chars": len(LONG)},
+             {"doc_id": 2, "text": LONG, "n_chars": len(LONG)},    # exact dup
+             {"doc_id": 3, "text": "tiny", "n_chars": 4},          # quality fail
+             {"doc_id": 4, "text": "spam " * 40, "n_chars": 200}]  # repetition
+            + uniq)
+    # bench shares a 4-token shingle with doc 15 only
+    bench = _ds([{"doc_id": 99,
+                  "text": "document 15 keeps plenty of nothing else"}])
+    out = prepare_training_data(_ds(rows), bench=bench,
+                                cols=["doc_id", "text", "n_chars"]).to_pandas()
+    ids = set(out["doc_id"])
+    assert 1 in ids and 2 not in ids          # first-wins exact dedup
+    assert 3 not in ids and 4 not in ids      # quality / repetition
+    assert 15 not in ids                      # decontaminated
+    assert ids >= {10, 11, 12, 13, 14, 16, 17, 18, 19}
+    assert sorted(out.columns) == ["doc_id", "n_chars", "text"]

@@ -162,6 +162,43 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     return out
 
 
+def exact_dup_ids(ds: rd.Dataset, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Ids that LOSE first-wins exact dedup (every group member except
+    the min-id keeper per content hash) — the scale-friendly complement
+    of exact_dedup's keeper table: for web corpora |dups| << |corpus|,
+    so removal is an anti-join against this SMALL side (bloom prefilter
+    lets ~all unique docs skip the join entirely) instead of a
+    semi-join against a corpus-sized keeper set.
+
+    Only (hash, id) pairs ever shuffle: the keeper table is filtered to
+    multi-member hashes before the join, so the join's right side holds
+    one row per DUPLICATED content hash only."""
+
+    def sign(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "text_hash": [md5_hex(t) for t in df[text_col]],
+            id_col: df[id_col].to_numpy(),
+        })
+
+    signed = ds.map_batches(sign, batch_format="pandas")
+    keep = partial_aggregate(signed, ["text_hash"],
+                             {"keeper_doc_id": ("min", id_col),
+                              "n_dups": ("count", None)},
+                             num_buckets=num_buckets)
+    multi = keep.map_batches(
+        lambda df: df.loc[df["n_dups"] > 1, ["text_hash", "keeper_doc_id"]],
+        batch_format="pandas")
+    j = hash_join(signed, multi, "text_hash", "text_hash", how="inner",
+                  num_buckets=num_buckets,
+                  left_cols=["text_hash", id_col],
+                  right_cols=["text_hash", "keeper_doc_id"])
+    return j.map_batches(
+        lambda df: df.loc[df[id_col] != df["keeper_doc_id"], [id_col]],
+        batch_format="pandas")
+
+
 def prefix_dedup_groups(ds: rd.Dataset, id_col: str = "doc_id",
                         text_col: str = "text", n_tokens: int = 4) -> rd.Dataset:
     """Near-dup *blocking*: group docs by the hash of their first

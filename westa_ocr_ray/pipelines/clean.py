@@ -4,18 +4,23 @@ chain, composed from the engine's operators:
     quality filter (length / token thresholds)
       → exact dedup (content-hash first-wins)
       → [fuzzy dedup (MinHash-LSH + connected components)]
+      → repetition filter (Gopher-style integer rule)
+      → [benchmark decontamination (shared-shingle anti-join)]
+      → shard manifest / hive-partitioned training-shard export
 
 Each stage streams; the only shuffles are on derived keys (hashes).
 """
 
 from __future__ import annotations
 
+from typing import Optional, Sequence
+
 import pandas as pd
 import ray.data as rd
 
 from .. import dedup
-from ..relops import semi_anti_filter
-from ..text_analysis import _WORD_RE
+from ..relops import semi_anti_filter, semi_anti_filter_scalable
+from ..text_analysis import _WORD_RE, repetition_filter
 
 
 def quality_filter(ds: rd.Dataset, text_col: str = "text",
@@ -31,9 +36,25 @@ def quality_filter(ds: rd.Dataset, text_col: str = "text",
 
 
 def dedup_exact_keep(ds: rd.Dataset, id_col: str = "doc_id",
-                     text_col: str = "text") -> rd.Dataset:
+                     text_col: str = "text", scalable: bool = True,
+                     cols: Optional[Sequence[str]] = None) -> rd.Dataset:
     """Drop exact duplicates, keeping the min-id doc per content hash
-    (first-wins): semi-join against the keeper set."""
+    (first-wins).
+
+    ``scalable=True`` (default) anti-joins against the DROPPED-id
+    dataset (dedup.exact_dup_ids) — the small side at any corpus size,
+    so the bloom prefilter lets ~every unique doc bypass the join and
+    nothing corpus-sized ever reaches the driver. ``scalable=False``
+    keeps the broadcast keeper-set variant (bounded by the keeper set
+    fitting one worker heap; fine for small corpora, impossible at
+    10^12 docs where keepers ≈ corpus).
+
+    ``cols`` is the schema hint forwarded to the anti-join so a lazy
+    transformed input is not partially executed by a schema probe."""
+    if scalable:
+        dropped = dedup.exact_dup_ids(ds, id_col=id_col, text_col=text_col)
+        return semi_anti_filter_scalable(ds, id_col, dropped,
+                                         key_col=id_col, anti=True, cols=cols)
     keepers = dedup.exact_dedup(ds, id_col=id_col, text_col=text_col)
     keep_ids = set(keepers.to_pandas()["keeper_doc_id"])
     return semi_anti_filter(ds, id_col, keep_ids)
@@ -41,13 +62,46 @@ def dedup_exact_keep(ds: rd.Dataset, id_col: str = "doc_id",
 
 def clean_corpus(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                  min_words: int = 5, min_chars: int = 30,
-                 fuzzy: bool = False, jaccard_threshold: float = 0.8) -> rd.Dataset:
+                 fuzzy: bool = False, jaccard_threshold: float = 0.8,
+                 cols: Optional[Sequence[str]] = None) -> rd.Dataset:
     """The full chain; ``fuzzy=True`` adds MinHash-LSH near-dup removal
     (first-wins per connected component)."""
     out = quality_filter(ds, text_col=text_col, min_words=min_words,
                          min_chars=min_chars)
-    out = dedup_exact_keep(out, id_col=id_col, text_col=text_col)
+    out = dedup_exact_keep(out, id_col=id_col, text_col=text_col, cols=cols)
     if fuzzy:
         out = dedup.dedup_by_minhash(out, id_col=id_col, text_col=text_col,
                                      jaccard_threshold=jaccard_threshold)
+    return out
+
+
+def prepare_training_data(ds: rd.Dataset, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          bench: Optional[rd.Dataset] = None,
+                          min_words: int = 5, min_chars: int = 30,
+                          rep_tok_frac4: int = 4, rep_bg_frac8: int = 8,
+                          decont_n: int = 4, fuzzy: bool = False,
+                          jaccard_threshold: float = 0.8,
+                          cols: Optional[Sequence[str]] = None) -> rd.Dataset:
+    """The full training-corpus preparation chain: quality filter →
+    exact dedup (scalable anti-join form) → [MinHash fuzzy dedup] →
+    Gopher-style repetition filter → [benchmark decontamination against
+    ``bench``]. Returns the surviving docs with their input columns;
+    terminal layout is shards.shard_stats / export_training_shards.
+
+    Every stage is a streaming map or a derived-key shuffle: texts move
+    only through the decontamination anti-join's bloom-hit slice, and
+    the driver never sees a corpus-sized collection. Exactly
+    SQL-expressible when ``fuzzy=False`` — the driver gate is
+    queries.ORACLE_SQL['training_prep']."""
+    out = clean_corpus(ds, id_col=id_col, text_col=text_col,
+                       min_words=min_words, min_chars=min_chars,
+                       fuzzy=fuzzy, jaccard_threshold=jaccard_threshold,
+                       cols=cols)
+    out = repetition_filter(out, id_col=id_col, text_col=text_col,
+                            max_tok_frac4=rep_tok_frac4,
+                            max_bg_frac8=rep_bg_frac8)
+    if bench is not None:
+        out = dedup.decontaminate(out, bench, n=decont_n, id_col=id_col,
+                                  text_col=text_col, cols=cols)
     return out

@@ -1040,6 +1040,28 @@ def q_shard_stats(sf_dir: str) -> rd.Dataset:
                               num_shards=16)
 
 
+def q_training_prep(sf_dir: str) -> rd.Dataset:
+    """The END-TO-END training-data preparation chain as ONE
+    driver-checkable query: quality filter → exact dedup (scalable
+    dropped-id anti-join) → Gopher repetition filter → benchmark
+    decontamination (docs with doc_id % 41 == 0 play the eval set) →
+    16-shard manifest. Every stage is exact, so the whole chain has a
+    single composed SQL oracle (hash-green = the full pipeline a
+    reference user would run end to end is value-verified, not just its
+    stages)."""
+    from . import shards
+    from .pipelines.clean import prepare_training_data
+    docs = rp(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    pool = docs.map_batches(lambda df: df[df["doc_id"] % 41 != 0],
+                            batch_format="pandas")
+    bench = docs.map_batches(
+        lambda df: df.loc[df["doc_id"] % 41 == 0, ["doc_id", "text"]],
+        batch_format="pandas")
+    clean = prepare_training_data(pool, bench=bench,
+                                  cols=["doc_id", "text", "n_chars"])
+    return shards.shard_stats(clean, num_shards=16)
+
+
 # ----------------------------------------------------- fixture corpus
 
 def _corpus(sf_dir: str) -> rd.Dataset:
@@ -1464,6 +1486,8 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
              "plen": df["priorities"].str.len().to_numpy(dtype=np.int64)}),
         batch_format="pandas")
     checksum(opc, ["cust", "plen"], "concat")
+    # round-3 fold #2: binned histogram (slot went to training_prep)
+    checksum(events_value_histogram(sf_dir), ["bin", "n"], "hist")
     return pd.DataFrame({"metric": [r[0] for r in rows],
                          "k": [str(r[1]) for r in rows],
                          "v": np.array([r[2] for r in rows], dtype=np.int64)})
@@ -1681,20 +1705,22 @@ QUERIES = {
     "asof_last_order_before_event": asof_last_order_before_event,
     "range_join_balance_band": range_join_balance_band,
     "median_value_by_type": median_value_by_type,
-    "events_value_histogram": events_value_histogram,
     "events_sessionize": events_sessionize,
     # round-3 training-data operators (in-window; their slots come from
-    # events_tumbling / events_prev_gap / order_priorities_concat, whose
-    # checksums moved into combined_small_shapes below)
+    # events_tumbling / events_prev_gap / order_priorities_concat /
+    # events_value_histogram, whose checksums moved into
+    # combined_small_shapes below)
     "text_repetition": q_text_repetition,
     "decontaminate": q_decontaminate,
     "shard_stats": q_shard_stats,
+    "training_prep": q_training_prep,
     # trivial/redundant oracles — past the driver window by design;
     # their SHAPES stay value-checked every round through the in-window
     # combined_small_shapes checksum twin
     "events_tumbling": events_tumbling,
     "events_prev_gap": events_prev_gap,
     "order_priorities_concat": order_priorities_concat,
+    "events_value_histogram": events_value_histogram,
     "topk_orders_per_customer": topk_orders_per_customer,
     "events_rolling_sum3": events_rolling_sum3,
     "part_brand_stats": part_brand_stats,
@@ -1985,6 +2011,53 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
         FROM documents GROUP BY 1""",
+    # the end-to-end training-prep chain, composed from the per-stage
+    # oracles (clean_corpus ∘ text_repetition keep rule ∘ decontaminate
+    # shingles ∘ shard_stats assignment) — each fragment is identical to
+    # its stage oracle so a divergence pinpoints the stage
+    "training_prep": """
+        WITH q AS (
+          SELECT doc_id, text, n_chars FROM documents
+          WHERE doc_id % 41 <> 0
+            AND LEN(regexp_extract_all(text, '[A-Za-z0-9_]+')) >= 5
+            AND LENGTH(text) >= 30),
+        kp AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        d AS (SELECT q.* FROM q JOIN kp USING (doc_id)),
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+        tc0 AS (SELECT doc_id, tok, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                GROUP BY doc_id, tok),
+        tc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                      CAST(MAX(c) AS BIGINT) AS max_tok_count
+               FROM tc0 GROUP BY doc_id),
+        bc0 AS (SELECT doc_id, g, COUNT(*) AS c
+                FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+                      FROM t, unnest(range(1, len(toks))) AS u(i))
+                GROUP BY doc_id, g),
+        bc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                      CAST(MAX(c) AS BIGINT) AS max_bigram_count
+               FROM bc0 GROUP BY doc_id),
+        r AS (SELECT d.* FROM d
+              JOIN tc ON d.doc_id = tc.doc_id
+              LEFT JOIN bc ON d.doc_id = bc.doc_id
+              WHERE tc.max_tok_count * 4 <= tc.n_tokens
+                AND COALESCE(bc.max_bigram_count, 0) * 8
+                    <= COALESCE(bc.n_bigrams, 0)),
+        rt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM r),
+        sh AS (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+               FROM rt, unnest(range(1, greatest(2, len(toks) - 2))) AS u(i)),
+        bsh AS (SELECT DISTINCT array_to_string(toks[i:i+3], ' ') AS g
+                FROM (SELECT string_split(text, ' ') AS toks
+                      FROM documents WHERE doc_id % 41 = 0) bt,
+                unnest(range(1, greatest(2, len(toks) - 2))) AS u(i)),
+        cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bsh USING (g)),
+        f AS (SELECT * FROM r
+              WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT) % 16 AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        FROM f GROUP BY 1""",
     "combined_small_shapes": """
         SELECT 'count_orders' AS metric, '' AS k, COUNT(*) AS v FROM orders
         UNION ALL
@@ -2065,7 +2138,17 @@ ORACLE_SQL = {
         SELECT 'concat_sum_plen', '', CAST(SUM(LEN(p)) AS BIGINT) FROM
         (SELECT string_agg(o_orderpriority, '|'
                            ORDER BY o_orderdate, o_orderkey) AS p
-         FROM orders GROUP BY o_custkey)""",
+         FROM orders GROUP BY o_custkey)
+        UNION ALL
+        SELECT 'hist_count', '', COUNT(*) FROM
+        (SELECT event_type, CAST(floor(value / 10.0) * 10 AS BIGINT) AS b
+         FROM events GROUP BY 1, 2)
+        UNION ALL
+        SELECT 'hist_sum_bin', '', CAST(SUM(b) AS BIGINT) FROM
+        (SELECT event_type, CAST(floor(value / 10.0) * 10 AS BIGINT) AS b
+         FROM events GROUP BY 1, 2)
+        UNION ALL
+        SELECT 'hist_sum_n', '', COUNT(*) FROM events""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,

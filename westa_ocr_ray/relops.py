@@ -305,6 +305,9 @@ def semi_anti_filter_scalable(ds: rd.Dataset, key: str, keys: rd.Dataset,
     # hint mechanism as hash_join's left_cols/right_cols)
     ds_cols = list(cols) if cols is not None else list(ds.schema().names)
     keys = keys.select_columns([key_col]).materialize()  # reused 2x
+    if keys.count() == 0:  # metadata-only on a materialized dataset
+        # empty key side: anti keeps everything, semi keeps nothing
+        return ds if anti else ds.limit(0)
     bloom = ray.put(bloom_from_dataset(keys, key_col, m_bits=m_bits, k=k))
 
     def split(certain_side: bool):

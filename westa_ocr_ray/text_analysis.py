@@ -242,7 +242,28 @@ def repetition_stats(ds: rd.Dataset, id_col: str = "doc_id",
     keep = max_tok_count * max_tok_frac4 <= n_tokens           (< 1/4)
          AND max_bigram_count * max_bg_frac8 <= n_bigrams      (< 1/8)
     """
+    fn = _repetition_batch(id_col, text_col, max_tok_frac4, max_bg_frac8)
+    return ds.map_batches(fn, batch_format="pandas")
 
+
+def repetition_filter(ds: rd.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_tok_frac4: int = 4,
+                      max_bg_frac8: int = 8) -> rd.Dataset:
+    """Filter form of repetition_stats: passes through the input rows
+    whose keep flag is 1 (same kernel, same integer rule) — metrics are
+    batch-local so the filter fuses into the map with no join."""
+    stats = _repetition_batch(id_col, text_col, max_tok_frac4, max_bg_frac8)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        keep = stats(df)["keep"].to_numpy(dtype=bool)
+        return df[keep]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _repetition_batch(id_col: str, text_col: str,
+                      max_tok_frac4: int, max_bg_frac8: int):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         if n == 0:
@@ -284,4 +305,4 @@ def repetition_stats(ds: rd.Dataset, id_col: str = "doc_id",
                              "max_bigram_count": max_bg_v,
                              "keep": keep})
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return fn
