@@ -30,7 +30,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "tokens_by_lang", "events_sessionize", "topk_orders_per_customer",
                  "embedding_centroids",
                  # round-2 additions (new keys; round-1 keys unchanged)
-                 "parse_detail_rows", "lm_unigram_score"]
+                 "parse_detail_rows", "lm_unigram_score",
+                 # round-3 addition: the end-to-end training-prep chain
+                 "training_prep"]
 
 
 def _warm_workers(ncpu: int) -> None:
