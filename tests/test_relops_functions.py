@@ -214,3 +214,43 @@ def test_semi_anti_filter_scalable_matches_broadcast():
                .to_pandas().sort_values("k", ignore_index=True))
         pd.testing.assert_frame_equal(got[["k", "v"]].astype("int64"),
                                       exp[["k", "v"]].astype("int64"))
+
+
+def test_grouped_topk_matches_pandas():
+    import numpy as np
+    from westa_ocr_ray.relops import grouped_topk
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"g": rng.randint(0, 5, 400),      # skewed small groups
+                       "v": rng.randint(0, 50, 400),
+                       "uid": np.arange(400)})
+    df.loc[df.index[:200], "g"] = 0                      # hot group
+    out = (grouped_topk(rd.from_pandas(df).repartition(6), ["g"],
+                        ["v", "uid"], k=3, ascending=[False, True],
+                        num_buckets=4)
+           .to_pandas().sort_values(["g", "rk"], ignore_index=True))
+    exp = (df.sort_values(["g", "v", "uid"], ascending=[True, False, True])
+             .groupby("g").head(3)
+             .sort_values(["g", "v", "uid"], ascending=[True, False, True],
+                          ignore_index=True))
+    exp["rk"] = exp.groupby("g").cumcount() + 1
+    assert out[["g", "v", "uid", "rk"]].values.tolist() == \
+        exp[["g", "v", "uid", "rk"]].values.tolist()
+
+
+def test_grouped_topk_k_exceeds_group_size():
+    from westa_ocr_ray.relops import grouped_topk
+    df = pd.DataFrame({"g": ["a", "a", "b"], "v": [1, 2, 9],
+                       "uid": [1, 2, 3]})
+    out = grouped_topk(rd.from_pandas(df), ["g"], ["v", "uid"], k=5,
+                       ascending=[False, True], num_buckets=2).to_pandas()
+    assert len(out) == 3 and set(out["rk"]) <= {1, 2}
+
+
+def test_compact_blocks_collapses_fragmentation():
+    from westa_ocr_ray.relops import compact_blocks
+    frag = rd.from_pandas(pd.DataFrame({"x": range(500)})).repartition(200)
+    frag = frag.materialize()
+    assert frag.num_blocks() == 200
+    out = compact_blocks(frag)
+    assert out.num_blocks() < 200
+    assert sorted(r["x"] for r in out.take_all()) == list(range(500))

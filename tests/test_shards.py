@@ -55,3 +55,27 @@ def test_shard_stats_matches_direct():
     assert list(stats["shard"]) == list(exp["shard"])
     assert list(stats["n_docs"]) == list(exp["n_docs"])
     assert list(stats["sum_n_chars"]) == list(exp["sum_n_chars"])
+
+
+def test_shuffle_rank_matches_md5_order_any_layout():
+    df = _docs(300)
+    exp = df.copy()
+    exp["k"] = [md5_hex(f"7|{i}") for i in exp["doc_id"]]
+    exp = exp.sort_values(["k", "doc_id"], ignore_index=True)
+    expected = {d: r for r, d in enumerate(exp["doc_id"])}
+    for nblocks in (1, 7):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = shards.shuffle_rank(ds, seed=7, num_buckets=16).to_pandas()
+        got = dict(zip(out["doc_id"], out["rank"]))
+        assert got == expected  # a 0..n-1 permutation, layout-independent
+        assert sorted(out.columns) == ["doc_id", "n_chars", "rank"]
+
+
+def test_shuffle_rank_seed_changes_order():
+    ds = rd.from_pandas(_docs(100))
+    a = shards.shuffle_rank(ds, seed=1, num_buckets=8).to_pandas()
+    b = shards.shuffle_rank(ds, seed=2, num_buckets=8).to_pandas()
+    pa = dict(zip(a["doc_id"], a["rank"]))
+    pb = dict(zip(b["doc_id"], b["rank"]))
+    assert sorted(pa.values()) == list(range(100))
+    assert pa != pb

@@ -1040,6 +1040,28 @@ def q_shard_stats(sf_dir: str) -> rd.Dataset:
                               num_shards=16)
 
 
+def q_shuffle_rank(sf_dir: str) -> rd.Dataset:
+    """Deterministic global training shuffle: every doc's 0-based
+    position under the md5(seed|id) order, assigned distributively
+    (range-partition on the uniform key's prefix + per-bucket offsets)
+    with no global sort and nothing corpus-sized on the driver."""
+    from . import shards
+    ranked = shards.shuffle_rank(rp(sf_dir, "documents", ["doc_id"]), seed=42)
+    return ranked.map_batches(lambda df: df[["doc_id", "rank"]],
+                              batch_format="pandas")
+
+
+def q_lang_quota(sf_dir: str) -> rd.Dataset:
+    """Per-language quota curation: keep the 50 largest docs per lang
+    (grouped top-k via per-block partial top-k + bucketed final — the
+    candidate set is bounded by blocks × k, so a 90%%-one-language
+    corpus can't overload a task)."""
+    from .relops import grouped_topk
+    docs = rp(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    return grouped_topk(docs, ["lang"], ["n_chars", "doc_id"], k=50,
+                        ascending=[False, True])
+
+
 def q_training_prep(sf_dir: str) -> rd.Dataset:
     """The END-TO-END training-data preparation chain as ONE
     driver-checkable query: quality filter → exact dedup (scalable
@@ -1733,6 +1755,8 @@ QUERIES = {
     # scripts/check_queries.py, which covers ALL ORACLE_SQL entries
     "pack_sequences": q_pack_sequences,
     "semi_anti_bloom": q_semi_anti_bloom,
+    "shuffle_rank": q_shuffle_rank,
+    "lang_quota": q_lang_quota,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -2011,6 +2035,19 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
         FROM documents GROUP BY 1""",
+    "shuffle_rank": """
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                    ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id)
+                    - 1 AS BIGINT) AS rank
+        FROM documents""",
+    "lang_quota": """
+        SELECT lang, doc_id, n_chars, rk FROM (
+          SELECT lang, doc_id, n_chars,
+                 CAST(row_number() OVER (
+                      PARTITION BY lang
+                      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+          FROM documents) WHERE rk <= 50""",
     # the end-to-end training-prep chain, composed from the per-stage
     # oracles (clean_corpus ∘ text_repetition keep rule ∘ decontaminate
     # shingles ∘ shard_stats assignment) — each fragment is identical to

@@ -56,6 +56,41 @@ def auto_buckets(floor: int = 64, size_bytes: Optional[int] = None,
     return n
 
 
+#: target bytes per BLOCK for checkpoint compaction (below); smaller
+#: than a shuffle bucket because blocks are the streaming/scheduling
+#: unit and want to outnumber cores.
+TARGET_BLOCK_BYTES = 64 << 20
+
+
+def compact_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Coalesce a MATERIALIZED dataset's fragmentation. Every bucketed
+    exchange (groupby/map_groups, hash_join, union) emits one block per
+    bucket regardless of size, so a chain of them on a modest input
+    accumulates hundreds of tiny blocks — and downstream all-to-all
+    costs scale with block COUNT, not bytes (a 5k-row chain measured
+    63 s → 17 s at 32 cpus from this compaction alone).
+
+    Block target = max(2 blocks per cluster CPU, bytes / 64 MiB): at
+    real data sizes blocks are already big, the condition never fires,
+    and the dataset streams through untouched — this only collapses
+    pathological fragmentation, it never coarsens healthy layouts."""
+    try:
+        nblocks = ds.num_blocks()
+        nbytes = ds.size_bytes() or 0
+    except Exception:
+        return ds
+    cpus = 8
+    try:
+        if ray.is_initialized():
+            cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        pass
+    target = max(2 * cpus, -(-int(nbytes) // TARGET_BLOCK_BYTES))
+    if nblocks > 2 * target:
+        return ds.repartition(target).materialize()
+    return ds
+
+
 def input_size_bytes(*paths: str) -> int:
     """Total on-disk bytes of parquet files/dirs — the cheap data-size
     hint for auto_buckets (metadata only, no read)."""
@@ -122,6 +157,60 @@ def partial_aggregate(ds: rd.Dataset, keys: Sequence[str],
 
     partials = ds.map_batches(combine, batch_format="pandas")
     return partials.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def grouped_topk(ds: rd.Dataset, group_cols: Sequence[str],
+                 order_cols: Sequence[str], k: int,
+                 ascending: "bool | Sequence[bool]" = False,
+                 num_buckets: Optional[int] = None,
+                 size_hint_bytes: Optional[int] = None) -> rd.Dataset:
+    """Top-k rows per group WITHOUT a global sort (the per-group quota
+    shape of training-data curation: "keep the N best docs per
+    language"). Two bounded stages:
+
+    1. every input block emits its own per-group top-k — a block
+       contributes ≤ groups_in_block × k rows, so the shuffle moves
+       candidates, never the corpus;
+    2. candidates hash-bucket on the group key and each bucket takes the
+       final per-group top-k (≤ blocks × k rows per group reach one
+       task — bounded by the block count, not the group's size, which
+       is what makes a skewed hot group safe).
+
+    Adds ``rk`` (1-based rank within the group). ``order_cols`` should
+    end in a unique column so ranks are deterministic under any block
+    layout."""
+    group_cols, order_cols = list(group_cols), list(order_cols)
+    if num_buckets is None:
+        num_buckets = auto_buckets(floor=64, size_bytes=size_hint_bytes)
+    asc = ([ascending] * len(order_cols) if isinstance(ascending, bool)
+           else list(ascending))
+    sort_cols = group_cols + order_cols
+    sort_asc = [True] * len(group_cols) + asc
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df["__b"] = pd.Series([], dtype="int32")
+            return df
+        top = (df.sort_values(sort_cols, ascending=sort_asc)
+                 .groupby(group_cols, sort=False).head(k))
+        top = top.copy()
+        top["__b"] = (pd.util.hash_pandas_object(
+            top[group_cols].apply(lambda c: c.astype(str))
+            if len(group_cols) > 1 else top[group_cols[0]].astype(str),
+            index=False).to_numpy() % num_buckets).astype("int32")
+        return top
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns="__b")
+                .sort_values(sort_cols, ascending=sort_asc,
+                             ignore_index=True))
+        df["rk"] = (df.groupby(group_cols, sort=False).cumcount() + 1
+                    ).astype("int64")
+        return df[df["rk"] <= k]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("__b").map_groups(final, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------- joins

@@ -19,7 +19,7 @@ import pandas as pd
 import ray.data as rd
 
 from .dedup import md5_hex
-from .relops import partial_aggregate
+from .relops import auto_buckets, partial_aggregate
 
 
 def shard_assign(ds: rd.Dataset, num_shards: int = 64,
@@ -51,6 +51,61 @@ def shard_stats(ds: rd.Dataset, num_shards: int = 64,
     return partial_aggregate(shard_assign(ds, num_shards, id_col)
                              .select_columns(["shard", *sum_cols]),
                              ["shard"], aggs, num_buckets=num_buckets)
+
+
+def shuffle_rank(ds: rd.Dataset, id_col: str = "doc_id", seed: int = 42,
+                 num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Deterministic global training shuffle: adds ``rank`` — the row's
+    0-based position in the corpus ordered by md5(seed|id) — the
+    shuffle-before-sharding step of training-data layout, reproducible
+    bit-for-bit on any cluster shape / block count (and in SQL:
+    queries.ORACLE_SQL['shuffle_rank']).
+
+    Distributed order statistics with NO global sort: the md5 key is
+    uniform, so its leading 16 bits are an order-preserving range
+    partition. Pass 1 counts rows per range bucket (driver prefix-sums
+    ``num_buckets`` integers — nothing corpus-sized); pass 2 sorts each
+    bucket locally and adds its offset. Payload rows move through
+    exactly one keyed exchange, same cost as any bucketed shuffle."""
+    import ray
+
+    nb = num_buckets if num_buckets is not None else min(auto_buckets(), 1 << 16)
+
+    def key_bucket(ids) -> "tuple[list, np.ndarray]":
+        keys = [md5_hex(f"{seed}|{i}") for i in ids]
+        b = np.fromiter((int(kk[:4], 16) * nb >> 16 for kk in keys),
+                        dtype=np.int32, count=len(keys))
+        return keys, b
+
+    def count_batch(df: pd.DataFrame) -> pd.DataFrame:
+        _, b = key_bucket(df[id_col])
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"__rb": u, "n": c.astype(np.int64)})
+
+    counts = partial_aggregate(
+        ds.map_batches(count_batch, batch_format="pandas"),
+        ["__rb"], {"n": ("sum", "n")}, num_buckets=min(nb, 64)).to_pandas()
+    counts = counts.sort_values("__rb")
+    offsets = np.zeros(nb, dtype=np.int64)
+    offsets[counts["__rb"].to_numpy()] = counts["n"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        keys, b = key_bucket(df[id_col])
+        df["__sk"] = keys
+        df["__rb"] = b
+        return df
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(df["__rb"].iloc[0])]
+        df = df.sort_values(["__sk", id_col], ignore_index=True)
+        df["rank"] = off + np.arange(len(df), dtype=np.int64)
+        return df.drop(columns=["__sk", "__rb"])
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("__rb").map_groups(assign, batch_format="pandas"))
 
 
 def export_training_shards(ds: rd.Dataset, out_dir: str,
