@@ -1510,6 +1510,32 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
     checksum(opc, ["cust", "plen"], "concat")
     # round-3 fold #2: binned histogram (slot went to training_prep)
     checksum(events_value_histogram(sf_dir), ["bin", "n"], "hist")
+    # round-3 fold #3: the four scalar-function shapes (regex extract,
+    # id normalize, masking, JSON parse) — their slots went to the
+    # training-data ops pack_sequences / semi_anti_bloom / shuffle_rank
+    # / lang_quota; each string output reduces to integer checksums
+    m3 = m3_regex_first_word(sf_dir).map_batches(
+        lambda df: pd.DataFrame(
+            {"fw_len": df["first_word"].str.len().to_numpy(dtype=np.int64),
+             "nonempty": (df["first_word"].str.len() > 0
+                          ).to_numpy(dtype=np.int64)}),
+        batch_format="pandas")
+    checksum(m3, ["fw_len", "nonempty"], "regexfw")
+    m4 = m4_priority_code(sf_dir).map_batches(
+        lambda df: pd.DataFrame(
+            {"keyed": df["o_orderkey"].to_numpy(dtype=np.int64)
+             * pd.to_numeric(df["prio_code"].replace("", "0")
+                             ).to_numpy(dtype=np.int64)}),
+        batch_format="pandas")
+    checksum(m4, ["keyed"], "priocode")
+    m8 = m8_mask_props(sf_dir).map_batches(
+        lambda df: pd.DataFrame(
+            {"mlen": df["masked_props"].str.len().to_numpy(dtype=np.int64),
+             "hashes": df["masked_props"].str.count("#"
+                                                    ).to_numpy(dtype=np.int64)}),
+        batch_format="pandas")
+    checksum(m8, ["mlen", "hashes"], "mask")
+    checksum(m_props_json(sf_dir), ["event_id", "k_val"], "propsjson")
     return pd.DataFrame({"metric": [r[0] for r in rows],
                          "k": [str(r[1]) for r in rows],
                          "v": np.array([r[2] for r in rows], dtype=np.int64)})
@@ -1718,11 +1744,7 @@ QUERIES = {
     "o1_first_line_partkey": o1_first_line_partkey,
     "o3_topk_recent_events": o3_topk_recent_events,
     "m1_explode_tokens": m1_explode_tokens,
-    "m3_regex_first_word": m3_regex_first_word,
-    "m4_priority_code": m4_priority_code,
     "events_daily": events_daily,
-    "m8_mask_props": m8_mask_props,
-    "m_props_json": m_props_json,
     "top_tokens_per_doc": top_tokens_per_doc,
     "asof_last_order_before_event": asof_last_order_before_event,
     "range_join_balance_band": range_join_balance_band,
@@ -1730,15 +1752,24 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     # round-3 training-data operators (in-window; their slots come from
     # events_tumbling / events_prev_gap / order_priorities_concat /
-    # events_value_histogram, whose checksums moved into
+    # events_value_histogram / m3_regex_first_word / m4_priority_code /
+    # m8_mask_props / m_props_json, whose checksums moved into
     # combined_small_shapes below)
     "text_repetition": q_text_repetition,
     "decontaminate": q_decontaminate,
     "shard_stats": q_shard_stats,
     "training_prep": q_training_prep,
+    "pack_sequences": q_pack_sequences,
+    "semi_anti_bloom": q_semi_anti_bloom,
+    "shuffle_rank": q_shuffle_rank,
+    "lang_quota": q_lang_quota,
     # trivial/redundant oracles — past the driver window by design;
     # their SHAPES stay value-checked every round through the in-window
     # combined_small_shapes checksum twin
+    "m3_regex_first_word": m3_regex_first_word,
+    "m4_priority_code": m4_priority_code,
+    "m8_mask_props": m8_mask_props,
+    "m_props_json": m_props_json,
     "events_tumbling": events_tumbling,
     "events_prev_gap": events_prev_gap,
     "order_priorities_concat": order_priorities_concat,
@@ -1750,13 +1781,6 @@ QUERIES = {
     "distinct_event_types": distinct_event_types,
     "sample_events_hash": sample_events_hash,
     "union_entities": union_entities,
-    # oracle-bearing but past the 50-query driver window (in-window
-    # slots are full of distinct shapes): gated every round by
-    # scripts/check_queries.py, which covers ALL ORACLE_SQL entries
-    "pack_sequences": q_pack_sequences,
-    "semi_anti_bloom": q_semi_anti_bloom,
-    "shuffle_rank": q_shuffle_rank,
-    "lang_quota": q_lang_quota,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -2185,7 +2209,48 @@ ORACLE_SQL = {
         (SELECT event_type, CAST(floor(value / 10.0) * 10 AS BIGINT) AS b
          FROM events GROUP BY 1, 2)
         UNION ALL
-        SELECT 'hist_sum_n', '', COUNT(*) FROM events""",
+        SELECT 'hist_sum_n', '', COUNT(*) FROM events
+        UNION ALL
+        SELECT 'regexfw_count', '', COUNT(*) FROM documents
+        UNION ALL
+        SELECT 'regexfw_sum_fw_len', '',
+               CAST(SUM(LEN(regexp_extract(text, '^([a-z]+)', 1)))
+                    AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'regexfw_sum_nonempty', '',
+               CAST(SUM(CASE WHEN LEN(regexp_extract(text, '^([a-z]+)', 1))
+                             > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'priocode_count', '', COUNT(*) FROM orders
+        UNION ALL
+        SELECT 'priocode_sum_keyed', '',
+               CAST(SUM(o_orderkey * COALESCE(TRY_CAST(
+                    regexp_extract(o_orderpriority, '^([0-9]+)', 1)
+                    AS BIGINT), 0)) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'mask_count', '', COUNT(*) FROM events
+        UNION ALL
+        SELECT 'mask_sum_mlen', '', CAST(SUM(LEN(props)) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'mask_sum_hashes', '',
+               CAST(SUM(LEN(props) -
+                        LEN(regexp_replace(props, '[0-9]', '', 'g')))
+                    AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'propsjson_count', '', COUNT(*) FROM events
+        UNION ALL
+        SELECT 'propsjson_sum_event_id', '', CAST(SUM(event_id) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'propsjson_sum_k_val', '',
+               CAST(SUM(CAST(COALESCE(json_extract(props, '$.k'), -1)
+                             AS BIGINT)) AS BIGINT)
+        FROM events""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,
