@@ -79,3 +79,57 @@ def test_shuffle_rank_seed_changes_order():
     pb = dict(zip(b["doc_id"], b["rank"]))
     assert sorted(pa.values()) == list(range(100))
     assert pa != pb
+
+
+def test_curriculum_rank_stage_then_shuffle():
+    import numpy as np
+    df = _docs(240)
+    df["stage"] = (df["doc_id"] % 3).astype("int64")
+    exp = df.copy()
+    exp["k"] = [md5_hex(f"5|{i}") for i in exp["doc_id"]]
+    exp = exp.sort_values(["stage", "k", "doc_id"], ignore_index=True)
+    expected = {d: r for r, d in enumerate(exp["doc_id"])}
+    out = shards.shuffle_rank(rd.from_pandas(df).repartition(5), seed=5,
+                              num_buckets=8, stage_col="stage").to_pandas()
+    assert dict(zip(out["doc_id"], out["rank"])) == expected
+    # every stage-0 rank precedes every stage-1 rank, etc.
+    by_stage = out.groupby("stage")["rank"]
+    assert by_stage.max()[0] < by_stage.min()[1] < by_stage.max()[1] \
+        < by_stage.min()[2]
+
+
+def test_mixture_sample_deterministic_and_weighted():
+    df = _docs(2000)
+    df["lang"] = [["a", "b", "c"][i % 3] for i in range(len(df))]
+    w = {"a": 1.0, "b": 0.5, "c": 0.0}
+    kept_sets = []
+    for nblocks in (1, 9):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = shards.mixture_sample(ds, w, key_col="lang", seed=3).to_pandas()
+        kept_sets.append(set(out["doc_id"]))
+    assert kept_sets[0] == kept_sets[1]          # layout-independent
+    out = df[df["doc_id"].isin(kept_sets[0])]
+    by = out.groupby("lang").size()
+    assert by.get("a", 0) == (df["lang"] == "a").sum()   # weight 1 keeps all
+    assert "c" not in by.index                            # weight 0 drops all
+    frac_b = by.get("b", 0) / (df["lang"] == "b").sum()
+    assert 0.4 < frac_b < 0.6                             # ~half kept
+    # the coin is the documented md5 rule
+    for i in kept_sets[0]:
+        lang = ["a", "b", "c"][i % 3]
+        thr = shards.mixture_threshold_hex(w[lang])
+        assert thr is None or md5_hex(f"3|{i}")[:8] < thr
+
+
+def test_epoch_oversample_factors_and_epochs():
+    df = _docs(90)
+    df["lang"] = [["a", "b", "c"][i % 3] for i in range(len(df))]
+    out = shards.epoch_oversample(rd.from_pandas(df).repartition(4),
+                                  {"a": 2, "b": 0, "c": 3},
+                                  key_col="lang").to_pandas()
+    by = out.groupby("lang").size()
+    assert by.get("a", 0) == 60 and "b" not in by.index and by["c"] == 90
+    per_doc = out.groupby("doc_id")["epoch"].apply(sorted)
+    for did, eps in per_doc.items():
+        want = {"a": [0, 1], "c": [0, 1, 2]}[["a", "b", "c"][did % 3]]
+        assert eps == want

@@ -1062,6 +1062,54 @@ def q_lang_quota(sf_dir: str) -> rd.Dataset:
                         ascending=[False, True])
 
 
+#: training-mixture constants shared by the engine query and the
+#: generated SQL oracle (single source of truth — the oracle inlines
+#: the same hex thresholds / factors)
+MIXTURE_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.125,
+                   "zh": 0.75}
+MIXTURE_SEED = 13
+EPOCH_FACTORS = {"en": 1, "de": 2, "fr": 3, "es": 0, "zh": 2}
+
+
+def q_mixture_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic weighted mixture sampling: keep each doc with its
+    language's ratio via a content-addressed md5 coin — a pure
+    streaming filter, identical kept set on any cluster shape."""
+    from . import shards
+    docs = rp(sf_dir, "documents", ["doc_id", "lang"])
+    return shards.mixture_sample(docs, MIXTURE_WEIGHTS, key_col="lang",
+                                 seed=MIXTURE_SEED)
+
+
+def q_epoch_oversample(sf_dir: str) -> rd.Dataset:
+    """Per-language epoch oversampling: replicate docs by their
+    language's integer factor (0 drops the language), tagging the copy
+    index — streaming row expansion, no shuffle."""
+    from . import shards
+    docs = rp(sf_dir, "documents", ["doc_id", "lang"])
+    return shards.epoch_oversample(docs, EPOCH_FACTORS, key_col="lang")
+
+
+def q_curriculum_rank(sf_dir: str) -> rd.Dataset:
+    """Curriculum ordering: global rank by (length stage, seeded
+    shuffle) — shortest-docs-first stages, shuffled within each stage,
+    via the same no-global-sort range-partition machinery as
+    shuffle_rank (stage prefixes the range bucket)."""
+    from . import shards
+
+    def add_stage(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["stage"] = np.minimum(df["n_chars"].to_numpy(dtype=np.int64)
+                                 // 150, 3)
+        return df
+
+    docs = (rp(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(add_stage, batch_format="pandas"))
+    ranked = shards.shuffle_rank(docs, seed=7, stage_col="stage")
+    return ranked.map_batches(lambda df: df[["doc_id", "stage", "rank"]],
+                              batch_format="pandas")
+
+
 def q_training_prep(sf_dir: str) -> rd.Dataset:
     """The END-TO-END training-data preparation chain as ONE
     driver-checkable query: quality filter → exact dedup (scalable
@@ -1781,6 +1829,12 @@ QUERIES = {
     "distinct_event_types": distinct_event_types,
     "sample_events_hash": sample_events_hash,
     "union_entities": union_entities,
+    # oracle-bearing but past the 50-query driver window (in-window
+    # slots hold distinct shapes): gated every round by
+    # scripts/check_queries.py, which covers ALL ORACLE_SQL entries
+    "mixture_sample": q_mixture_sample,
+    "epoch_oversample": q_epoch_oversample,
+    "curriculum_rank": q_curriculum_rank,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -1801,6 +1855,34 @@ QUERIES = {
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,
 }
+
+def _mixture_sample_oracle_sql() -> str:
+    """Generated from the SAME constants the engine query uses
+    (MIXTURE_WEIGHTS / MIXTURE_SEED via shards.mixture_threshold_hex),
+    so the keep rule can't drift between the two sides."""
+    from .shards import mixture_threshold_hex
+    cases = []
+    for lang, w in sorted(MIXTURE_WEIGHTS.items()):
+        t = mixture_threshold_hex(w)
+        cond = ("TRUE" if t is None else
+                f"substr(md5('{MIXTURE_SEED}|' || CAST(doc_id AS VARCHAR)),"
+                f" 1, 8) < '{t}'")
+        cases.append(f"WHEN '{lang}' THEN {cond}")
+    return ("SELECT doc_id, lang FROM documents WHERE CASE lang "
+            + " ".join(cases) + " ELSE TRUE END")
+
+
+def _epoch_oversample_oracle_sql() -> str:
+    """Generated from EPOCH_FACTORS (same constants as the engine)."""
+    mx = max(EPOCH_FACTORS.values())
+    cases = " ".join(f"WHEN '{k}' THEN {v}"
+                     for k, v in sorted(EPOCH_FACTORS.items()))
+    return f"""
+        SELECT doc_id, lang, CAST(s.ep AS BIGINT) AS epoch
+        FROM documents CROSS JOIN
+             (SELECT unnest(range({mx})) AS ep) s
+        WHERE s.ep < CASE lang {cases} ELSE 1 END"""
+
 
 _STOP_SQL = "('" + "','".join(text_analysis.STOPWORDS) + "')"
 
@@ -2072,6 +2154,15 @@ ORACLE_SQL = {
                       PARTITION BY lang
                       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
           FROM documents) WHERE rk <= 50""",
+    "mixture_sample": _mixture_sample_oracle_sql(),
+    "epoch_oversample": _epoch_oversample_oracle_sql(),
+    "curriculum_rank": """
+        SELECT doc_id, CAST(least(n_chars // 150, 3) AS BIGINT) AS stage,
+               CAST(row_number() OVER (
+                    ORDER BY least(n_chars // 150, 3),
+                             md5('7|' || CAST(doc_id AS VARCHAR)), doc_id)
+                    - 1 AS BIGINT) AS rank
+        FROM documents""",
     # the end-to-end training-prep chain, composed from the per-stage
     # oracles (clean_corpus ∘ text_repetition keep rule ∘ decontaminate
     # shingles ∘ shard_stats assignment) — each fragment is identical to

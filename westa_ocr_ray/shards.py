@@ -54,7 +54,8 @@ def shard_stats(ds: rd.Dataset, num_shards: int = 64,
 
 
 def shuffle_rank(ds: rd.Dataset, id_col: str = "doc_id", seed: int = 42,
-                 num_buckets: Optional[int] = None) -> rd.Dataset:
+                 num_buckets: Optional[int] = None,
+                 stage_col: Optional[str] = None) -> rd.Dataset:
     """Deterministic global training shuffle: adds ``rank`` — the row's
     0-based position in the corpus ordered by md5(seed|id) — the
     shuffle-before-sharding step of training-data layout, reproducible
@@ -66,19 +67,27 @@ def shuffle_rank(ds: rd.Dataset, id_col: str = "doc_id", seed: int = 42,
     partition. Pass 1 counts rows per range bucket (driver prefix-sums
     ``num_buckets`` integers — nothing corpus-sized); pass 2 sorts each
     bucket locally and adds its offset. Payload rows move through
-    exactly one keyed exchange, same cost as any bucketed shuffle."""
+    exactly one keyed exchange, same cost as any bucketed shuffle.
+
+    ``stage_col`` names a SMALL non-negative integer column and turns
+    this into curriculum ordering: rows ranked by (stage, md5-shuffle)
+    — each curriculum stage in order, shuffled within the stage. The
+    driver's count vector grows to (max_stage+1) × num_buckets, so the
+    documented bound is stage values in the tens, not thousands."""
     import ray
 
     nb = num_buckets if num_buckets is not None else min(auto_buckets(), 1 << 16)
 
-    def key_bucket(ids) -> "tuple[list, np.ndarray]":
-        keys = [md5_hex(f"{seed}|{i}") for i in ids]
+    def key_bucket(df: pd.DataFrame) -> "tuple[list, np.ndarray]":
+        keys = [md5_hex(f"{seed}|{i}") for i in df[id_col]]
         b = np.fromiter((int(kk[:4], 16) * nb >> 16 for kk in keys),
-                        dtype=np.int32, count=len(keys))
+                        dtype=np.int64, count=len(keys))
+        if stage_col is not None:
+            b = df[stage_col].to_numpy(dtype=np.int64) * nb + b
         return keys, b
 
     def count_batch(df: pd.DataFrame) -> pd.DataFrame:
-        _, b = key_bucket(df[id_col])
+        _, b = key_bucket(df)
         u, c = np.unique(b, return_counts=True)
         return pd.DataFrame({"__rb": u, "n": c.astype(np.int64)})
 
@@ -86,14 +95,15 @@ def shuffle_rank(ds: rd.Dataset, id_col: str = "doc_id", seed: int = 42,
         ds.map_batches(count_batch, batch_format="pandas"),
         ["__rb"], {"n": ("sum", "n")}, num_buckets=min(nb, 64)).to_pandas()
     counts = counts.sort_values("__rb")
-    offsets = np.zeros(nb, dtype=np.int64)
+    size = nb if not len(counts) else max(nb, int(counts["__rb"].max()) + 1)
+    offsets = np.zeros(size, dtype=np.int64)
     offsets[counts["__rb"].to_numpy()] = counts["n"].to_numpy()
     offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
     off_ref = ray.put(offsets)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        keys, b = key_bucket(df[id_col])
+        keys, b = key_bucket(df)
         df["__sk"] = keys
         df["__rb"] = b
         return df
@@ -106,6 +116,69 @@ def shuffle_rank(ds: rd.Dataset, id_col: str = "doc_id", seed: int = 42,
 
     return (ds.map_batches(tag, batch_format="pandas")
             .groupby("__rb").map_groups(assign, batch_format="pandas"))
+
+
+def mixture_threshold_hex(weight: float) -> Optional[str]:
+    """The 8-hex-digit keep threshold for a sampling weight in [0,1):
+    keep a row iff md5(seed|id)[:8] < this string (equal-length hex
+    strings compare lexicographically == numerically, so DuckDB can
+    apply the identical rule with substr(md5(..),1,8) < '<hex>').
+    Returns None for weight >= 1 (keep everything)."""
+    if weight >= 1.0:
+        return None
+    return format(max(int(weight * (1 << 32)), 0), "08x")
+
+
+def mixture_sample(ds: rd.Dataset, weights: dict, key_col: str = "lang",
+                   id_col: str = "doc_id", seed: int = 13,
+                   default: float = 1.0) -> rd.Dataset:
+    """Training-mixture downsampling: keep each row with its source's /
+    language's sampling weight, decided by a deterministic per-doc coin
+    (md5(seed|id) as a uniform in [0,1)) — the "mix sources at given
+    ratios" step of corpus assembly. Content-addressed, so the kept set
+    is identical on any cluster shape, across reruns, and in SQL
+    (queries.ORACLE_SQL['mixture_sample']); a pure streaming filter —
+    no shuffle, nothing on the driver."""
+    thresholds = {k: mixture_threshold_hex(w) for k, w in weights.items()}
+    default_thr = mixture_threshold_hex(default)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        key8 = np.array([md5_hex(f"{seed}|{i}")[:8] for i in df[id_col]])
+        thr = df[key_col].map(
+            lambda k: thresholds.get(k, default_thr)).to_numpy(dtype=object)
+        keep = np.array([t is None or k < t for k, t in zip(key8, thr)],
+                        dtype=bool)
+        return df[keep]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def epoch_oversample(ds: rd.Dataset, factors: dict, key_col: str = "lang",
+                     default: int = 1) -> rd.Dataset:
+    """Training-mixture UPsampling: replicate each row its source's
+    integer epoch factor times, tagging the copy index as ``epoch`` —
+    the "see high-quality sources N times per epoch" step of corpus
+    assembly (factor 0 drops the source). A pure streaming row
+    expansion inside map_batches (np.repeat on the batch — no Python
+    per-row loop, no shuffle); downstream layout is the usual
+    shuffle_rank / shard_assign."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df["epoch"] = pd.Series([], dtype="int64")
+            return df
+        reps = (df[key_col].map(lambda k: factors.get(k, default))
+                .to_numpy(dtype=np.int64))
+        reps = np.maximum(reps, 0)
+        idx = np.repeat(np.arange(len(df)), reps)
+        out = df.iloc[idx].reset_index(drop=True)
+        starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        out["epoch"] = (np.arange(len(out), dtype=np.int64)
+                        - np.repeat(starts, reps))
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 def export_training_shards(ds: rd.Dataset, out_dir: str,
