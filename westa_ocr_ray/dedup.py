@@ -947,5 +947,8 @@ def decontaminate(ds: rd.Dataset, bench: rd.Dataset, n: int = 4,
     cont_ids = partial_aggregate(hit, [id_col], {"__n": ("count", None)},
                                  num_buckets=num_buckets).select_columns([id_col])
     ds_cols = list(cols) if cols is not None else list(ds.schema().names)
+    # cont_ids is a groupby output — one row per id — so the anti-join
+    # can skip its global key-dedup exchange
     return semi_anti_filter_scalable(ds, id_col, cont_ids, anti=True,
-                                     num_buckets=num_buckets, cols=ds_cols)
+                                     num_buckets=num_buckets, cols=ds_cols,
+                                     keys_unique=True)

@@ -54,8 +54,11 @@ def dedup_exact_keep(ds: rd.Dataset, id_col: str = "doc_id",
     transformed input is not partially executed by a schema probe."""
     if scalable:
         dropped = dedup.exact_dup_ids(ds, id_col=id_col, text_col=text_col)
+        # dropped ids are unique by construction (each id loses at most
+        # one first-wins group) — skip the join's global key dedup
         return semi_anti_filter_scalable(ds, id_col, dropped,
-                                         key_col=id_col, anti=True, cols=cols)
+                                         key_col=id_col, anti=True, cols=cols,
+                                         keys_unique=True)
     keepers = dedup.exact_dedup(ds, id_col=id_col, text_col=text_col)
     keep_ids = set(keepers.to_pandas()["keeper_doc_id"])
     return semi_anti_filter(ds, id_col, keep_ids)

@@ -369,7 +369,8 @@ def semi_anti_filter_scalable(ds: rd.Dataset, key: str, keys: rd.Dataset,
                               anti: bool = False,
                               m_bits: int = 1 << 23, k: int = 4,
                               num_buckets: Optional[int] = None,
-                              cols: Optional[Sequence[str]] = None) -> rd.Dataset:
+                              cols: Optional[Sequence[str]] = None,
+                              keys_unique: bool = False) -> rd.Dataset:
     """EXACT semi/anti join against a key DATASET of any size — the
     scale path for semi_anti_filter, whose broadcast frozenset is
     bounded by driver/worker memory (at 10^12 docs the resume anti-join
@@ -407,9 +408,16 @@ def semi_anti_filter_scalable(ds: rd.Dataset, key: str, keys: rd.Dataset,
 
     uncertain = ds.map_batches(split(False), batch_format="pandas")
     # GLOBAL key dedup before the left join — a key present in several
-    # right-side blocks would otherwise multiply matched left rows
-    marked = partial_aggregate(keys, [key_col], {"__m": ("count", None)},
-                               num_buckets=num_buckets)
+    # right-side blocks would otherwise multiply matched left rows.
+    # ``keys_unique=True`` (caller guarantees one row per key — e.g. the
+    # key side is itself a groupby/distinct output) skips that bucketed
+    # exchange entirely: the mark column is added in-place, streaming.
+    if keys_unique:
+        marked = keys.map_batches(
+            lambda df: df.assign(__m=np.int64(1)), batch_format="pandas")
+    else:
+        marked = partial_aggregate(keys, [key_col], {"__m": ("count", None)},
+                                   num_buckets=num_buckets)
     joined = hash_join(uncertain, marked, key, key_col, how="left",
                        num_buckets=num_buckets,
                        left_cols=ds_cols,
