@@ -29,6 +29,7 @@ Beyond the reference: dedup_* incl. planted-oracle minhash, SQL-exact
 from __future__ import annotations
 
 import re
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -42,8 +43,19 @@ from .pipelines.extract import extract_dataset, read_documents
 from .relops import broadcast_join, hash_join, partial_aggregate
 
 
+#: serializes Dataset CONSTRUCTION (not execution) across driver
+#: threads: ray's path resolution probes `from
+#: fsspec.implementations.http import HTTPFileSystem` on every
+#: read_parquet and only catches ModuleNotFoundError — with aiohttp
+#: absent the import always fails, and two threads importing the same
+#: failing module race Python's partial-module state into a bare
+#: ImportError (observed in the threaded combined_small_shapes).
+_READ_LOCK = threading.Lock()
+
+
 def rp(sf_dir: str, name: str, columns: Optional[List[str]] = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    with _READ_LOCK:
+        return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 def _cents(x: pd.Series) -> pd.Series:
@@ -1500,17 +1512,21 @@ def parse_detail_rows(sf_dir: str) -> rd.Dataset:
 # ------------------------------------------- combined trivial-shape check
 
 def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
-    """Seven trivial operator shapes re-verified as ONE query inside the
-    driver's ~50-query correctness window (VERDICT r2 #5: the
+    """Eleven trivial operator shapes re-verified as ONE query inside
+    the driver's ~50-query correctness window (VERDICT r2 #5: the
     individually-registered versions sit past the window by design; this
     tall (metric, k, v) checksum table keeps each SHAPE hash-checked by
     the driver every round): global count, DISTINCT, deterministic hash
-    sampling, union set-op, grouped stats, grouped top-k, rolling
-    window. Each sub-result is reduced to integer checksums with
-    per-batch partials — only tiny partial rows reach the driver."""
-    rows: List[tuple] = []
+    sampling, union set-op, grouped stats, grouped top-k, rolling /
+    tumbling / lag windows, string agg, histogram, and the four
+    scalar-function shapes. Each sub-result is reduced to integer
+    checksums with per-batch partials — only tiny partial rows reach
+    the driver; the independent sub-pipelines are launched from driver
+    THREADS so their Ray executions overlap instead of paying ~17
+    fixed pipeline latencies in sequence."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    def checksum(ds: rd.Dataset, cols: List[str], metric: str) -> None:
+    def checksum(ds: rd.Dataset, cols: List[str], metric: str) -> List[tuple]:
         def part(df: pd.DataFrame) -> pd.DataFrame:
             d = {"n": [len(df)]}
             for c in cols:
@@ -1518,72 +1534,115 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
             return pd.DataFrame(d)
 
         p = ds.map_batches(part, batch_format="pandas").to_pandas()
-        rows.append((metric + "_count", "", int(p["n"].sum())))
+        out = [(metric + "_count", "", int(p["n"].sum()))]
         for c in cols:
-            rows.append((metric + "_sum_" + c, "", int(p["s_" + c].sum())))
+            out.append((metric + "_sum_" + c, "", int(p["s_" + c].sum())))
+        return out
 
-    rows.append(("count_orders", "",
-                 int(rp(sf_dir, "orders", ["o_orderkey"]).count())))
-    for t in sorted(distinct_event_types(sf_dir).to_pandas()["event_type"]):
-        rows.append(("event_type", t, 1))
-    checksum(sample_events_hash(sf_dir), ["event_id"], "sample_mod16_3")
-    ue = (partial_aggregate(union_entities(sf_dir), ["src"],
-                            {"n": ("count", None)}).to_pandas())
-    for _, r in ue.sort_values("src").iterrows():
-        rows.append(("union_src_count", r["src"], int(r["n"])))
-    pb = part_brand_stats(sf_dir).to_pandas().sort_values("p_brand")
-    for _, r in pb.iterrows():
-        rows.append(("brand_n_parts", r["p_brand"], int(r["n_parts"])))
-        rows.append(("brand_sum_size", r["p_brand"], int(r["sum_size"])))
-        rows.append(("brand_max_price_cents", r["p_brand"],
-                     int(r["max_price_cents"])))
-    tk = topk_orders_per_customer(sf_dir).map_batches(
-        lambda df: pd.DataFrame(
-            {"chk": df["o_orderkey"].to_numpy(dtype=np.int64)
-             * df["rk"].to_numpy(dtype=np.int64)}),
-        batch_format="pandas")
-    checksum(tk, ["chk"], "topk2")
-    checksum(events_rolling_sum3(sf_dir), ["sum3_cents"], "rolling3")
+    def t_count_orders() -> List[tuple]:
+        return [("count_orders", "",
+                 int(rp(sf_dir, "orders", ["o_orderkey"]).count()))]
+
+    def t_event_types() -> List[tuple]:
+        return [("event_type", t, 1) for t in
+                sorted(distinct_event_types(sf_dir).to_pandas()["event_type"])]
+
+    def t_sample() -> List[tuple]:
+        return checksum(sample_events_hash(sf_dir), ["event_id"],
+                        "sample_mod16_3")
+
+    def t_union() -> List[tuple]:
+        ue = (partial_aggregate(union_entities(sf_dir), ["src"],
+                                {"n": ("count", None)}).to_pandas())
+        return [("union_src_count", r["src"], int(r["n"]))
+                for _, r in ue.sort_values("src").iterrows()]
+
+    def t_brand() -> List[tuple]:
+        pb = part_brand_stats(sf_dir).to_pandas().sort_values("p_brand")
+        out: List[tuple] = []
+        for _, r in pb.iterrows():
+            out.append(("brand_n_parts", r["p_brand"], int(r["n_parts"])))
+            out.append(("brand_sum_size", r["p_brand"], int(r["sum_size"])))
+            out.append(("brand_max_price_cents", r["p_brand"],
+                        int(r["max_price_cents"])))
+        return out
+
+    def t_topk2() -> List[tuple]:
+        tk = topk_orders_per_customer(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"chk": df["o_orderkey"].to_numpy(dtype=np.int64)
+                 * df["rk"].to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        return checksum(tk, ["chk"], "topk2")
+
+    def t_rolling() -> List[tuple]:
+        return checksum(events_rolling_sum3(sf_dir), ["sum3_cents"],
+                        "rolling3")
+
     # round-3 folds: tumbling window, per-user lag, ordered string agg
     # (their individually-registered versions moved past the window to
     # make room for text_repetition / decontaminate / shard_stats)
-    checksum(events_tumbling(sf_dir),
-             ["window_start", "n", "sum_value_cents"], "tumbling")
-    checksum(events_prev_gap(sf_dir), ["event_id", "prev_gap_us"], "prevgap")
-    opc = order_priorities_concat(sf_dir).map_batches(
-        lambda df: pd.DataFrame(
-            {"cust": df["o_custkey"].to_numpy(dtype=np.int64),
-             "plen": df["priorities"].str.len().to_numpy(dtype=np.int64)}),
-        batch_format="pandas")
-    checksum(opc, ["cust", "plen"], "concat")
+    def t_tumbling() -> List[tuple]:
+        return checksum(events_tumbling(sf_dir),
+                        ["window_start", "n", "sum_value_cents"], "tumbling")
+
+    def t_prevgap() -> List[tuple]:
+        return checksum(events_prev_gap(sf_dir), ["event_id", "prev_gap_us"],
+                        "prevgap")
+
+    def t_concat() -> List[tuple]:
+        opc = order_priorities_concat(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"cust": df["o_custkey"].to_numpy(dtype=np.int64),
+                 "plen": df["priorities"].str.len().to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        return checksum(opc, ["cust", "plen"], "concat")
+
     # round-3 fold #2: binned histogram (slot went to training_prep)
-    checksum(events_value_histogram(sf_dir), ["bin", "n"], "hist")
+    def t_hist() -> List[tuple]:
+        return checksum(events_value_histogram(sf_dir), ["bin", "n"], "hist")
+
     # round-3 fold #3: the four scalar-function shapes (regex extract,
     # id normalize, masking, JSON parse) — their slots went to the
     # training-data ops pack_sequences / semi_anti_bloom / shuffle_rank
     # / lang_quota; each string output reduces to integer checksums
-    m3 = m3_regex_first_word(sf_dir).map_batches(
-        lambda df: pd.DataFrame(
-            {"fw_len": df["first_word"].str.len().to_numpy(dtype=np.int64),
-             "nonempty": (df["first_word"].str.len() > 0
-                          ).to_numpy(dtype=np.int64)}),
-        batch_format="pandas")
-    checksum(m3, ["fw_len", "nonempty"], "regexfw")
-    m4 = m4_priority_code(sf_dir).map_batches(
-        lambda df: pd.DataFrame(
-            {"keyed": df["o_orderkey"].to_numpy(dtype=np.int64)
-             * pd.to_numeric(df["prio_code"].replace("", "0")
-                             ).to_numpy(dtype=np.int64)}),
-        batch_format="pandas")
-    checksum(m4, ["keyed"], "priocode")
-    m8 = m8_mask_props(sf_dir).map_batches(
-        lambda df: pd.DataFrame(
-            {"mlen": df["masked_props"].str.len().to_numpy(dtype=np.int64),
-             "hashes": df["masked_props"].str.count("#"
-                                                    ).to_numpy(dtype=np.int64)}),
-        batch_format="pandas")
-    checksum(m8, ["mlen", "hashes"], "mask")
-    checksum(m_props_json(sf_dir), ["event_id", "k_val"], "propsjson")
+    def t_regexfw() -> List[tuple]:
+        m3 = m3_regex_first_word(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"fw_len": df["first_word"].str.len().to_numpy(dtype=np.int64),
+                 "nonempty": (df["first_word"].str.len() > 0
+                              ).to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        return checksum(m3, ["fw_len", "nonempty"], "regexfw")
+
+    def t_priocode() -> List[tuple]:
+        m4 = m4_priority_code(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"keyed": df["o_orderkey"].to_numpy(dtype=np.int64)
+                 * pd.to_numeric(df["prio_code"].replace("", "0")
+                                 ).to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        return checksum(m4, ["keyed"], "priocode")
+
+    def t_mask() -> List[tuple]:
+        m8 = m8_mask_props(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"mlen": df["masked_props"].str.len().to_numpy(dtype=np.int64),
+                 "hashes": df["masked_props"].str.count(
+                     "#").to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        return checksum(m8, ["mlen", "hashes"], "mask")
+
+    def t_propsjson() -> List[tuple]:
+        return checksum(m_props_json(sf_dir), ["event_id", "k_val"],
+                        "propsjson")
+
+    tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
+             t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
+             t_regexfw, t_priocode, t_mask, t_propsjson]
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(lambda f: f(), tasks))
+    rows = [r for res in results for r in res]
     return pd.DataFrame({"metric": [r[0] for r in rows],
                          "k": [str(r[1]) for r in rows],
                          "v": np.array([r[2] for r in rows], dtype=np.int64)})
