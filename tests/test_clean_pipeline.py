@@ -106,3 +106,23 @@ def test_prepare_training_data_end_to_end():
     assert 15 not in ids                      # decontaminated
     assert ids >= {10, 11, 12, 13, 14, 16, 17, 18, 19}
     assert sorted(out.columns) == ["doc_id", "n_chars", "text"]
+
+
+def test_prepare_training_data_mixture_and_epochs():
+    import ray.data as rd
+    from westa_ocr_ray.pipelines.clean import prepare_training_data
+    df = pd.DataFrame({
+        "doc_id": range(300),
+        "lang": [["a", "b"][i % 2] for i in range(300)],
+        "text": [f"alpha beta gamma delta epsilon zeta eta theta "
+                 f"iota kappa u{i}" for i in range(300)],
+    })
+    out = prepare_training_data(
+        rd.from_pandas(df).repartition(4),
+        mixture_weights={"a": 1.0, "b": 0.0},
+        epoch_factors={"a": 2},
+        checkpoint=False).to_pandas()
+    assert set(out["lang"]) == {"a"}                 # weight-0 source dropped
+    assert sorted(out["epoch"].unique()) == [0, 1]   # each kept doc twice
+    n_a = (df["lang"] == "a").sum()
+    assert len(out) == 2 * n_a

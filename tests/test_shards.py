@@ -133,3 +133,21 @@ def test_epoch_oversample_factors_and_epochs():
     for did, eps in per_doc.items():
         want = {"a": [0, 1], "c": [0, 1, 2]}[["a", "b", "c"][did % 3]]
         assert eps == want
+
+
+def test_train_val_split_deterministic_and_stable_under_growth():
+    import numpy as np
+    small = _docs(400)
+    big = _docs(800)                      # superset: first 400 ids shared
+    a = shards.train_val_split(rd.from_pandas(small), val_frac=0.1,
+                               seed=9).to_pandas()
+    b = shards.train_val_split(rd.from_pandas(big).repartition(5),
+                               val_frac=0.1, seed=9).to_pandas()
+    ma = dict(zip(a["doc_id"], a["split"]))
+    mb = dict(zip(b["doc_id"], b["split"]))
+    assert all(mb[d] == s for d, s in ma.items())   # growth never flips
+    frac = (a["split"] == "val").mean()
+    assert 0.04 < frac < 0.2
+    thr = shards.mixture_threshold_hex(0.1)
+    for d, s in ma.items():
+        assert (md5_hex(f"9|{d}")[:8] < thr) == (s == "val")

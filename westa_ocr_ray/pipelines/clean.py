@@ -87,12 +87,23 @@ def prepare_training_data(ds: rd.Dataset, id_col: str = "doc_id",
                           decont_n: int = 4, fuzzy: bool = False,
                           jaccard_threshold: float = 0.8,
                           checkpoint: bool = True,
+                          mixture_weights: Optional[dict] = None,
+                          mixture_key: str = "lang",
+                          epoch_factors: Optional[dict] = None,
                           cols: Optional[Sequence[str]] = None) -> rd.Dataset:
-    """The full training-corpus preparation chain: quality filter →
-    exact dedup (scalable anti-join form) → [MinHash fuzzy dedup] →
-    Gopher-style repetition filter → [benchmark decontamination against
-    ``bench``]. Returns the surviving docs with their input columns;
-    terminal layout is shards.shard_stats / export_training_shards.
+    """The full training-corpus preparation chain: [weighted mixture
+    downsampling] → quality filter → exact dedup (scalable anti-join
+    form) → [MinHash fuzzy dedup] → Gopher-style repetition filter →
+    [benchmark decontamination against ``bench``] → [per-source epoch
+    oversampling]. Returns the surviving docs with their input columns
+    (plus ``epoch`` when oversampling); terminal layout is
+    shards.shard_stats / export_training_shards.
+
+    ``mixture_weights`` (source→ratio on ``mixture_key``) downsamples
+    FIRST — the cheapest stage, so it shrinks everything downstream;
+    ``epoch_factors`` replicates LAST so dedup/decontamination see each
+    doc once. Both default off and are outside the SQL oracle, which
+    gates the default chain.
 
     Every stage is a streaming map or a derived-key shuffle: texts move
     only through the decontamination anti-join's bloom-hit slice, and
@@ -111,7 +122,12 @@ def prepare_training_data(ds: rd.Dataset, id_col: str = "doc_id",
     that win documented at relops.compact_blocks). The blocks live in
     the object store and spill to disk — the same durability point a
     production pipeline would write intermediate parquet at."""
-    out = quality_filter(ds, text_col=text_col, min_words=min_words,
+    from .. import shards as shards_mod
+    out = ds
+    if mixture_weights is not None:
+        out = shards_mod.mixture_sample(out, mixture_weights,
+                                        key_col=mixture_key, id_col=id_col)
+    out = quality_filter(out, text_col=text_col, min_words=min_words,
                          min_chars=min_chars)
     if checkpoint:
         out = compact_blocks(out.materialize())
@@ -127,4 +143,7 @@ def prepare_training_data(ds: rd.Dataset, id_col: str = "doc_id",
             out = compact_blocks(out.materialize())
         out = dedup.decontaminate(out, bench, n=decont_n, id_col=id_col,
                                   text_col=text_col, cols=cols)
+    if epoch_factors is not None:
+        out = shards_mod.epoch_oversample(out, epoch_factors,
+                                          key_col=mixture_key)
     return out

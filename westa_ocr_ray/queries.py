@@ -1102,6 +1102,14 @@ def q_epoch_oversample(sf_dir: str) -> rd.Dataset:
     return shards.epoch_oversample(docs, EPOCH_FACTORS, key_col="lang")
 
 
+def q_train_val_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic held-out split labels (2%% val) via the
+    content-addressed md5 coin — stable under corpus growth."""
+    from . import shards
+    docs = rp(sf_dir, "documents", ["doc_id", "lang"])
+    return shards.train_val_split(docs, val_frac=0.02, seed=29)
+
+
 def q_curriculum_rank(sf_dir: str) -> rd.Dataset:
     """Curriculum ordering: global rank by (length stage, seeded
     shuffle) — shortest-docs-first stages, shuffled within each stage,
@@ -1894,6 +1902,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "epoch_oversample": q_epoch_oversample,
     "curriculum_rank": q_curriculum_rank,
+    "train_val_split": q_train_val_split,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -2214,6 +2223,12 @@ ORACLE_SQL = {
                       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
           FROM documents) WHERE rk <= 50""",
     "mixture_sample": _mixture_sample_oracle_sql(),
+    "train_val_split": f"""
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5('29|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{format(int(0.02 * (1 << 32)), "08x")}'
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents""",
     "epoch_oversample": _epoch_oversample_oracle_sql(),
     "curriculum_rank": """
         SELECT doc_id, CAST(least(n_chars // 150, 3) AS BIGINT) AS stage,

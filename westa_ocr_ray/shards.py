@@ -153,6 +153,29 @@ def mixture_sample(ds: rd.Dataset, weights: dict, key_col: str = "lang",
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def train_val_split(ds: rd.Dataset, val_frac: float = 0.02,
+                    id_col: str = "doc_id", seed: int = 29,
+                    col: str = "split") -> rd.Dataset:
+    """Deterministic held-out split labeling: adds ``split`` ∈
+    {'train','val'} by the same content-addressed md5 coin as
+    mixture_sample — a doc keeps its split on any cluster shape, across
+    reruns, and when the corpus grows (new docs never flip old ones,
+    the property that keeps a long-lived eval set uncontaminated).
+    Streaming, no shuffle; SQL twin queries.ORACLE_SQL['train_val_split']."""
+    thr = mixture_threshold_hex(val_frac)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if thr is None:
+            df[col] = "val"
+            return df
+        key8 = np.array([md5_hex(f"{seed}|{i}")[:8] for i in df[id_col]])
+        df[col] = np.where(key8 < thr, "val", "train")
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def epoch_oversample(ds: rd.Dataset, factors: dict, key_col: str = "lang",
                      default: int = 1) -> rd.Dataset:
     """Training-mixture UPsampling: replicate each row its source's
