@@ -139,16 +139,19 @@ def mixture_sample(ds: rd.Dataset, weights: dict, key_col: str = "lang",
     is identical on any cluster shape, across reruns, and in SQL
     (queries.ORACLE_SQL['mixture_sample']); a pure streaming filter —
     no shuffle, nothing on the driver."""
-    thresholds = {k: mixture_threshold_hex(w) for k, w in weights.items()}
-    default_thr = mixture_threshold_hex(default)
+    # 'g' sorts after every hex char, so a weight>=1 source gets a
+    # threshold every 8-hex-digit key is below — the keep compare stays
+    # one vectorized string comparison with no per-row branching
+    thresholds = {k: mixture_threshold_hex(w) or "g"
+                  for k, w in weights.items()}
+    default_thr = mixture_threshold_hex(default) or "g"
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        key8 = np.array([md5_hex(f"{seed}|{i}")[:8] for i in df[id_col]])
-        thr = df[key_col].map(
-            lambda k: thresholds.get(k, default_thr)).to_numpy(dtype=object)
-        keep = np.array([t is None or k < t for k, t in zip(key8, thr)],
-                        dtype=bool)
-        return df[keep]
+        key8 = np.array([md5_hex(f"{seed}|{i}")[:8] for i in df[id_col]],
+                        dtype="U8")
+        thr = (df[key_col].map(lambda k: thresholds.get(k, default_thr))
+               .to_numpy(dtype="U8"))
+        return df[key8 < thr]
 
     return ds.map_batches(fn, batch_format="pandas")
 
