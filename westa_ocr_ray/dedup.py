@@ -952,3 +952,59 @@ def decontaminate(ds: rd.Dataset, bench: rd.Dataset, n: int = 4,
     return semi_anti_filter_scalable(ds, id_col, cont_ids, anti=True,
                                      num_buckets=num_buckets, cols=ds_cols,
                                      keys_unique=True)
+
+
+def contamination_report(ds: rd.Dataset, bench: rd.Dataset, n: int = 4,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         num_buckets: Optional[int] = None) -> rd.Dataset:
+    """The AUDIT twin of decontaminate: for every benchmark doc, how
+    many corpus docs share at least one ``n``-token shingle with it —
+    the leakage report a training pipeline publishes alongside the
+    cleaned corpus (bench docs with zero overlap included, count 0).
+
+    Same scale shape as decontaminate: the corpus side is bloom-
+    prefiltered against the (tiny) benchmark shingle set, so only
+    bloom-hit shingle rows reach the exact hash-join; (bench, corpus)
+    doc pairs are distinct-ed in a bucketed exchange before counting —
+    a shingle shared many times still counts each doc pair once.
+    SQL-expressible: queries.ORACLE_SQL['contamination_report']."""
+    from .relops import semi_anti_filter_scalable
+
+    doc_sh = shingle_table(ds, n, id_col, text_col)
+    bench_sh = shingle_table(bench, n, id_col, text_col).map_batches(
+        lambda df: df.rename(columns={id_col: "bench_doc_id"}),
+        batch_format="pandas")
+    hit = semi_anti_filter_scalable(doc_sh, "g", bench_sh, key_col="g",
+                                    anti=False, num_buckets=num_buckets,
+                                    cols=[id_col, "g"])
+    pairs = hash_join(hit, bench_sh, "g", "g", num_buckets=num_buckets,
+                      left_cols=[id_col, "g"],
+                      right_cols=["bench_doc_id", "g"])
+    distinct_pairs = partial_aggregate(
+        pairs.select_columns(["bench_doc_id", id_col]),
+        ["bench_doc_id", id_col], {"__n": ("count", None)},
+        num_buckets=num_buckets)
+    counts = partial_aggregate(
+        distinct_pairs.select_columns(["bench_doc_id"]), ["bench_doc_id"],
+        {"n_contaminated": ("count", None)}, num_buckets=num_buckets)
+    bench_ids = partial_aggregate(
+        bench.select_columns([id_col]).map_batches(
+            lambda df: df.rename(columns={id_col: "bench_doc_id"}),
+            batch_format="pandas"),
+        ["bench_doc_id"], {"__b": ("count", None)}, num_buckets=num_buckets)
+    out = hash_join(bench_ids, counts, "bench_doc_id", "bench_doc_id",
+                    how="left", num_buckets=num_buckets,
+                    left_cols=["bench_doc_id", "__b"],
+                    right_cols=["bench_doc_id", "n_contaminated"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # to_numeric first: the left join leaves object ints + NaN;
+        # infer_objects restores the native id dtype (int64 ids stay
+        # int64 — the driver's value hash is type-sensitive)
+        return pd.DataFrame({
+            "bench_doc_id": df["bench_doc_id"].to_numpy(),
+            "n_contaminated": pd.to_numeric(df["n_contaminated"])
+            .fillna(0).astype("int64"),
+        }).infer_objects()
+
+    return out.map_batches(finish, batch_format="pandas")

@@ -1102,6 +1102,18 @@ def q_epoch_oversample(sf_dir: str) -> rd.Dataset:
     return shards.epoch_oversample(docs, EPOCH_FACTORS, key_col="lang")
 
 
+def q_contamination_report(sf_dir: str) -> rd.Dataset:
+    """Per-benchmark-doc leakage audit: distinct corpus docs sharing a
+    4-token shingle with each bench doc (same bench split as the
+    decontaminate query: doc_id %% 41 == 0), zeros included."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    corpus = docs.map_batches(lambda df: df[df["doc_id"] % 41 != 0],
+                              batch_format="pandas")
+    bench = docs.map_batches(lambda df: df[df["doc_id"] % 41 == 0],
+                             batch_format="pandas")
+    return dedup.contamination_report(corpus, bench, n=4)
+
+
 def q_train_val_split(sf_dir: str) -> rd.Dataset:
     """Deterministic held-out split labels (2%% val) via the
     content-addressed md5 coin — stable under corpus growth."""
@@ -1903,6 +1915,7 @@ QUERIES = {
     "epoch_oversample": q_epoch_oversample,
     "curriculum_rank": q_curriculum_rank,
     "train_val_split": q_train_val_split,
+    "contamination_report": q_contamination_report,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -2203,6 +2216,19 @@ ORACLE_SQL = {
         SELECT d.doc_id, d.n_chars FROM documents d
         WHERE d.doc_id % 41 <> 0
           AND d.doc_id NOT IN (SELECT doc_id FROM cont)""",
+    "contamination_report": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g FROM t,
+               unnest(range(1, greatest(2, len(toks) - 2))) AS u(i)),
+        pairs AS (SELECT DISTINCT b.doc_id AS bench_doc_id, c.doc_id
+                  FROM sh b JOIN sh c USING (g)
+                  WHERE b.doc_id % 41 = 0 AND c.doc_id % 41 <> 0),
+        cnt AS (SELECT bench_doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+                FROM pairs GROUP BY bench_doc_id)
+        SELECT d.doc_id AS bench_doc_id,
+               CAST(COALESCE(cnt.n_contaminated, 0) AS BIGINT) AS n_contaminated
+        FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.bench_doc_id
+        WHERE d.doc_id % 41 = 0""",
     "shard_stats": """
         SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                          AS UBIGINT) % 16 AS BIGINT) AS shard,
