@@ -247,3 +247,40 @@ def test_decontaminate_drops_overlapping_docs():
     got = dedup.decontaminate(rd.from_pandas(pool), rd.from_pandas(bench),
                               n=4, cols=["doc_id", "text"]).to_pandas()
     assert sorted(got["doc_id"]) == [2, 3]
+
+
+def test_containment_pairs_and_drop():
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "text": [
+            "a b c d e f g h",          # container of 2 and 3
+            "c d e f",                  # contained mid-sequence in 1
+            "a b c d e f g h",          # exact dup of 1 -> first wins: drop 3
+            "b c d",                    # < 4 tokens: never considered
+            "q r s t",                  # contained in no one
+            "x c d e f z",              # contains 2's tokens -> also a container of 2
+            "bc d e f g",               # token seq NOT contiguous in 1 ("bc" != "b c")
+        ]})
+    ds = rd.from_pandas(rows)
+    pairs = (dedup.containment_pairs(ds, n=4).to_pandas()
+             .sort_values(["contained_doc_id", "container_doc_id"],
+                          ignore_index=True))
+    assert list(map(tuple, pairs.to_numpy())) == [
+        (2, 1), (2, 3), (2, 6), (3, 1)]
+    kept = dedup.drop_contained(ds, n=4, cols=["doc_id", "text"]).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 4, 5, 6, 7]
+
+
+def test_contamination_report_counts_and_zeros():
+    bench = pd.DataFrame({"doc_id": [100, 101],
+                          "text": ["alpha beta gamma delta epsilon",
+                                   "nine ten eleven twelve"]})
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["zz alpha beta gamma delta yy",   # overlaps bench 100
+                 "xx alpha beta gamma delta",      # overlaps bench 100
+                 "one two three four five six"]})  # overlaps nothing
+    got = (dedup.contamination_report(rd.from_pandas(corpus),
+                                      rd.from_pandas(bench), n=4)
+           .to_pandas().sort_values("bench_doc_id", ignore_index=True))
+    assert list(map(tuple, got.to_numpy())) == [(100, 2), (101, 0)]

@@ -1008,3 +1008,98 @@ def contamination_report(ds: rd.Dataset, bench: rd.Dataset, n: int = 4,
         }).infer_objects()
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+# ------------------------------------------------ containment dedup
+
+
+def containment_pairs(ds: rd.Dataset, n: int = 4, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      num_buckets: Optional[int] = None) -> rd.Dataset:
+    """EXACT substring-containment duplicate pairs: doc A is contained
+    in doc B when A's whole token sequence appears contiguously inside
+    B's (the precise complement of shared_chunk_pairs' coarse
+    suffix-array shape — full-document containment, the RefinedWeb /
+    suffix-array-dedup "drop exact substrings" rule at doc granularity).
+
+    Blocking with recall 1: if A (≥ ``n`` tokens) is token-contiguous
+    inside B, every ``n``-shingle of A — in particular its FIRST — is a
+    shingle of B. So the A side contributes ONE (id, first-shingle) row
+    per doc and the B side its full shingle set; only those small
+    derived rows shuffle. Candidates distinct-ed in a bucketed
+    exchange, then texts hash-join on and the exact check runs inside
+    map_batches — nothing corpus- or pair-set-sized on the driver. A
+    pathologically hot first-shingle can be spread with hash_join's
+    ``hot_keys`` salting if profiling shows one.
+
+    Strictness (so mutually-equal texts don't annihilate): A is dropped
+    for B only when B is strictly longer, or equal-length (⇒ equal
+    text) with the smaller id — first-wins, matching dedup_exact.
+    Docs with < ``n`` tokens are never considered (documented bound).
+    Returns (contained_doc_id, container_doc_id); exact and
+    SQL-expressible (queries.ORACLE_SQL['dedup_contained_pairs'])."""
+
+    def first_shingle(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df[text_col].str.count(" ") + 1
+        sub = df[nt >= n]
+        g = sub[text_col].str.split(" ", n=n).str[:n].str.join(" ")
+        return pd.DataFrame({"doc_a": sub[id_col].to_numpy(),
+                             "g": g.to_numpy()})
+
+    afirst = ds.map_batches(first_shingle, batch_format="pandas")
+    bsh = shingle_table(ds, n, id_col, text_col).map_batches(
+        lambda df: df.rename(columns={id_col: "doc_b"}),
+        batch_format="pandas")
+    cand = hash_join(afirst, bsh, "g", "g", num_buckets=num_buckets,
+                     left_cols=["doc_a", "g"], right_cols=["doc_b", "g"])
+    cand = cand.map_batches(
+        lambda df: df.loc[df["doc_a"] != df["doc_b"], ["doc_a", "doc_b"]],
+        batch_format="pandas")
+    # a shingle repeated inside B yields duplicate candidates → distinct
+    dcand = partial_aggregate(cand, ["doc_a", "doc_b"],
+                              {"__n": ("count", None)},
+                              num_buckets=num_buckets)
+    texts = ds.select_columns([id_col, text_col])
+    wa = hash_join(dcand, texts, "doc_a", id_col, num_buckets=num_buckets,
+                   left_cols=["doc_a", "doc_b"],
+                   right_cols=[id_col, text_col])
+    wb = hash_join(wa, texts, "doc_b", id_col, num_buckets=num_buckets,
+                   left_cols=["doc_a", "doc_b", text_col],
+                   right_cols=[id_col, text_col])
+    ta, tb = text_col, text_col + "_r"
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        a = (" " + df[ta] + " ").to_numpy()
+        b = (" " + df[tb] + " ").to_numpy()
+        contained = np.fromiter((x in y for x, y in zip(a, b)),
+                                dtype=bool, count=len(df))
+        la = df[ta].str.len().to_numpy()
+        lb = df[tb].str.len().to_numpy()
+        strict = (lb > la) | ((lb == la)
+                              & (df["doc_b"] < df["doc_a"]).to_numpy())
+        keep = contained & strict
+        return pd.DataFrame({
+            "contained_doc_id": df["doc_a"].to_numpy()[keep],
+            "container_doc_id": df["doc_b"].to_numpy()[keep],
+        }).infer_objects()  # join None-filling upcasts ids to object
+
+    return wb.map_batches(verify, batch_format="pandas")
+
+
+def drop_contained(ds: rd.Dataset, n: int = 4, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   cols: Optional[Sequence[str]] = None,
+                   num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Containment dedup: drop every doc whose full token sequence
+    appears contiguously inside another (strictly longer, or equal with
+    a smaller id) doc. Anti-joins containment_pairs' contained ids back
+    onto the corpus through the bloom-prefiltered exact path — the
+    dropped-id set is duplicate-sized, never corpus-sized."""
+    from .relops import semi_anti_filter_scalable
+
+    pairs = containment_pairs(ds, n, id_col, text_col,
+                              num_buckets=num_buckets)
+    return semi_anti_filter_scalable(
+        ds, id_col, pairs.select_columns(["contained_doc_id"]),
+        key_col="contained_doc_id", anti=True, num_buckets=num_buckets,
+        cols=list(cols) if cols is not None else None)

@@ -1114,6 +1114,25 @@ def q_contamination_report(sf_dir: str) -> rd.Dataset:
     return dedup.contamination_report(corpus, bench, n=4)
 
 
+def q_dedup_contained_pairs(sf_dir: str) -> rd.Dataset:
+    """Exact substring-containment dup pairs: docs whose whole token
+    sequence appears contiguously inside another (strictly longer, or
+    equal-text with a smaller id) doc."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.containment_pairs(docs, n=4)
+
+
+def q_dedup_contained(sf_dir: str) -> rd.Dataset:
+    """Containment dedup keep-set: the corpus minus every doc contained
+    in another doc (suffix-array-style exact-substring dedup at doc
+    granularity)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    kept = dedup.drop_contained(docs, n=4,
+                                cols=["doc_id", "text", "n_chars"])
+    return kept.map_batches(lambda df: df[["doc_id", "n_chars"]],
+                            batch_format="pandas")
+
+
 def q_train_val_split(sf_dir: str) -> rd.Dataset:
     """Deterministic held-out split labels (2%% val) via the
     content-addressed md5 coin — stable under corpus growth."""
@@ -1916,6 +1935,8 @@ QUERIES = {
     "curriculum_rank": q_curriculum_rank,
     "train_val_split": q_train_val_split,
     "contamination_report": q_contamination_report,
+    "dedup_contained_pairs": q_dedup_contained_pairs,
+    "dedup_contained": q_dedup_contained,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -2229,6 +2250,24 @@ ORACLE_SQL = {
                CAST(COALESCE(cnt.n_contaminated, 0) AS BIGINT) AS n_contaminated
         FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.bench_doc_id
         WHERE d.doc_id % 41 = 0""",
+    "dedup_contained_pairs": """
+        WITH d AS (SELECT doc_id, text, LENGTH(text) AS nc,
+                          len(string_split(text, ' ')) AS nt FROM documents)
+        SELECT a.doc_id AS contained_doc_id, b.doc_id AS container_doc_id
+        FROM d a JOIN d b ON a.doc_id <> b.doc_id
+        WHERE a.nt >= 4
+          AND contains(' ' || b.text || ' ', ' ' || a.text || ' ')
+          AND (b.nc > a.nc OR (b.nc = a.nc AND b.doc_id < a.doc_id))""",
+    "dedup_contained": """
+        WITH d AS (SELECT doc_id, text, LENGTH(text) AS nc,
+                          len(string_split(text, ' ')) AS nt FROM documents),
+        dropped AS (
+          SELECT DISTINCT a.doc_id FROM d a JOIN d b ON a.doc_id <> b.doc_id
+          WHERE a.nt >= 4
+            AND contains(' ' || b.text || ' ', ' ' || a.text || ' ')
+            AND (b.nc > a.nc OR (b.nc = a.nc AND b.doc_id < a.doc_id)))
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""",
     "shard_stats": """
         SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                          AS UBIGINT) % 16 AS BIGINT) AS shard,
