@@ -254,3 +254,17 @@ def test_compact_blocks_collapses_fragmentation():
     out = compact_blocks(frag)
     assert out.num_blocks() < 200
     assert sorted(r["x"] for r in out.take_all()) == list(range(500))
+
+
+def test_exact_order_statistic_matches_sort():
+    import numpy as np
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-500, 5000, size=4000)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+    s = np.sort(vals)
+    for k in (1, 7, 2000, 3999, 4000):
+        assert relops.exact_order_statistic(ds, "v", k, bin_width=64) == s[k - 1]
+    with pytest.raises(ValueError):
+        relops.exact_order_statistic(ds, "v", 0)
+    with pytest.raises(ValueError):
+        relops.exact_order_statistic(ds, "v", 4001)

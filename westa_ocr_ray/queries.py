@@ -37,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from . import dedup, extractors, fixtures, multimodal, similarity, text_analysis
+from . import dedup, extractors, fixtures, multimodal, relops, similarity, text_analysis
 from .config import ExtractConfig
 from .pipelines.extract import extract_dataset, read_documents
 from .relops import broadcast_join, hash_join, partial_aggregate
@@ -1367,17 +1367,14 @@ def approx_quantiles_value(sf_dir: str) -> pd.DataFrame:
                          "est_cents": np.array(out_e, dtype=np.int64)})
 
 
-def lm_unigram_score(sf_dir: str) -> rd.Dataset:
-    """Unigram language-model scoring — the model-scoring shape with an
-    exact integer oracle: corpus unigram counts (distributed partial
-    aggregate) hash-join back onto the (doc, token, tf) table on
-    `token` (vocabulary-scale side never broadcast / never on the
-    driver), then per-doc sum of tf·round(1000·ln(N_total/count)) — a
-    surprisal-weighted quality signal. Integer millinats so the value
-    hash is stable."""
-    import math
-
-    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+def _lm_doc_scores(docs: rd.Dataset) -> rd.Dataset:
+    """Shared unigram-LM scoring pipeline → (doc_id, surprisal_mn,
+    n_tok): corpus unigram counts (distributed partial aggregate)
+    hash-join back onto the (doc, token, tf) table on `token`
+    (vocabulary-scale side never broadcast / never on the driver), then
+    per-doc sums of tf·round(1000·ln(N_total/count)) and tf. Integer
+    millinats so value hashes are stable. Feeds lm_unigram_score and
+    perplexity_filter."""
 
     def doc_tf(df: pd.DataFrame) -> pd.DataFrame:
         from collections import Counter
@@ -1411,18 +1408,64 @@ def lm_unigram_score(sf_dir: str) -> rd.Dataset:
         surprisal = np.round(1000.0 * np.log(total / cnt)).astype(np.int64)
         out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
                             "part_mn": df["tf"].to_numpy(dtype=np.int64)
-                            * surprisal})
+                            * surprisal,
+                            "part_n": df["tf"].to_numpy(dtype=np.int64)})
         # infer_objects: join None-filling upcasts doc_id to object and
         # the driver's value hash is type-sensitive
         return (out.groupby("doc_id", sort=False, as_index=False)
-                .agg(part_mn=("part_mn", "sum")).infer_objects())
+                .agg(part_mn=("part_mn", "sum"), part_n=("part_n", "sum"))
+                .infer_objects())
 
     joined = hash_join(tf, counts, "token", "token",
                        left_cols=["doc_id", "token", "tf"],
                        right_cols=["token", "cnt"],
                        bucket_fn=score_bucket)
     return partial_aggregate(joined, ["doc_id"],
-                             {"surprisal_mn": ("sum", "part_mn")})
+                             {"surprisal_mn": ("sum", "part_mn"),
+                              "n_tok": ("sum", "part_n")})
+
+
+def lm_unigram_score(sf_dir: str) -> rd.Dataset:
+    """Unigram language-model scoring — the model-scoring shape with an
+    exact integer oracle (see _lm_doc_scores for the distributed
+    pipeline)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    return _lm_doc_scores(docs).map_batches(
+        lambda df: df[["doc_id", "surprisal_mn"]], batch_format="pandas")
+
+
+def perplexity_filter(sf_dir: str) -> rd.Dataset:
+    """Quality-based data pruning — "keep every doc scoring at or below
+    the 90%-quantile mean surprisal" (the perplexity-filtering step of
+    a training-data pipeline, dropping the weirdest ~10%):
+
+    1. per-doc mean surprisal (millinats/token, exact integer floor
+       division) from the distributed unigram-LM pipeline; the small
+       (doc_id, score) table is checkpointed once — it feeds the count,
+       the threshold passes and the final filter, and lazy reuse would
+       re-run the LM join per consumer;
+    2. the exact k-th order statistic (k = ⌊9n/10⌋) via
+       relops.exact_order_statistic — two bounded histogram passes, no
+       global sort, nothing corpus-sized on the driver;
+    3. a vectorized threshold filter (ties at the threshold value kept
+       on both sides, so the rule is deterministic under any layout).
+    """
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def mean_score(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "mean_mn": df["surprisal_mn"].to_numpy(dtype=np.int64)
+            // df["n_tok"].to_numpy(dtype=np.int64)})
+
+    scored = (_lm_doc_scores(docs)
+              .map_batches(mean_score, batch_format="pandas")
+              .materialize())  # blocks stay in the object store
+    n = scored.count()
+    k = (9 * n) // 10
+    thr = relops.exact_order_statistic(scored, "mean_mn", k)
+    return scored.map_batches(
+        lambda df: df[df["mean_mn"] <= thr], batch_format="pandas")
 
 
 def zscore_by_lang(sf_dir: str) -> rd.Dataset:
@@ -1937,6 +1980,7 @@ QUERIES = {
     "contamination_report": q_contamination_report,
     "dedup_contained_pairs": q_dedup_contained_pairs,
     "dedup_contained": q_dedup_contained,
+    "perplexity_filter": perplexity_filter,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -2622,6 +2666,30 @@ ORACLE_SQL = {
                         / cnts.cnt)) AS BIGINT)) AS BIGINT) AS surprisal_mn
         FROM tf JOIN cnts USING (token) CROSS JOIN tot
         GROUP BY tf.doc_id""",
+    # same LM fragment as lm_unigram_score, then the exact integer
+    # 90%-quantile threshold (k-th order statistic; ties kept) — the
+    # engine side computes the identical k via exact_order_statistic
+    "perplexity_filter": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM toks
+          WHERE token <> '' GROUP BY doc_id, token),
+        cnts AS (
+          SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY token),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts),
+        sc AS (
+          SELECT tf.doc_id,
+                 CAST(SUM(tf.tf * CAST(ROUND(1000 * ln(CAST(tot.total AS DOUBLE)
+                          / cnts.cnt)) AS BIGINT)) AS BIGINT)
+                 // CAST(SUM(tf.tf) AS BIGINT) AS mean_mn
+          FROM tf JOIN cnts USING (token) CROSS JOIN tot
+          GROUP BY tf.doc_id),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+        thr AS (SELECT mean_mn AS t FROM sc CROSS JOIN n
+                QUALIFY row_number() OVER (ORDER BY mean_mn) = (9 * n.n) // 10)
+        SELECT doc_id, CAST(mean_mn AS BIGINT) AS mean_mn FROM sc
+        WHERE mean_mn <= (SELECT t FROM thr)""",
     "approx_quantiles_value": """
         WITH c AS (
           SELECT event_type,

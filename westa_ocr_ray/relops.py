@@ -448,3 +448,50 @@ def semi_anti_filter(ds: rd.Dataset, key: str, key_set, anti: bool = False) -> r
         return t.filter(pa.array(~mask if anti else mask))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def exact_order_statistic(ds: rd.Dataset, value_col: str, k: int,
+                          bin_width: int = 64,
+                          num_buckets: Optional[int] = None) -> int:
+    """EXACT k-th smallest (1-based) value of an integer column in two
+    bounded distributed passes — the single-group generalization of the
+    grouped-median shape (queries.median_value_by_type), used for
+    quantile-threshold selection (perplexity filtering: "keep every doc
+    scoring at or below the p-quantile") with NO global sort:
+
+    1. histogram pass: bucketed counts of value // bin_width — the
+       driver sees only the bin table (≤ value-range / bin_width rows,
+       independent of row count);
+    2. exact pass: per-value counts INSIDE the single rank-holding bin
+       — ≤ bin_width distinct values cross the wire.
+
+    Raises ValueError when k is outside [1, row count]."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"bin": v // bin_width})
+
+    hist = (partial_aggregate(ds.map_batches(binned, batch_format="pandas"),
+                              ["bin"], {"cnt": ("count", None)},
+                              num_buckets=num_buckets)
+            .to_pandas().sort_values("bin", ignore_index=True))
+    cum = hist["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    if k > n:
+        raise ValueError(f"k={k} exceeds row count {n}")
+    i = int(np.searchsorted(cum, k))
+    b = int(hist["bin"][i])
+    below = int(cum[i - 1]) if i else 0
+
+    def in_bin(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"v": v[v // bin_width == b]})
+
+    vals = (partial_aggregate(ds.map_batches(in_bin, batch_format="pandas"),
+                              ["v"], {"cnt": ("count", None)},
+                              num_buckets=num_buckets)
+            .to_pandas().sort_values("v", ignore_index=True))
+    j = int(np.searchsorted(vals["cnt"].cumsum().to_numpy(), k - below))
+    return int(vals["v"][j])
