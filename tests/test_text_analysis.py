@@ -139,3 +139,33 @@ def test_repetition_stats_matches_python_oracle():
         assert r["keep"] == exp_keep
     # doc 2 is the only clean one; 1 and 4 trip both rules, 3 trips tok rule
     assert list(out["keep"]) == [0, 1, 0, 0]
+
+
+def test_build_vocab_matches_pandas():
+    import numpy as np
+    rows = pd.DataFrame({"text": ["a b b c", "b c d", "c d e e e"]})
+    got = (text_analysis.build_vocab(rd.from_pandas(rows), top_v=3)
+           .to_pandas().sort_values("rk", ignore_index=True))
+    # counts: b=3 c=3 e=3 a=1 d=2 -> top3 by (cnt desc, token asc): b,c,e
+    assert list(map(tuple, got.to_numpy())) == [
+        ("b", 3, 1), ("c", 3, 2), ("e", 3, 3)]
+
+
+def test_hash_embed_deterministic_and_counts():
+    import hashlib
+
+    import numpy as np
+    rows = pd.DataFrame({"doc_id": [1, 2], "text": ["x y x", "z"]})
+    got = (text_analysis.hash_embed(rd.from_pandas(rows), dim=8)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    for _, r in got.iterrows():
+        assert len(r["vec"]) == 8
+
+    def bucket(t):
+        return int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") % 8
+
+    v1 = np.zeros(8, dtype=np.int64)
+    v1[bucket("x")] += 2
+    v1[bucket("y")] += 1
+    assert list(got["vec"][0]) == list(v1)
+    assert sum(got["vec"][1]) == 1

@@ -1133,6 +1133,37 @@ def q_dedup_contained(sf_dir: str) -> rd.Dataset:
                             batch_format="pandas")
 
 
+def q_build_vocab(sf_dir: str) -> rd.Dataset:
+    """Global training-vocabulary build: top-256 tokens by (count desc,
+    token asc) with deterministic rank — distributed counts + the
+    bounded two-stage grouped_topk, no global sort."""
+    docs = rp(sf_dir, "documents", ["text"])
+    return text_analysis.build_vocab(docs, top_v=256)
+
+
+def q_hash_embed_stats(sf_dir: str) -> rd.Dataset:
+    """Hashing-trick featurization check: derive (top bucket, squared
+    norm) per doc from the REAL hash_embed vectors so the embedding
+    construction itself is value-verified against SQL."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    emb = text_analysis.hash_embed(docs, dim=16)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": df["doc_id"],
+                                 "top_bucket": pd.Series([], dtype=np.int64),
+                                 "norm2": pd.Series([], dtype=np.int64)})
+        m = np.stack(df["vec"].to_numpy())
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            # argmax takes the FIRST maximum -> smallest bucket on ties,
+            # matching the oracle's ORDER BY c DESC, bucket
+            "top_bucket": m.argmax(axis=1).astype(np.int64),
+            "norm2": (m * m).sum(axis=1).astype(np.int64)})
+
+    return emb.map_batches(stats, batch_format="pandas")
+
+
 def q_train_val_split(sf_dir: str) -> rd.Dataset:
     """Deterministic held-out split labels (2%% val) via the
     content-addressed md5 coin — stable under corpus growth."""
@@ -1981,6 +2012,8 @@ QUERIES = {
     "dedup_contained_pairs": q_dedup_contained_pairs,
     "dedup_contained": q_dedup_contained,
     "perplexity_filter": perplexity_filter,
+    "build_vocab": q_build_vocab,
+    "hash_embed_stats": q_hash_embed_stats,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -2690,6 +2723,35 @@ ORACLE_SQL = {
                 QUALIFY row_number() OVER (ORDER BY mean_mn) = (9 * n.n) // 10)
         SELECT doc_id, CAST(mean_mn AS BIGINT) AS mean_mn FROM sc
         WHERE mean_mn <= (SELECT t FROM thr)""",
+    "build_vocab": """
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+              WHERE token <> '' GROUP BY token)
+        SELECT token, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+                 AS rk
+        FROM c QUALIFY rk <= 256""",
+    # recomputes the hashing-trick embedding: token bucket =
+    # first-8-md5-bytes % 16 (the established UBIGINT trick), then the
+    # per-doc argmax bucket (ties -> smallest) and squared norm
+    "hash_embed_stats": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        b AS (SELECT doc_id,
+                     CAST(CAST(('0x' || substr(md5(token), 1, 16)) AS UBIGINT)
+                          % 16 AS BIGINT) AS bucket,
+                     COUNT(*) AS c
+              FROM toks WHERE token <> '' GROUP BY doc_id, bucket),
+        sel AS (SELECT doc_id, bucket,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, bucket) AS r
+                FROM b),
+        n2 AS (SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS norm2
+               FROM b GROUP BY doc_id)
+        SELECT s.doc_id, CAST(s.bucket AS BIGINT) AS top_bucket, n2.norm2
+        FROM sel s JOIN n2 USING (doc_id) WHERE s.r = 1""",
     "approx_quantiles_value": """
         WITH c AS (
           SELECT event_type,

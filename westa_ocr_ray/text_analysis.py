@@ -306,3 +306,74 @@ def _repetition_batch(id_col: str, text_col: str,
                              "keep": keep})
 
     return fn
+
+
+def build_vocab(ds: rd.Dataset, top_v: int = 256, text_col: str = "text",
+                num_buckets=None) -> rd.Dataset:
+    """Global training-vocabulary build: the ``top_v`` most frequent
+    tokens ranked by (count desc, token asc) — deterministic rank, no
+    global sort. Per-batch token counting (one Counter pass) feeds the
+    bucketed partial aggregate; the final cut is the bounded two-stage
+    grouped_topk on a constant group (≤ blocks × top_v candidate rows
+    reach one task — bounded by the block count, never the vocabulary).
+    Returns (token, cnt, rk); exact and SQL-expressible
+    (queries.ORACLE_SQL['build_vocab'])."""
+    from collections import Counter
+
+    from .relops import grouped_topk
+
+    def count_batch(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df[text_col]:
+            c.update(t for t in text.split(" ") if t)
+        return pd.DataFrame({"token": list(c.keys()),
+                             "cnt": np.fromiter(c.values(), dtype=np.int64,
+                                                count=len(c))})
+
+    counts = partial_aggregate(ds.map_batches(count_batch,
+                                              batch_format="pandas"),
+                               ["token"], {"cnt": ("sum", "cnt")},
+                               num_buckets=num_buckets)
+    top = grouped_topk(counts.map_batches(
+        lambda df: df.assign(__g=np.int32(0)), batch_format="pandas"),
+        ["__g"], ["cnt", "token"], top_v, ascending=[False, True])
+    return top.map_batches(lambda df: df[["token", "cnt", "rk"]],
+                           batch_format="pandas")
+
+
+def hash_embed(ds: rd.Dataset, dim: int = 16, id_col: str = "doc_id",
+               text_col: str = "text") -> rd.Dataset:
+    """Hashing-trick bag-of-words featurization — the deterministic
+    text→vector bridge into the similarity/ANN operators (no model
+    weights, so the embedding is SQL-recomputable): token → bucket =
+    first-8-md5-bytes % dim (the same UBIGINT trick the shard/sampling
+    oracles use), per-doc bucket counts as an int64 vector.
+
+    Vectorized the same way as the SimHash kernel: md5 runs once per
+    UNIQUE token per batch, then a single np.add.at scatter builds all
+    rows' vectors. Returns (id, vec: list<int64>[dim]); derived stats
+    (top bucket, squared norm) are oracle-checked in
+    queries.ORACLE_SQL['hash_embed_stats']."""
+    import hashlib
+
+    def embed(df: pd.DataFrame) -> pd.DataFrame:
+        nrows = len(df)
+        toks = df[text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64) if nrows else \
+            np.array([], dtype=np.int64)
+        flat = (np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                if nrows else np.array([], dtype=object))
+        keep = flat != ""
+        flat = flat[keep]
+        did = np.repeat(np.arange(nrows, dtype=np.int64), lens)[keep]
+        uniq, inv = np.unique(flat, return_inverse=True)
+        buckets = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8],
+                            "big") % dim for t in uniq),
+            dtype=np.int64, count=len(uniq))
+        mat = np.zeros((nrows, dim), dtype=np.int64)
+        np.add.at(mat, (did, buckets[inv]), 1)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "vec": list(mat)})
+
+    return ds.map_batches(embed, batch_format="pandas")
