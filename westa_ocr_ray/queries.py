@@ -1625,14 +1625,15 @@ def parse_detail_rows(sf_dir: str) -> rd.Dataset:
 # ------------------------------------------- combined trivial-shape check
 
 def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
-    """Eleven trivial operator shapes re-verified as ONE query inside
-    the driver's ~50-query correctness window (VERDICT r2 #5: the
-    individually-registered versions sit past the window by design; this
-    tall (metric, k, v) checksum table keeps each SHAPE hash-checked by
-    the driver every round): global count, DISTINCT, deterministic hash
-    sampling, union set-op, grouped stats, grouped top-k, rolling /
-    tumbling / lag windows, string agg, histogram, and the four
-    scalar-function shapes. Each sub-result is reduced to integer
+    """Nineteen trivial/redundant operator shapes re-verified as ONE
+    query inside the driver's ~50-query correctness window (VERDICT r2
+    #5: the individually-registered versions sit past the window by
+    design; this tall (metric, k, v) checksum table keeps each SHAPE
+    hash-checked by the driver every round): global count, DISTINCT,
+    deterministic hash sampling, union set-op, grouped stats, grouped
+    top-k, rolling / tumbling / lag windows, string agg, histogram, the
+    four scalar-function shapes, simhash pair table, per-lang token
+    totals, global bigram top-k, and the daily rollup. Each sub-result is reduced to integer
     checksums with per-batch partials — only tiny partial rows reach
     the driver; the independent sub-pipelines are launched from driver
     THREADS so their Ray executions overlap instead of paying ~17
@@ -1750,9 +1751,45 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
         return checksum(m_props_json(sf_dir), ["event_id", "k_val"],
                         "propsjson")
 
+    # round-3 fold #4: simhash pair table, per-lang token totals, global
+    # bigram top-k, daily rollup — their slots went to the round-3
+    # training-data ops dedup_contained / perplexity_filter /
+    # contamination_report / build_vocab
+    def t_shpairs() -> List[tuple]:
+        sp = q_dedup_simhash_pairs(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"chk": df["doc_a"].to_numpy(dtype=np.int64) * 31
+                 + df["doc_b"].to_numpy(dtype=np.int64) * 7
+                 + df["hamming"].to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        return checksum(sp, ["chk"], "shpairs")
+
+    def t_toklang() -> List[tuple]:
+        tl = q_tokens_by_lang(sf_dir).to_pandas().sort_values("lang")
+        out: List[tuple] = []
+        for _, r in tl.iterrows():
+            out.append(("toklang_n_docs", r["lang"], int(r["n_docs"])))
+            out.append(("toklang_n_tokens", r["lang"], int(r["n_tokens"])))
+        return out
+
+    def t_bigrams() -> List[tuple]:
+        tb = top_bigrams(sf_dir)  # already a (tiny) pandas DataFrame
+        return [("bigram_n", r["bg"], int(r["n"]))
+                for _, r in tb.iterrows()]
+
+    def t_daily() -> List[tuple]:
+        ed = events_daily(sf_dir).to_pandas()
+        out: List[tuple] = []
+        for _, r in ed.iterrows():
+            key = f"{r['event_type']}|{r['day']}"
+            out.append(("daily_n", key, int(r["n"])))
+            out.append(("daily_sum_cents", key, int(r["sum_value_cents"])))
+        return out
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
-             t_regexfw, t_priocode, t_mask, t_propsjson]
+             t_regexfw, t_priocode, t_mask, t_propsjson,
+             t_shpairs, t_toklang, t_bigrams, t_daily]
     with ThreadPoolExecutor(max_workers=6) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
@@ -1934,7 +1971,7 @@ QUERIES = {
     "dedup_prefix": q_dedup_prefix,
     "dedup_minhash_planted": q_dedup_minhash_planted,
     "dedup_simhash": q_dedup_simhash,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_contained": q_dedup_contained,
     "dedup_ngram": q_dedup_ngram,
     "dedup_shared_chunks": q_dedup_shared_chunks,
     "dedup_embedding": q_dedup_embedding,
@@ -1943,13 +1980,13 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
-    "tokens_by_lang": q_tokens_by_lang,
+    "perplexity_filter": perplexity_filter,
     "token_count_bpe": q_token_count_bpe,
     "lm_unigram_score": lm_unigram_score,
     "zscore_by_lang": zscore_by_lang,
     "approx_quantiles_value": approx_quantiles_value,
     "top_distinctive_token": top_distinctive_token,
-    "top_bigrams": top_bigrams,
+    "contamination_report": q_contamination_report,
     "embedding_centroids": embedding_centroids,
     "sim_topk": q_sim_topk,
     "stratified_sample_by_lang": stratified_sample_by_lang,
@@ -1964,7 +2001,7 @@ QUERIES = {
     "o1_first_line_partkey": o1_first_line_partkey,
     "o3_topk_recent_events": o3_topk_recent_events,
     "m1_explode_tokens": m1_explode_tokens,
-    "events_daily": events_daily,
+    "build_vocab": q_build_vocab,
     "top_tokens_per_doc": top_tokens_per_doc,
     "asof_last_order_before_event": asof_last_order_before_event,
     "range_join_balance_band": range_join_balance_band,
@@ -1973,8 +2010,9 @@ QUERIES = {
     # round-3 training-data operators (in-window; their slots come from
     # events_tumbling / events_prev_gap / order_priorities_concat /
     # events_value_histogram / m3_regex_first_word / m4_priority_code /
-    # m8_mask_props / m_props_json, whose checksums moved into
-    # combined_small_shapes below)
+    # m8_mask_props / m_props_json / dedup_simhash_pairs /
+    # tokens_by_lang / top_bigrams / events_daily, whose checksums
+    # moved into combined_small_shapes below)
     "text_repetition": q_text_repetition,
     "decontaminate": q_decontaminate,
     "shard_stats": q_shard_stats,
@@ -1987,6 +2025,10 @@ QUERIES = {
     # their SHAPES stay value-checked every round through the in-window
     # combined_small_shapes checksum twin
     "m3_regex_first_word": m3_regex_first_word,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "tokens_by_lang": q_tokens_by_lang,
+    "top_bigrams": top_bigrams,
+    "events_daily": events_daily,
     "m4_priority_code": m4_priority_code,
     "m8_mask_props": m8_mask_props,
     "m_props_json": m_props_json,
@@ -2008,11 +2050,7 @@ QUERIES = {
     "epoch_oversample": q_epoch_oversample,
     "curriculum_rank": q_curriculum_rank,
     "train_val_split": q_train_val_split,
-    "contamination_report": q_contamination_report,
     "dedup_contained_pairs": q_dedup_contained_pairs,
-    "dedup_contained": q_dedup_contained,
-    "perplexity_filter": perplexity_filter,
-    "build_vocab": q_build_vocab,
     "hash_embed_stats": q_hash_embed_stats,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
@@ -2426,7 +2464,32 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
         FROM f GROUP BY 1""",
-    "combined_small_shapes": """
+    "combined_small_shapes": f"""
+        WITH {_SIMHASH_CORE_SQL},
+        shp AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+          FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        tt AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS i
+          FROM documents),
+        bb AS (
+          SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id
+                                               ORDER BY i) AS bg,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+          FROM tt WHERE tok <> ''),
+        bg20 AS (
+          SELECT bg, CAST(COUNT(*) AS BIGINT) AS n FROM bb
+          WHERE nxt IS NOT NULL AND nxt <> ''
+          GROUP BY bg ORDER BY n DESC, bg LIMIT 20),
+        dly AS (
+          SELECT event_type || '|' || strftime(ts, '%Y-%m-%d') AS key,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sc
+          FROM events GROUP BY 1)
         SELECT 'count_orders' AS metric, '' AS k, COUNT(*) AS v FROM orders
         UNION ALL
         SELECT 'event_type', event_type, CAST(1 AS BIGINT)
@@ -2557,7 +2620,26 @@ ORACLE_SQL = {
         SELECT 'propsjson_sum_k_val', '',
                CAST(SUM(CAST(COALESCE(json_extract(props, '$.k'), -1)
                              AS BIGINT)) AS BIGINT)
-        FROM events""",
+        FROM events
+        UNION ALL
+        SELECT 'shpairs_count', '', COUNT(*) FROM shp
+        UNION ALL
+        SELECT 'shpairs_sum_chk', '',
+               CAST(COALESCE(SUM(doc_a * 31 + doc_b * 7 + hamming), 0)
+                    AS BIGINT)
+        FROM shp
+        UNION ALL
+        SELECT 'toklang_n_docs', lang, COUNT(*) FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'toklang_n_tokens', lang,
+               CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT)
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'bigram_n', bg, n FROM bg20
+        UNION ALL
+        SELECT 'daily_n', key, n FROM dly
+        UNION ALL
+        SELECT 'daily_sum_cents', key, sc FROM dly""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,
