@@ -82,3 +82,20 @@ def test_ivf_centroids_deterministic():
     assert np.array_equal(c1, c2)
     assert c1.shape[0] == 4
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_hash_embed_feeds_brute_force_topk():
+    """The documents→vector bridge: hash_embed output plugs directly
+    into the similarity operators (id_col/vec_col remap only)."""
+    import numpy as np
+
+    from westa_ocr_ray import text_analysis
+    rows = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["alpha beta gamma", "alpha beta gamma delta",
+                 "omega psi chi", "unrelated words entirely"]})
+    emb = text_analysis.hash_embed(rd.from_pandas(rows), dim=32)
+    got = similarity.brute_force_topk(emb, query_ids=[0], k=1,
+                                      id_col="doc_id", vec_col="vec")
+    # doc 1 shares 3 of its 4 hashed buckets with doc 0 -> nearest
+    assert list(map(tuple, got.to_numpy())) == [(0, 1, 1)]

@@ -1050,15 +1050,17 @@ def containment_pairs(ds: rd.Dataset, n: int = 4, id_col: str = "doc_id",
     bsh = shingle_table(ds, n, id_col, text_col).map_batches(
         lambda df: df.rename(columns={id_col: "doc_b"}),
         batch_format="pandas")
-    cand = hash_join(afirst, bsh, "g", "g", num_buckets=num_buckets,
-                     left_cols=["doc_a", "g"], right_cols=["doc_b", "g"])
-    cand = cand.map_batches(
-        lambda df: df.loc[df["doc_a"] != df["doc_b"], ["doc_a", "doc_b"]],
-        batch_format="pandas")
-    # a shingle repeated inside B yields duplicate candidates → distinct
-    dcand = partial_aggregate(cand, ["doc_a", "doc_b"],
-                              {"__n": ("count", None)},
-                              num_buckets=num_buckets)
+    # a shingle repeated inside B yields duplicate candidates, but every
+    # copy of a pair carries the SAME join key (A's first shingle), so
+    # all copies land in one join bucket — dedup + self-pair filter fuse
+    # into the join task and no separate distinct shuffle is needed
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.loc[df["doc_a"] != df["doc_b"], ["doc_a", "doc_b"]]
+        return out.drop_duplicates()
+
+    dcand = hash_join(afirst, bsh, "g", "g", num_buckets=num_buckets,
+                      left_cols=["doc_a", "g"], right_cols=["doc_b", "g"],
+                      bucket_fn=distinct_pairs)
     texts = ds.select_columns([id_col, text_col])
     wa = hash_join(dcand, texts, "doc_a", id_col, num_buckets=num_buckets,
                    left_cols=["doc_a", "doc_b"],
