@@ -284,3 +284,43 @@ def test_contamination_report_counts_and_zeros():
                                       rd.from_pandas(bench), n=4)
            .to_pandas().sort_values("bench_doc_id", ignore_index=True))
     assert list(map(tuple, got.to_numpy())) == [(100, 2), (101, 0)]
+
+
+def test_remove_duplicate_chunks_strips_shared_passages():
+    shared = " ".join(f"s{i}" for i in range(10))       # one full chunk
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [shared + " a b c",        # shared chunk + 3-token tail
+                 shared + " d e",          # same shared chunk elsewhere
+                 "u v w x y z"]})          # untouched
+    got = (dedup.remove_duplicate_chunks(rd.from_pandas(rows),
+                                         chunk_tokens=10, min_docs=2)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert list(map(tuple, got[["doc_id", "text"]].to_numpy())) == [
+        (1, "a b c"), (2, "d e"), (3, "u v w x y z")]
+    assert list(got["n_chunks_kept"]) == [1, 1, 1]
+
+
+def test_remove_duplicate_chunks_fully_duplicated_doc_disappears():
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [shared,                   # every chunk duplicated -> gone
+                 shared + " tail"]})
+    got = dedup.remove_duplicate_chunks(rd.from_pandas(rows),
+                                        chunk_tokens=10,
+                                        min_docs=2).to_pandas()
+    assert list(got["doc_id"]) == [2] and list(got["text"]) == ["tail"]
+
+
+def test_remove_duplicate_chunks_in_doc_repeat_is_not_cross_doc():
+    chunk = " ".join(f"r{i}" for i in range(5))
+    rows = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [chunk + " " + chunk,      # repeated within ONE doc only
+                 "p q r s t"]})
+    got = (dedup.remove_duplicate_chunks(rd.from_pandas(rows),
+                                         chunk_tokens=5, min_docs=2)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    # both in-doc copies survive, order preserved
+    assert list(got["text"]) == [chunk + " " + chunk, "p q r s t"]

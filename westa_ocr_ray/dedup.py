@@ -854,6 +854,91 @@ def shared_chunk_pairs(ds: rd.Dataset, id_col: str = "doc_id",
     return out
 
 
+def remove_duplicate_chunks(ds: rd.Dataset, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            chunk_tokens: int = 10, min_docs: int = 2,
+                            num_buckets: Optional[int] = None,
+                            size_hint_bytes: Optional[int] = None) -> rd.Dataset:
+    """Duplicate-PASSAGE removal with document reassembly — the
+    "remove the duplicated text, keep the rest of the doc" form of
+    substring dedup used on web corpora (Lee et al. 2107.06499 §4
+    ExactSubstr; CCNet-style shared-line stripping), where
+    shared_chunk_pairs only REPORTS the overlap. Docs are cut into
+    non-overlapping ``chunk_tokens``-token passages (the trailing
+    short remainder included, so no text is silently lost); every
+    passage appearing in >= ``min_docs`` DISTINCT docs is removed from
+    ALL of them; survivors re-concatenate in original order. Docs whose
+    every passage was duplicated disappear (their text is fully
+    accounted for elsewhere in the corpus).
+
+    Scale shape: the corpus text moves through exactly one explode →
+    anti-join → bucketed reassembly chain. Duplicate detection shuffles
+    only (id, md5) rows through two bucketed partial aggregates; the
+    duplicated-passage set (tiny vs the corpus) anti-joins back via the
+    bloom-prefiltered exact join, so ~every unique passage bypasses the
+    join entirely. Exact and SQL-expressible:
+    queries.ORACLE_SQL['dedup_passage'].
+
+    Returns (id, text, n_chunks_kept) for docs with >= 1 surviving
+    passage."""
+    from .relops import semi_anti_filter_scalable
+
+    if num_buckets is None:
+        num_buckets = auto_buckets(floor=64, size_bytes=size_hint_bytes)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids: List = []
+        pos: List[int] = []
+        texts: List[str] = []
+        for did, text in zip(df[id_col], df[text_col]):
+            toks = text.split(" ")
+            for i in range(-(-len(toks) // chunk_tokens)):
+                ids.append(did)
+                pos.append(i)
+                texts.append(" ".join(
+                    toks[chunk_tokens * i:chunk_tokens * (i + 1)]))
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype=df[id_col].dtype),
+            "pos": pd.Series(pos, dtype=np.int64),
+            "ctext": pd.Series(texts, dtype=object),
+            "ch": pd.Series([md5_hex(t) for t in texts], dtype=object)})
+
+    chunks = ds.map_batches(explode, batch_format="pandas")
+    # distinct (doc, passage) first so an in-doc repeat doesn't count as
+    # cross-doc duplication, then passages by distinct-doc count
+    per_doc = partial_aggregate(
+        chunks.select_columns([id_col, "ch"]), [id_col, "ch"],
+        {"__n": ("count", None)}, num_buckets=num_buckets)
+    dup = (partial_aggregate(per_doc.select_columns(["ch"]), ["ch"],
+                             {"nd": ("count", None)},
+                             num_buckets=num_buckets)
+           .map_batches(lambda df: df.loc[df["nd"] >= min_docs, ["ch"]],
+                        batch_format="pandas"))
+    # dup is a groupby output (one row per hash) -> skip the join's
+    # global key-dedup exchange
+    kept = semi_anti_filter_scalable(chunks, "ch", dup, key_col="ch",
+                                     anti=True, num_buckets=num_buckets,
+                                     cols=[id_col, "pos", "ctext", "ch"],
+                                     keys_unique=True)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, "pos", "ctext"]].copy()
+        df["__b"] = (pd.util.hash_pandas_object(
+            df[id_col].astype(str), index=False).to_numpy()
+            % num_buckets).astype("int32")
+        return df
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "pos"], ignore_index=True)
+        g = df.groupby(id_col, sort=False)
+        out = g["ctext"].agg(" ".join).rename(text_col).reset_index()
+        out["n_chunks_kept"] = g.size().to_numpy(dtype=np.int64)
+        return out
+
+    return (kept.map_batches(tag, batch_format="pandas")
+            .groupby("__b").map_groups(rebuild, batch_format="pandas"))
+
+
 # -------------------------------------------------- embedding near-dup
 
 

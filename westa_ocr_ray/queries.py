@@ -775,6 +775,18 @@ def q_dedup_shared_chunks(sf_dir: str) -> rd.Dataset:
                                     size_hint_bytes=_doc_size_hint(sf_dir))
 
 
+def q_dedup_passage(sf_dir: str) -> rd.Dataset:
+    """Duplicate-passage REMOVAL with doc reassembly (Lee et al.
+    ExactSubstr / CCNet shared-line stripping): passages shared by >=2
+    distinct docs are stripped from all of them, survivors
+    re-concatenate in order. Exact — the hash gate checks the rebuilt
+    text byte-for-byte."""
+    return dedup.remove_duplicate_chunks(
+        rp(sf_dir, "documents", ["doc_id", "text"]),
+        chunk_tokens=10, min_docs=2,
+        size_hint_bytes=_doc_size_hint(sf_dir))
+
+
 def q_dedup_embedding(sf_dir: str) -> rd.Dataset:
     return dedup.embedding_near_dup_pairs(
         rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"]), threshold=0.4)
@@ -2046,6 +2058,7 @@ QUERIES = {
     # oracle-bearing but past the 50-query driver window (in-window
     # slots hold distinct shapes): gated every round by
     # scripts/check_queries.py, which covers ALL ORACLE_SQL entries
+    "dedup_passage": q_dedup_passage,
     "mixture_sample": q_mixture_sample,
     "epoch_oversample": q_epoch_oversample,
     "curriculum_rank": q_curriculum_rank,
@@ -2280,6 +2293,22 @@ ORACLE_SQL = {
                COUNT(*) AS n_shared_chunks
         FROM d a JOIN d b ON a.ch = b.ch AND a.doc_id < b.doc_id
         GROUP BY doc_a, doc_b""",
+    "dedup_passage": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        c AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(toks[10*i+1:10*i+10], ' ') AS ctext
+          FROM (SELECT doc_id, toks,
+                       unnest(range(0, (len(toks) + 9) // 10)) AS i
+                FROM t)),
+        dup AS (
+          SELECT ctext FROM (SELECT DISTINCT doc_id, ctext FROM c)
+          GROUP BY ctext HAVING COUNT(*) >= 2),
+        k AS (SELECT doc_id, pos, ctext FROM c
+              WHERE ctext NOT IN (SELECT ctext FROM dup))
+        SELECT doc_id, string_agg(ctext, ' ' ORDER BY pos) AS text,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks_kept
+        FROM k GROUP BY doc_id""",
     "dedup_minhash_planted": f"""
         WITH d AS (
           SELECT doc_id, text FROM documents
