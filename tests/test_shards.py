@@ -151,3 +151,53 @@ def test_train_val_split_deterministic_and_stable_under_growth():
     thr = shards.mixture_threshold_hex(0.1)
     for d, s in ma.items():
         assert (md5_hex(f"9|{d}")[:8] < thr) == (s == "val")
+
+
+def _budget_reference(df, budget, seed=7):
+    """Serial reference: greedy per-group prefix in (md5 key, id) order."""
+    df = df.copy()
+    df["n_tok"] = df["text"].str.count(" ") + 1
+    df["sk"] = [md5_hex(f"{seed}|{i}") for i in df["doc_id"]]
+    keep = []
+    for _, g in df.groupby("lang"):
+        g = g.sort_values(["sk", "doc_id"])
+        cum = 0
+        for _, r in g.iterrows():
+            if cum < budget:
+                keep.append((r["doc_id"], r["lang"], r["n_tok"]))
+            cum += r["n_tok"]
+    return sorted(keep)
+
+
+def test_token_budget_sample_matches_serial_reference():
+    df = pd.DataFrame({
+        "doc_id": range(60),
+        "lang": [["en", "de", "fr"][i % 3] for i in range(60)],
+        "text": [" ".join(f"w{j}" for j in range(3 + i % 9))
+                 for i in range(60)]})
+    got = (shards.token_budget_sample(rd.from_pandas(df), budget_tokens=40)
+           .to_pandas())
+    assert sorted(map(tuple, got.to_numpy())) == _budget_reference(df, 40)
+    # greedy rule: each lang's kept tokens overshoot by at most one doc
+    per = got.groupby("lang")["n_tok"].sum()
+    assert (per < 40 + got["n_tok"].max()).all() and (per > 0).all()
+
+
+def test_token_budget_sample_block_layout_invariant():
+    df = pd.DataFrame({
+        "doc_id": range(50),
+        "lang": ["en" if i % 2 else "de" for i in range(50)],
+        "text": ["a b c d e"] * 50})
+    a = shards.token_budget_sample(rd.from_pandas(df), budget_tokens=30)
+    b = shards.token_budget_sample(
+        rd.from_pandas(df).repartition(11), budget_tokens=30, num_buckets=5)
+    key = lambda d: sorted(map(tuple, d.to_pandas().to_numpy()))
+    assert key(a) == key(b)
+
+
+def test_token_budget_sample_tok_col_and_huge_budget():
+    df = pd.DataFrame({"doc_id": range(10), "lang": ["en"] * 10,
+                       "text": ["x"] * 10, "nt": [5] * 10})
+    got = shards.token_budget_sample(rd.from_pandas(df), budget_tokens=10**9,
+                                     tok_col="nt").to_pandas()
+    assert len(got) == 10 and set(got["n_tok"]) == {5}

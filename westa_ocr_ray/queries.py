@@ -1184,6 +1184,16 @@ def q_train_val_split(sf_dir: str) -> rd.Dataset:
     return shards.train_val_split(docs, val_frac=0.02, seed=29)
 
 
+def q_token_budget_per_lang(sf_dir: str) -> rd.Dataset:
+    """Per-language token-budget selection: greedily keep docs in the
+    deterministic md5 shuffle order while the language's running token
+    count stays under 2000 — distributed prefix sums over range
+    buckets, no global sort, driver sees langs × buckets scalars."""
+    from . import shards
+    docs = rp(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return shards.token_budget_sample(docs, budget_tokens=2000, seed=7)
+
+
 def q_curriculum_rank(sf_dir: str) -> rd.Dataset:
     """Curriculum ordering: global rank by (length stage, seeded
     shuffle) — shortest-docs-first stages, shuffled within each stage,
@@ -2059,6 +2069,7 @@ QUERIES = {
     # slots hold distinct shapes): gated every round by
     # scripts/check_queries.py, which covers ALL ORACLE_SQL entries
     "dedup_passage": q_dedup_passage,
+    "token_budget_per_lang": q_token_budget_per_lang,
     "mixture_sample": q_mixture_sample,
     "epoch_oversample": q_epoch_oversample,
     "curriculum_rank": q_curriculum_rank,
@@ -2431,6 +2442,18 @@ ORACLE_SQL = {
                       PARTITION BY lang
                       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
           FROM documents) WHERE rk <= 50""",
+    "token_budget_per_lang": """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 md5('7|' || CAST(doc_id AS VARCHAR)) AS sk
+          FROM documents)
+        SELECT doc_id, lang, n_tok FROM (
+          SELECT doc_id, lang, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY lang ORDER BY sk, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+          FROM t) WHERE cum - n_tok < 2000""",
     "mixture_sample": _mixture_sample_oracle_sql(),
     "train_val_split": f"""
         SELECT doc_id, lang,

@@ -118,6 +118,91 @@ def shuffle_rank(ds: rd.Dataset, id_col: str = "doc_id", seed: int = 42,
             .groupby("__rb").map_groups(assign, batch_format="pandas"))
 
 
+def token_budget_sample(ds: rd.Dataset, budget_tokens: int,
+                        group_col: str = "lang", id_col: str = "doc_id",
+                        text_col: str = "text", tok_col: Optional[str] = None,
+                        seed: int = 7,
+                        num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Per-group TOKEN-budget selection: walk each group (language /
+    source) in the deterministic md5 shuffle order and keep docs while
+    the group's running token count is under ``budget_tokens`` — the
+    "take the first N tokens per source" step of assembling a
+    fixed-size training mix (a count quota ignores doc length; a token
+    budget is what the trainer actually consumes). Greedy prefix rule:
+    a doc is kept iff the tokens BEFORE it in its group are < budget,
+    so the selection overshoots by at most one doc and is independent
+    of cluster shape. SQL twin: queries.ORACLE_SQL['token_budget_per_lang']
+    (a windowed running sum).
+
+    Distributed prefix sums with NO global sort (the shuffle_rank
+    machinery): the md5 key's leading 16 bits are an order-preserving
+    range partition. Pass 1 sums tokens per (group, range-bucket) —
+    the driver prefix-sums groups × num_buckets SCALARS (the same
+    documented bound as shuffle_rank's stage variant); pass 2 drops
+    every bucket past its group's budget BEFORE the exchange (work is
+    bounded by the budget, not the corpus), locally sorts the rest and
+    applies offset + cumsum < budget. Only the (id, group, n_tok, key)
+    projection — never the text — moves through the exchange or the
+    checkpoint.
+
+    Returns (id, group, n_tok) for the kept docs; callers join texts
+    back by id (semi_anti_filter_scalable) when needed."""
+    import ray
+
+    nb = num_buckets if num_buckets is not None else min(auto_buckets(), 1 << 12)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        if tok_col is not None:
+            n_tok = df[tok_col].to_numpy(dtype=np.int64)
+        else:
+            # len(split(' ')) == spaces + 1, fully vectorized
+            n_tok = (df[text_col].str.count(" ") + 1).to_numpy(dtype=np.int64)
+        keys = [md5_hex(f"{seed}|{i}") for i in df[id_col]]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            group_col: df[group_col].to_numpy(),
+            "n_tok": n_tok,
+            "__sk": pd.Series(keys, dtype=object),
+            "__rb": np.fromiter((int(k[:4], 16) * nb >> 16 for k in keys),
+                                dtype=np.int64, count=len(keys))})
+
+    # small projection, consumed by both passes -> checkpoint it
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
+
+    sums = partial_aggregate(
+        tagged.select_columns([group_col, "__rb", "n_tok"]),
+        [group_col, "__rb"], {"tok": ("sum", "n_tok")},
+        num_buckets=min(nb, 64)).to_pandas()
+    sums = sums.sort_values([group_col, "__rb"])
+    cum = sums.groupby(group_col, sort=False)["tok"].cumsum() - sums["tok"]
+    offsets = {(g, int(b)): int(o) for g, b, o in
+               zip(sums[group_col], sums["__rb"], cum)}
+    off_ref = ray.put(offsets)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        # buckets whose group offset already exceeds the budget can't
+        # contribute a kept row — drop them before the exchange
+        off = ray.get(off_ref)
+        keep = np.fromiter(
+            (off.get((g, int(b)), 0) < budget_tokens
+             for g, b in zip(df[group_col], df["__rb"])),
+            dtype=bool, count=len(df))
+        df = df[keep].copy()
+        df["__grb"] = (df[group_col].astype(str) + "\x1f"
+                       + df["__rb"].astype(str))
+        return df
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref).get(
+            (df[group_col].iloc[0], int(df["__rb"].iloc[0])), 0)
+        df = df.sort_values(["__sk", id_col], ignore_index=True)
+        before = off + df["n_tok"].cumsum().to_numpy() - df["n_tok"].to_numpy()
+        return df.loc[before < budget_tokens, [id_col, group_col, "n_tok"]]
+
+    return (tagged.map_batches(prune, batch_format="pandas")
+            .groupby("__grb").map_groups(assign, batch_format="pandas"))
+
+
 def mixture_threshold_hex(weight: float) -> Optional[str]:
     """The 8-hex-digit keep threshold for a sampling weight in [0,1):
     keep a row iff md5(seed|id)[:8] < this string (equal-length hex
