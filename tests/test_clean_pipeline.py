@@ -126,3 +126,37 @@ def test_prepare_training_data_mixture_and_epochs():
     assert sorted(out["epoch"].unique()) == [0, 1]   # each kept doc twice
     n_a = (df["lang"] == "a").sum()
     assert len(out) == 2 * n_a
+
+
+def test_prep_funnel_reasons_and_chain_consistency():
+    from westa_ocr_ray.pipelines.clean import prep_funnel
+    rep = "loop " * 40  # one token dominates -> repetition fail
+    rows = [
+        {"doc_id": 1, "text": LONG},                      # kept
+        {"doc_id": 2, "text": "tiny"},                    # quality
+        {"doc_id": 3, "text": LONG},                      # exact dup of 1
+        {"doc_id": 4, "text": rep.strip()},               # repetition
+        {"doc_id": 5, "text": "zz one two three four yy "
+                              "padpad padpad2 padpad3 padpad4"},  # contaminated
+        {"doc_id": 6, "text": "six seven eight nine ten eleven "
+                              "twelve thirteen fourteen fifteen"}]  # kept
+    bench = _ds([{"doc_id": 100, "text": "one two three four"}])
+    got = (prep_funnel(_ds(rows), bench=bench)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert list(map(tuple, got.to_numpy())) == [
+        (1, "kept"), (2, "quality"), (3, "exact_dup"),
+        (4, "repetition"), (5, "contaminated"), (6, "kept")]
+    # funnel 'kept' == the chain's actual survivor set, by construction
+    chain = prepare_training_data(_ds(rows), bench=bench,
+                                  cols=["doc_id", "text"]).to_pandas()
+    assert sorted(chain["doc_id"]) == sorted(
+        got.loc[got["drop_reason"] == "kept", "doc_id"])
+
+
+def test_prep_funnel_no_bench_labels_every_doc():
+    from westa_ocr_ray.pipelines.clean import prep_funnel
+    rows = [{"doc_id": i, "text": LONG + f" tail{i}"} for i in range(8)]
+    rows.append({"doc_id": 99, "text": "short"})
+    got = prep_funnel(_ds(rows)).to_pandas()
+    assert len(got) == 9
+    assert set(got["drop_reason"]) == {"kept", "quality"}

@@ -1024,19 +1024,32 @@ def decontaminate(ds: rd.Dataset, bench: rd.Dataset, n: int = 4,
     SQL-expressible: queries.ORACLE_SQL['decontaminate']."""
     from .relops import semi_anti_filter_scalable
 
-    doc_sh = shingle_table(ds, n, id_col, text_col)
-    bench_sh = shingle_table(bench, n, id_col, text_col)
-    hit = semi_anti_filter_scalable(doc_sh, "g", bench_sh, key_col="g",
-                                    anti=False, num_buckets=num_buckets,
-                                    cols=[id_col, "g"])
-    cont_ids = partial_aggregate(hit, [id_col], {"__n": ("count", None)},
-                                 num_buckets=num_buckets).select_columns([id_col])
+    cont_ids = contaminated_ids(ds, bench, n=n, id_col=id_col,
+                                text_col=text_col, num_buckets=num_buckets)
     ds_cols = list(cols) if cols is not None else list(ds.schema().names)
     # cont_ids is a groupby output — one row per id — so the anti-join
     # can skip its global key-dedup exchange
     return semi_anti_filter_scalable(ds, id_col, cont_ids, anti=True,
                                      num_buckets=num_buckets, cols=ds_cols,
                                      keys_unique=True)
+
+
+def contaminated_ids(ds: rd.Dataset, bench: rd.Dataset, n: int = 4,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Ids of corpus docs sharing >= 1 ``n``-token shingle with any
+    benchmark doc — the contaminated SET decontaminate removes and
+    prep_funnel labels (one row per id: the distinct is a bucketed
+    partial aggregate, never a driver collection)."""
+    from .relops import semi_anti_filter_scalable
+
+    doc_sh = shingle_table(ds, n, id_col, text_col)
+    bench_sh = shingle_table(bench, n, id_col, text_col)
+    hit = semi_anti_filter_scalable(doc_sh, "g", bench_sh, key_col="g",
+                                    anti=False, num_buckets=num_buckets,
+                                    cols=[id_col, "g"])
+    return partial_aggregate(hit, [id_col], {"__n": ("count", None)},
+                             num_buckets=num_buckets).select_columns([id_col])
 
 
 def contamination_report(ds: rd.Dataset, bench: rd.Dataset, n: int = 4,

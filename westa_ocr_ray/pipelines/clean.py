@@ -21,7 +21,7 @@ import ray.data as rd
 from .. import dedup
 from ..relops import (compact_blocks, semi_anti_filter,
                       semi_anti_filter_scalable)
-from ..text_analysis import _WORD_RE, repetition_filter
+from ..text_analysis import _WORD_RE, _repetition_batch, repetition_filter
 
 
 def quality_filter(ds: rd.Dataset, text_col: str = "text",
@@ -77,6 +77,102 @@ def clean_corpus(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
         out = dedup.dedup_by_minhash(out, id_col=id_col, text_col=text_col,
                                      jaccard_threshold=jaccard_threshold)
     return out
+
+
+def prep_funnel(ds: rd.Dataset, id_col: str = "doc_id",
+                text_col: str = "text",
+                bench: Optional[rd.Dataset] = None,
+                min_words: int = 5, min_chars: int = 30,
+                rep_tok_frac4: int = 4, rep_bg_frac8: int = 8,
+                decont_n: int = 4, checkpoint: bool = True) -> rd.Dataset:
+    """Drop-reason ATTRIBUTION for the training-prep chain — the audit
+    a production pipeline publishes alongside its cleaned corpus: for
+    EVERY input doc, the first stage of
+    quality → exact dedup → repetition → decontamination
+    that drops it, or 'kept'. Same predicates as prepare_training_data
+    (bit-compatible: funnel 'kept' ids == the chain's survivors), so a
+    surprising survivor set is diagnosable per doc instead of by
+    rerunning the chain stage by stage.
+
+    Scale shape mirrors the chain itself: each stage's complement is
+    captured as a small (id, reason) stream while survivors flow on —
+    per-doc predicates (quality, repetition) are labeled in the same
+    streaming pass that filters them, corpus-dependent predicates
+    (dup ids, contaminated ids) are computed ONLY on the docs still
+    alive at that stage, exactly like the chain. The output is a union
+    of id streams; texts never leave the per-stage passes, the driver
+    sees nothing.
+
+    Returns (id, drop_reason) with drop_reason in
+    {'quality','exact_dup','repetition','contaminated','kept'}.
+    SQL twin: queries.ORACLE_SQL['prep_funnel']."""
+
+    def label(reason: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                                 "drop_reason": reason})
+        return fn
+
+    def q_tag(df: pd.DataFrame) -> pd.DataFrame:
+        n_words = df[text_col].str.findall(_WORD_RE).map(len)
+        n_chars = df[text_col].str.len()
+        df = df[[id_col, text_col]].copy()
+        df["__q"] = ((n_words >= min_words) & (n_chars >= min_chars)
+                     ).to_numpy()
+        return df
+
+    rep_stats = _repetition_batch(id_col, text_col,
+                                  rep_tok_frac4, rep_bg_frac8)
+
+    def r_tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, text_col]].copy()
+        df["__r"] = rep_stats(df)["keep"].to_numpy(dtype=bool)
+        return df
+
+    tagged = ds.map_batches(q_tag, batch_format="pandas")
+    if checkpoint:  # consumed by the label branch AND the survivor branch
+        tagged = compact_blocks(tagged.materialize())
+    q_fail = (tagged.map_batches(lambda df: df[~df["__q"]],
+                                 batch_format="pandas")
+              .map_batches(label("quality"), batch_format="pandas"))
+    s1 = tagged.map_batches(lambda df: df[df["__q"]][[id_col, text_col]],
+                            batch_format="pandas")
+    if checkpoint:
+        s1 = compact_blocks(s1.materialize())
+
+    dup = dedup.exact_dup_ids(s1, id_col=id_col, text_col=text_col)
+    if checkpoint:  # labeled AND anti-joined
+        dup = dup.materialize()
+    dup_lab = dup.map_batches(label("exact_dup"), batch_format="pandas")
+    # dropped ids are unique (each id loses at most one first-wins group)
+    s2 = semi_anti_filter_scalable(s1, id_col, dup, key_col=id_col,
+                                   anti=True, cols=[id_col, text_col],
+                                   keys_unique=True)
+    s2 = s2.map_batches(r_tag, batch_format="pandas")
+    if checkpoint:
+        s2 = compact_blocks(s2.materialize())
+    r_fail = (s2.map_batches(lambda df: df[~df["__r"]],
+                             batch_format="pandas")
+              .map_batches(label("repetition"), batch_format="pandas"))
+    s3 = s2.map_batches(lambda df: df[df["__r"]][[id_col, text_col]],
+                        batch_format="pandas")
+
+    if bench is None:
+        kept = s3.map_batches(label("kept"), batch_format="pandas")
+        return q_fail.union(dup_lab, r_fail, kept)
+    if checkpoint:
+        s3 = compact_blocks(s3.materialize())
+    cont = dedup.contaminated_ids(s3, bench, n=decont_n, id_col=id_col,
+                                  text_col=text_col)
+    if checkpoint:
+        cont = cont.materialize()
+    cont_lab = cont.map_batches(label("contaminated"), batch_format="pandas")
+    # cont is a groupby output — one row per id
+    kept = (semi_anti_filter_scalable(s3.select_columns([id_col]), id_col,
+                                      cont, key_col=id_col, anti=True,
+                                      cols=[id_col], keys_unique=True)
+            .map_batches(label("kept"), batch_format="pandas"))
+    return q_fail.union(dup_lab, r_fail, cont_lab, kept)
 
 
 def prepare_training_data(ds: rd.Dataset, id_col: str = "doc_id",

@@ -1236,6 +1236,20 @@ def q_training_prep(sf_dir: str) -> rd.Dataset:
     return shards.shard_stats(clean, num_shards=16)
 
 
+def q_prep_funnel(sf_dir: str) -> rd.Dataset:
+    """Per-doc drop-reason attribution over the training-prep chain
+    (same fixture split as training_prep: doc_id % 41 == 0 plays the
+    eval set): for every pool doc, the FIRST stage that drops it —
+    quality / exact_dup / repetition / contaminated — or 'kept'."""
+    from .pipelines.clean import prep_funnel
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    pool = docs.map_batches(lambda df: df[df["doc_id"] % 41 != 0],
+                            batch_format="pandas")
+    bench = docs.map_batches(lambda df: df[df["doc_id"] % 41 == 0],
+                             batch_format="pandas")
+    return prep_funnel(pool, bench=bench)
+
+
 # ----------------------------------------------------- fixture corpus
 
 def _corpus(sf_dir: str) -> rd.Dataset:
@@ -2070,6 +2084,7 @@ QUERIES = {
     # scripts/check_queries.py, which covers ALL ORACLE_SQL entries
     "dedup_passage": q_dedup_passage,
     "token_budget_per_lang": q_token_budget_per_lang,
+    "prep_funnel": q_prep_funnel,
     "mixture_sample": q_mixture_sample,
     "epoch_oversample": q_epoch_oversample,
     "curriculum_rank": q_curriculum_rank,
@@ -2469,6 +2484,59 @@ ORACLE_SQL = {
                              md5('7|' || CAST(doc_id AS VARCHAR)), doc_id)
                     - 1 AS BIGINT) AS rank
         FROM documents""",
+    # drop-reason attribution: same stage fragments as training_prep,
+    # resolved to the FIRST failing stage per doc via a CASE ladder
+    "prep_funnel": """
+        WITH pool AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id % 41 <> 0),
+        q AS (SELECT * FROM pool
+              WHERE LEN(regexp_extract_all(text, '[A-Za-z0-9_]+')) >= 5
+                AND LENGTH(text) >= 30),
+        kp AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        dupd AS (SELECT doc_id FROM q
+                 WHERE doc_id NOT IN (SELECT doc_id FROM kp)),
+        d AS (SELECT q.* FROM q JOIN kp USING (doc_id)),
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+        tc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                      CAST(MAX(c) AS BIGINT) AS max_tok_count
+               FROM (SELECT doc_id, tok, COUNT(*) AS c
+                     FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                     GROUP BY doc_id, tok)
+               GROUP BY doc_id),
+        bc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                      CAST(MAX(c) AS BIGINT) AS max_bigram_count
+               FROM (SELECT doc_id, g, COUNT(*) AS c
+                     FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+                           FROM t, unnest(range(1, len(toks))) AS u(i))
+                     GROUP BY doc_id, g)
+               GROUP BY doc_id),
+        repfail AS (SELECT d.doc_id FROM d
+                    JOIN tc ON d.doc_id = tc.doc_id
+                    LEFT JOIN bc ON d.doc_id = bc.doc_id
+                    WHERE NOT (tc.max_tok_count * 4 <= tc.n_tokens
+                               AND COALESCE(bc.max_bigram_count, 0) * 8
+                                   <= COALESCE(bc.n_bigrams, 0))),
+        r AS (SELECT d.* FROM d
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM repfail)),
+        rt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM r),
+        sh AS (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g
+               FROM rt, unnest(range(1, greatest(2, len(toks) - 2))) AS u(i)),
+        bsh AS (SELECT DISTINCT array_to_string(toks[i:i+3], ' ') AS g
+                FROM (SELECT string_split(text, ' ') AS toks
+                      FROM documents WHERE doc_id % 41 = 0) bt,
+                unnest(range(1, greatest(2, len(toks) - 2))) AS u(i)),
+        cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bsh USING (g))
+        SELECT p.doc_id,
+               CASE WHEN p.doc_id NOT IN (SELECT doc_id FROM q)
+                      THEN 'quality'
+                    WHEN p.doc_id IN (SELECT doc_id FROM dupd)
+                      THEN 'exact_dup'
+                    WHEN p.doc_id IN (SELECT doc_id FROM repfail)
+                      THEN 'repetition'
+                    WHEN p.doc_id IN (SELECT doc_id FROM cont)
+                      THEN 'contaminated'
+                    ELSE 'kept' END AS drop_reason
+        FROM pool p""",
     # the end-to-end training-prep chain, composed from the per-stage
     # oracles (clean_corpus ∘ text_repetition keep rule ∘ decontaminate
     # shingles ∘ shard_stats assignment) — each fragment is identical to
