@@ -1661,7 +1661,7 @@ def parse_detail_rows(sf_dir: str) -> rd.Dataset:
 # ------------------------------------------- combined trivial-shape check
 
 def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
-    """Nineteen trivial/redundant operator shapes re-verified as ONE
+    """Twenty-two trivial/redundant operator shapes re-verified as ONE
     query inside the driver's ~50-query correctness window (VERDICT r2
     #5: the individually-registered versions sit past the window by
     design; this tall (metric, k, v) checksum table keeps each SHAPE
@@ -1669,7 +1669,8 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
     deterministic hash sampling, union set-op, grouped stats, grouped
     top-k, rolling / tumbling / lag windows, string agg, histogram, the
     four scalar-function shapes, simhash pair table, per-lang token
-    totals, global bigram top-k, and the daily rollup. Each sub-result is reduced to integer
+    totals, global bigram top-k, the daily rollup, status filter,
+    native Dataset.join, and the recency top-k. Each sub-result is reduced to integer
     checksums with per-batch partials — only tiny partial rows reach
     the driver; the independent sub-pipelines are launched from driver
     THREADS so their Ray executions overlap instead of paying ~17
@@ -1822,10 +1823,32 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
             out.append(("daily_sum_cents", key, int(r["sum_value_cents"])))
         return out
 
+    # round-3 fold #5: status filter, native Dataset.join, recency
+    # top-k — their slots went to dedup_passage / token_budget_per_lang
+    # / prep_funnel
+    def t_m9() -> List[tuple]:
+        m9 = m9_status_filter(sf_dir).to_pandas().sort_values("o_orderstatus")
+        return [("m9_n", r["o_orderstatus"], int(r["n"]))
+                for _, r in m9.iterrows()]
+
+    def t_jnat() -> List[tuple]:
+        jn = j_native_supplier_nation(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"supp": df["s_suppkey"].to_numpy(dtype=np.int64),
+                 "namelen": df["n_name"].str.len().to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        return checksum(jn, ["supp", "namelen"], "jnat")
+
+    def t_o3() -> List[tuple]:
+        o3 = o3_topk_recent_events(sf_dir)  # already a tiny DataFrame
+        return [("o3_count", "", len(o3)),
+                ("o3_sum_event_id", "", int(o3["event_id"].sum()))]
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
              t_regexfw, t_priocode, t_mask, t_propsjson,
-             t_shpairs, t_toklang, t_bigrams, t_daily]
+             t_shpairs, t_toklang, t_bigrams, t_daily,
+             t_m9, t_jnat, t_o3]
     with ThreadPoolExecutor(max_workers=6) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
@@ -1986,11 +2009,14 @@ def _langid_oracle_sql() -> str:
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
 # query comes first — exactly 50 of them — and the rows-only /
-# documented-approximate entries come after. The ten trivial/redundant
+# documented-approximate entries come after. The trivial/redundant
 # shapes registered past the window (seven from round 2 plus
-# events_tumbling / events_prev_gap / order_priorities_concat, whose
-# slots went to the round-3 training-data operators) stay value-checked
-# every round via their in-window twin `combined_small_shapes`;
+# events_tumbling / events_prev_gap / order_priorities_concat /
+# m9_status_filter / j_native_supplier_nation / o3_topk_recent_events,
+# whose slots went to the round-3 training-data operators
+# incl. prep_funnel / token_budget_per_lang / dedup_passage) stay
+# value-checked every round via their in-window twin
+# `combined_small_shapes`;
 # scripts/check_queries.py covers EVERY ORACLE_SQL entry locally
 # regardless of the window.
 QUERIES = {
@@ -2008,6 +2034,7 @@ QUERIES = {
     "dedup_minhash_planted": q_dedup_minhash_planted,
     "dedup_simhash": q_dedup_simhash,
     "dedup_contained": q_dedup_contained,
+    "dedup_passage": q_dedup_passage,
     "dedup_ngram": q_dedup_ngram,
     "dedup_shared_chunks": q_dedup_shared_chunks,
     "dedup_embedding": q_dedup_embedding,
@@ -2031,11 +2058,8 @@ QUERIES = {
     "g1_lineitem_agg": g1_lineitem_agg,
     "j1_region_revenue": j1_region_revenue,
     "j4_customer_order_counts": j4_customer_order_counts,
-    "j_native_supplier_nation": j_native_supplier_nation,
     "q3_mktsegment_revenue": q3_mktsegment_revenue,
-    "m9_status_filter": m9_status_filter,
     "o1_first_line_partkey": o1_first_line_partkey,
-    "o3_topk_recent_events": o3_topk_recent_events,
     "m1_explode_tokens": m1_explode_tokens,
     "build_vocab": q_build_vocab,
     "top_tokens_per_doc": top_tokens_per_doc,
@@ -2047,8 +2071,11 @@ QUERIES = {
     # events_tumbling / events_prev_gap / order_priorities_concat /
     # events_value_histogram / m3_regex_first_word / m4_priority_code /
     # m8_mask_props / m_props_json / dedup_simhash_pairs /
-    # tokens_by_lang / top_bigrams / events_daily, whose checksums
+    # tokens_by_lang / top_bigrams / events_daily / m9_status_filter /
+    # j_native_supplier_nation / o3_topk_recent_events, whose checksums
     # moved into combined_small_shapes below)
+    "prep_funnel": q_prep_funnel,
+    "token_budget_per_lang": q_token_budget_per_lang,
     "text_repetition": q_text_repetition,
     "decontaminate": q_decontaminate,
     "shard_stats": q_shard_stats,
@@ -2061,6 +2088,9 @@ QUERIES = {
     # their SHAPES stay value-checked every round through the in-window
     # combined_small_shapes checksum twin
     "m3_regex_first_word": m3_regex_first_word,
+    "m9_status_filter": m9_status_filter,
+    "j_native_supplier_nation": j_native_supplier_nation,
+    "o3_topk_recent_events": o3_topk_recent_events,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "tokens_by_lang": q_tokens_by_lang,
     "top_bigrams": top_bigrams,
@@ -2082,9 +2112,6 @@ QUERIES = {
     # oracle-bearing but past the 50-query driver window (in-window
     # slots hold distinct shapes): gated every round by
     # scripts/check_queries.py, which covers ALL ORACLE_SQL entries
-    "dedup_passage": q_dedup_passage,
-    "token_budget_per_lang": q_token_budget_per_lang,
-    "prep_funnel": q_prep_funnel,
     "mixture_sample": q_mixture_sample,
     "epoch_oversample": q_epoch_oversample,
     "curriculum_rank": q_curriculum_rank,
@@ -2759,7 +2786,27 @@ ORACLE_SQL = {
         UNION ALL
         SELECT 'daily_n', key, n FROM dly
         UNION ALL
-        SELECT 'daily_sum_cents', key, sc FROM dly""",
+        SELECT 'daily_sum_cents', key, sc FROM dly
+        UNION ALL
+        SELECT 'm9_n', o_orderstatus, COUNT(*) FROM orders
+        WHERE o_orderstatus IN ('O', 'F') GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'jnat_count', '', COUNT(*)
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'jnat_sum_supp', '', CAST(SUM(s_suppkey) AS BIGINT)
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'jnat_sum_namelen', '', CAST(SUM(LEN(n_name)) AS BIGINT)
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'o3_count', '', COUNT(*) FROM
+        (SELECT event_id FROM events ORDER BY ts DESC, event_id DESC
+         LIMIT 100)
+        UNION ALL
+        SELECT 'o3_sum_event_id', '', CAST(SUM(event_id) AS BIGINT) FROM
+        (SELECT event_id FROM events ORDER BY ts DESC, event_id DESC
+         LIMIT 100)""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,
