@@ -1,0 +1,66 @@
+"""BM25 search tests: exactness vs a single-process python oracle on a
+small synthetic corpus, plus edge behavior (absent term, k > corpus)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from westa_ocr_ray import search
+
+
+def _py_bm25(docs, terms, k1=search.BM25_K1, b=search.BM25_B):
+    terms = sorted(terms)
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    out = {}
+    for d, tk in toks.items():
+        s = 0.0
+        dl = float(len(tk))
+        for t in terms:
+            tf = float(tk.count(t))
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5))
+            s = s + idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * (dl / avgdl)))
+        out[d] = math.floor(s * 1000000.0)
+    return out
+
+
+def _corpus():
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "merge", "hash"]
+    docs = {}
+    for i in range(60):
+        words = rng.choice(vocab, size=rng.integers(3, 25)).tolist()
+        docs[i] = " ".join(words)
+    return docs
+
+
+def test_bm25_matches_python_oracle():
+    docs = _corpus()
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())})).repartition(5)
+    got = (search.bm25_topk(ds, ["merge", "hash"], k=10)
+           .to_pandas().sort_values("rank", ignore_index=True))
+    exp = _py_bm25(docs, ["merge", "hash"])
+    order = sorted(exp, key=lambda d: (-exp[d], d))[:10]
+    assert list(got["doc_id"]) == order
+    assert list(got["score_micro"]) == [exp[d] for d in order]
+    assert list(got["rank"]) == list(range(1, 11))
+
+
+def test_bm25_absent_term_and_small_k():
+    docs = {0: "alpha beta", 1: "beta beta gamma", 2: "alpha"}
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}))
+    # 'zzz' never occurs: df=0, idf=ln((n+0.5)/0.5) but tf=0 everywhere →
+    # that term contributes 0; ranking driven by 'beta' alone
+    got = (search.bm25_topk(ds, ["beta", "zzz"], k=5)
+           .to_pandas().sort_values("rank", ignore_index=True))
+    assert len(got) == 3  # k > corpus size: all docs returned once
+    exp = _py_bm25(docs, ["beta", "zzz"])
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    assert list(got["doc_id"]) == order

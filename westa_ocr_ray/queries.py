@@ -37,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from . import dedup, extractors, fixtures, multimodal, relops, similarity, text_analysis
+from . import dedup, extractors, fixtures, multimodal, relops, search, similarity, text_analysis
 from .config import ExtractConfig
 from .pipelines.extract import extract_dataset, read_documents
 from .relops import broadcast_join, hash_join, partial_aggregate
@@ -845,6 +845,19 @@ def q_sim_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_topk_ivf(
         rp(sf_dir, "embeddings", ["vec_id", "embedding"]), QUERY_VEC_IDS, k=5,
         n_centroids=16, n_probe=4, rounds=2)
+
+
+#: fixed BM25 probe terms (sorted; vocab words so df > 0 at every sf)
+BM25_TERMS = ("hash", "merge", "vector", "window")
+
+
+def q_bm25_search(sf_dir: str) -> rd.Dataset:
+    """Distributed BM25 top-50 for a fixed probe query: one vectorized
+    corpus pass for (dl, tf, hit) stats, a one-row global reduce for
+    (N, avgdl, df), idf on the driver, constant-group top-k — no global
+    sort (search.bm25_topk; oracle generated from the same constants)."""
+    return search.bm25_topk(rp(sf_dir, "documents", ["doc_id", "text"]),
+                            BM25_TERMS, k=50)
 
 
 # ------------------------------------------------------- text analysis
@@ -2118,6 +2131,7 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "dedup_contained_pairs": q_dedup_contained_pairs,
     "hash_embed_stats": q_hash_embed_stats,
+    "bm25_search": q_bm25_search,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -3036,6 +3050,7 @@ ORACLE_SQL = {
                     THEN FLOOR(1000 * (s.n - m.mean) / sqrt(m.var))
                     ELSE 0 END AS BIGINT) AS z_milli
         FROM sized s JOIN m USING (lang)""",
+    "bm25_search": search.bm25_oracle_sql(BM25_TERMS, k=50),
 }
 
 # Oracles whose expected values depend on the fixture-corpus TIER. The

@@ -1,0 +1,148 @@
+"""Full-text relevance search over a document corpus: distributed BM25
+(Robertson & Sparck Jones' Okapi BM25 — public algorithm, standard
+formulation) — the retrieval half of corpus curation (find the docs most
+relevant to a probe query, e.g. for targeted decontamination or
+eval-set mining).
+
+Scale shape (100 TB framing):
+- one vectorized map over the corpus computes per-doc (dl, tf per term,
+  hit indicators) — text is read ONCE and never leaves its block; the
+  per-doc stats table is ~50 bytes/doc and is checkpointed because it is
+  consumed twice (global reduce + scoring), the same
+  materialize-the-narrow-side trade as pipelines.prepare_training_data;
+- the global reduce (N, Σdl, document frequency per term) moves ONE
+  partial row per block through a constant-group bucketed aggregate —
+  the driver sees a single row;
+- scoring is pure arithmetic per doc (idf constants precomputed on the
+  driver with math.log so the only float ops in the distributed pass
+  are IEEE +,*,/ — bit-identical to the DuckDB oracle's ln()-based
+  derivation, queries.ORACLE_SQL['bm25_search']);
+- top-k uses relops.grouped_topk on a constant group: every block emits
+  at most k candidates, so ≤ blocks × k rows reach the final task — no
+  global sort.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .relops import grouped_topk, partial_aggregate
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(ds: rd.Dataset, terms: Sequence[str], k: int = 50,
+              k1: float = BM25_K1, b: float = BM25_B,
+              id_col: str = "doc_id", text_col: str = "text",
+              num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Top-k documents by BM25 score for a bag-of-terms query.
+
+    Returns (doc_id, score_micro, rank): score_micro =
+    floor(score × 10^6) as int64 (floor, not round — floor is
+    half-independent so the SQL oracle reproduces it exactly), rank =
+    1-based position by (score_micro desc, doc_id asc)."""
+    terms = sorted(terms)
+    nt = len(terms)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        toks = df[text_col].str.split(" ")
+        lens = (toks.map(len).to_numpy(dtype=np.int64) if n
+                else np.array([], dtype=np.int64))
+        flat = (np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                if n else np.array([], dtype=object))
+        did = np.repeat(np.arange(n, dtype=np.int64), lens)
+        out = {id_col: df[id_col].to_numpy(), "dl": lens}
+        for i, t in enumerate(terms):
+            cnt = np.zeros(n, dtype=np.int64)
+            np.add.at(cnt, did[flat == t], 1)
+            out[f"tf{i}"] = cnt
+            out[f"hit{i}"] = (cnt > 0).astype(np.int64)
+        return pd.DataFrame(out)
+
+    # consumed twice (global reduce + scoring): checkpoint the narrow
+    # stats table instead of re-tokenizing the corpus
+    per_doc = ds.map_batches(stats, batch_format="pandas").materialize()
+
+    aggs = {"n_docs": ("count", None), "sum_dl": ("sum", "dl")}
+    for i in range(nt):
+        aggs[f"df{i}"] = ("sum", f"hit{i}")
+    g = (partial_aggregate(
+            per_doc.map_batches(lambda df: df.assign(__g=np.int32(0)),
+                                batch_format="pandas"),
+            ["__g"], aggs, num_buckets=num_buckets)
+         .to_pandas())  # exactly one row
+    n_docs = int(g["n_docs"][0])
+    avgdl = int(g["sum_dl"][0]) / n_docs
+    # idf per term on the DRIVER (math.log = libm log, the same function
+    # DuckDB's ln() calls): the distributed pass below is +,*,/ only
+    idf = [math.log((n_docs - int(g[f"df{i}"][0]) + 0.5)
+                    / (int(g[f"df{i}"][0]) + 0.5)) for i in range(nt)]
+    k1p1 = k1 + 1.0
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["dl"].to_numpy(dtype=np.float64)
+        s = np.zeros(len(df), dtype=np.float64)
+        # fixed left-to-right accumulation in sorted-term order: the SQL
+        # oracle writes the same chain, so the doubles are bit-identical
+        for i in range(nt):
+            tf = df[f"tf{i}"].to_numpy(dtype=np.float64)
+            s = s + idf[i] * (tf * k1p1) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "score_micro": np.floor(s * 1000000.0).astype(np.int64),
+            "__g": np.zeros(len(df), dtype=np.int32),
+        })
+
+    top = grouped_topk(per_doc.map_batches(score, batch_format="pandas"),
+                       ["__g"], ["score_micro", id_col], k,
+                       ascending=[False, True], num_buckets=num_buckets)
+    return top.map_batches(
+        lambda df: df[[id_col, "score_micro", "rk"]]
+                     .rename(columns={"rk": "rank"}),
+        batch_format="pandas")
+
+
+def bm25_oracle_sql(terms: Sequence[str], k: int = 50,
+                    k1: float = BM25_K1, b: float = BM25_B,
+                    table: str = "documents") -> str:
+    """DuckDB twin generated from the SAME constants as the engine (the
+    mixture_sample / langid oracle-generation pattern: shared constants
+    can't drift). Every float expression is written with the same
+    shape and association order as the numpy/driver derivation."""
+    terms = sorted(terms)
+    tfs = ",\n               ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms))
+    dfs = ",\n               ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms)))
+    score = "\n             + ".join(
+        f"ln((n_docs - df{i} + 0.5)/(df{i} + 0.5)) * (tf{i}*({k1!r}+1.0))"
+        f"/(tf{i} + {k1!r}*(1.0 - {b!r} + {b!r}*(dl/avgdl)))"
+        for i in range(len(terms)))
+    return f"""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM {table}),
+        f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               {tfs}
+              FROM s),
+        g AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl,
+               {dfs}
+              FROM f),
+        sc AS (SELECT doc_id,
+               CAST(floor(({score}) * 1000000.0) AS BIGINT) AS score_micro
+              FROM f CROSS JOIN g),
+        r AS (SELECT doc_id, score_micro,
+                     row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                       AS rank
+              FROM sc)
+        SELECT doc_id, score_micro, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= {k}"""
