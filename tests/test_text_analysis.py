@@ -169,3 +169,50 @@ def test_hash_embed_deterministic_and_counts():
     v1[bucket("y")] += 1
     assert list(got["vec"][0]) == list(v1)
     assert sum(got["vec"][1]) == 1
+
+
+def test_chunk_tokens_matches_python_oracle():
+    texts = {1: "a b c d e f g h i j",        # 10 toks: 1 full + 1 tail
+             2: "x y z",                      # <= window: single chunk
+             3: " ".join(f"t{i}" for i in range(23)),  # exact multi-chunk
+             4: ""}                           # empty -> [''] single chunk
+    rows = [{"doc_id": k, "text": v} for k, v in texts.items()]
+    out = (text_analysis.chunk_tokens(_ds(rows), window=8, stride=5)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"],
+                                    ignore_index=True))
+
+    expect = []
+    for k, v in texts.items():
+        toks = v.split(" ")
+        n = len(toks)
+        nc = 1 if n <= 8 else -(-(n - 8) // 5) + 1
+        for ci in range(nc):
+            chunk = toks[ci * 5:ci * 5 + 8]
+            expect.append((k, ci, len(chunk), " ".join(chunk)))
+    expect.sort()
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == expect
+    # consecutive chunks of one doc overlap by window - stride tokens
+    d3 = out[out["doc_id"] == 3].reset_index(drop=True)
+    for i in range(len(d3) - 1):
+        a = d3.loc[i, "chunk_text"].split(" ")
+        b = d3.loc[i + 1, "chunk_text"].split(" ")
+        assert a[5:] == b[:3]
+
+
+def test_pii_scrub_counts_and_replacement_order():
+    rows = [{"doc_id": 1,
+             "text": "mail a@b.co and c.d+x@e.org ip 10.0.0.1 tel "
+                     "+81-555-0100 done"},
+            {"doc_id": 2, "text": "no pii here"},
+            # "u@1.2.3.4" is NOT an email (TLD must be alphabetic), so
+            # the later IP rule picks the address up instead
+            {"doc_id": 3, "text": "u@1.2.3.4 plus bare 5.6.7.8"}]
+    out = (text_analysis.pii_scrub(_ds(rows)).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert list(out["n_emails"]) == [2, 0, 0]
+    assert list(out["n_ips"]) == [1, 0, 2]
+    assert list(out["n_phones"]) == [1, 0, 0]
+    assert out.loc[0, "clean_text"] == ("mail <EMAIL> and <EMAIL> ip <IP> "
+                                        "tel <PHONE> done")
+    assert out.loc[2, "clean_text"] == "u@<IP> plus bare <IP>"

@@ -1005,6 +1005,38 @@ def q_token_count_bpe(sf_dir: str) -> rd.Dataset:
     return text_analysis.token_count_table(rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_chunk_documents(sf_dir: str) -> rd.Dataset:
+    """Sliding-window token chunking (RAG / context-window prep):
+    overlapping 32-token chunks every 24 tokens over the documents
+    table. Exact; the SQL oracle recomputes the same windows with
+    DuckDB list slicing."""
+    return text_analysis.chunk_tokens(
+        rp(sf_dir, "documents", ["doc_id", "text"]), window=32, stride=24)
+
+
+def q_pii_scrub(sf_dir: str) -> rd.Dataset:
+    """PII redaction over the documents table. The fixture corpus
+    carries no real PII, so a deterministic planted tail
+    (``<doc_id>@example.org``, an IPv4, a phone) is appended to every
+    doc FIRST — identically in the SQL oracle — making every count
+    column non-zero and the replacement path non-trivial."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: "pa.Table") -> "pa.Table":
+        tail = pc.binary_join_element_wise(
+            pc.cast(t.column("doc_id"), pa.string()),
+            "@example.org 192.168.0.1 +81-555-0100", "")
+        aug = pc.binary_join_element_wise(
+            pc.cast(t.column("text"), pa.string()), tail, " ")
+        return pa.table({"doc_id": t.column("doc_id"), "text": aug})
+
+    return text_analysis.pii_scrub(
+        docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def q_pack_sequences(sf_dir: str) -> rd.Dataset:
     """Fixed-length LM sequence packing over the documents table."""
     return text_analysis.pack_sequences(
@@ -1857,11 +1889,28 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
         return [("o3_count", "", len(o3)),
                 ("o3_sum_event_id", "", int(o3["event_id"].sum()))]
 
+    # round-3 fold #6: per-doc token counting and stratified sampling —
+    # their slots went to chunk_documents / pii_scrub
+    def t_bpe() -> List[tuple]:
+        return checksum(q_token_count_bpe(sf_dir),
+                        ["n_ws_tokens", "n_bpe_tokens"], "bpe")
+
+    def t_strat() -> List[tuple]:
+        import hashlib
+        st = stratified_sample_by_lang(sf_dir).to_pandas()  # ≤ 20×langs rows
+        st["h"] = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                   for d in st["doc_id"]]
+        out: List[tuple] = []
+        for lang, d in sorted(st.groupby("lang"), key=lambda kv: kv[0]):
+            out.append(("strat_n", lang, len(d)))
+            out.append(("strat_sum_h", lang, int(d["h"].sum())))
+        return out
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
              t_regexfw, t_priocode, t_mask, t_propsjson,
              t_shpairs, t_toklang, t_bigrams, t_daily,
-             t_m9, t_jnat, t_o3]
+             t_m9, t_jnat, t_o3, t_bpe, t_strat]
     with ThreadPoolExecutor(max_workers=6) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
@@ -2057,7 +2106,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "perplexity_filter": perplexity_filter,
-    "token_count_bpe": q_token_count_bpe,
+    "pii_scrub": q_pii_scrub,
     "lm_unigram_score": lm_unigram_score,
     "zscore_by_lang": zscore_by_lang,
     "approx_quantiles_value": approx_quantiles_value,
@@ -2065,7 +2114,7 @@ QUERIES = {
     "contamination_report": q_contamination_report,
     "embedding_centroids": embedding_centroids,
     "sim_topk": q_sim_topk,
-    "stratified_sample_by_lang": stratified_sample_by_lang,
+    "chunk_documents": q_chunk_documents,
     # relational core
     "combined_small_shapes": combined_small_shapes,
     "g1_lineitem_agg": g1_lineitem_agg,
@@ -2132,6 +2181,10 @@ QUERIES = {
     "dedup_contained_pairs": q_dedup_contained_pairs,
     "hash_embed_stats": q_hash_embed_stats,
     "bm25_search": q_bm25_search,
+    # round-3 fold #6 displaced these two (slots went to chunk_documents
+    # / pii_scrub); their checksums live in combined_small_shapes
+    "token_count_bpe": q_token_count_bpe,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -2167,6 +2220,24 @@ def _mixture_sample_oracle_sql() -> str:
         cases.append(f"WHEN '{lang}' THEN {cond}")
     return ("SELECT doc_id, lang FROM documents WHERE CASE lang "
             + " ".join(cases) + " ELSE TRUE END")
+
+
+def _pii_scrub_oracle_sql() -> str:
+    """Generated from text_analysis.PII_PATTERNS — same patterns, same
+    rule ORDER (each count runs on the previous rule's replaced text),
+    same planted tail as q_pii_scrub — so the two sides cannot drift.
+    DuckDB single-quoted literals keep backslashes verbatim and both
+    regex engines are RE2, so the patterns match byte-for-byte."""
+    from .text_analysis import PII_PATTERNS
+    cur = ("text || ' ' || CAST(doc_id AS VARCHAR) || "
+           "'@example.org 192.168.0.1 +81-555-0100'")
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(f"CAST(LEN(regexp_extract_all({cur}, '{pat}')) "
+                      f"AS BIGINT) AS {name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return ("SELECT doc_id, " + ",\n               ".join(counts)
+            + f",\n               {cur} AS clean_text FROM documents")
 
 
 def _epoch_oversample_oracle_sql() -> str:
@@ -2416,6 +2487,19 @@ ORACLE_SQL = {
         WHERE EXISTS (SELECT 1 FROM customer c
                       WHERE c.c_custkey = e.user_id
                         AND c.c_mktsegment = 'BUILDING')""",
+    "chunk_documents": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        c AS (SELECT doc_id, toks, len(toks) AS n,
+                     unnest(range(CASE WHEN len(toks) <= 32 THEN 1
+                                  ELSE (len(toks) - 32 + 23) // 24 + 1 END))
+                       AS ci
+              FROM t)
+        SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+               CAST(least(32, n - 24*ci) AS BIGINT) AS n_tokens,
+               array_to_string(toks[24*ci + 1 : 24*ci + least(32, n - 24*ci)],
+                               ' ') AS chunk_text
+        FROM c""",
+    "pii_scrub": _pii_scrub_oracle_sql(),
     "text_repetition": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
@@ -2820,7 +2904,31 @@ ORACLE_SQL = {
         UNION ALL
         SELECT 'o3_sum_event_id', '', CAST(SUM(event_id) AS BIGINT) FROM
         (SELECT event_id FROM events ORDER BY ts DESC, event_id DESC
-         LIMIT 100)""",
+         LIMIT 100)
+        UNION ALL
+        SELECT 'bpe_count', '', COUNT(*) FROM documents
+        UNION ALL
+        SELECT 'bpe_sum_n_ws_tokens', '',
+               CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'bpe_sum_n_bpe_tokens', '',
+               CAST(SUM(LEN(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+'))) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'strat_n', lang, COUNT(*) FROM (
+          SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents) WHERE rk <= 20 GROUP BY lang
+        UNION ALL
+        SELECT 'strat_sum_h', lang,
+               CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8)) AS UBIGINT)) AS BIGINT)
+        FROM (
+          SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents) WHERE rk <= 20 GROUP BY lang""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,

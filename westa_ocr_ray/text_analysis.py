@@ -150,6 +150,94 @@ def fingerprint_table(ds: rd.Dataset, window: int = 8) -> rd.Dataset:
                           batch_format="pandas", concurrency=(1, 8))
 
 
+def chunk_tokens(ds: rd.Dataset, window: int = 32, stride: int = 24,
+                 id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Sliding-window token chunking (the RAG / context-window prep op:
+    overlapping ``window``-token chunks every ``stride`` tokens, so
+    consecutive chunks share ``window - stride`` tokens). Docs with
+    ≤ window tokens yield one chunk; otherwise ceil((n-window)/stride)+1
+    chunks, the last one short. Returns (doc_id, chunk_idx, n_tokens,
+    chunk_text).
+
+    Fully vectorized — the whole explode is numpy index arithmetic over
+    one flat token array plus a single Arrow ``binary_join`` to
+    re-materialize chunk text (no per-doc or per-chunk Python). Exact
+    and SQL-expressible (queries.ORACLE_SQL['chunk_documents'])."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    assert 0 < stride <= window
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        if n == 0:
+            return pa.table({id_col: pa.Array.from_pandas(df[id_col]),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        toks = df[text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_off = np.concatenate(([0], np.cumsum(lens)))
+        nc = np.where(lens <= window,
+                      1, (lens - window + stride - 1) // stride + 1)
+        total = int(nc.sum())
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), nc)
+        chunk_starts = np.concatenate(([0], np.cumsum(nc)))[:-1]
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(chunk_starts, nc)
+        tok_start = chunk_idx * stride
+        clen = np.minimum(window, lens[doc_rep] - tok_start)
+        offs = np.concatenate(([0], np.cumsum(clen)))
+        idx = (np.arange(int(offs[-1]), dtype=np.int64)
+               - np.repeat(offs[:-1], clen)
+               + np.repeat(doc_off[doc_rep] + tok_start, clen))
+        chunks = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(flat[idx], type=pa.string()))
+        return pa.table({
+            id_col: pa.Array.from_pandas(df[id_col].iloc[doc_rep]),
+            "chunk_idx": pa.array(chunk_idx),
+            "n_tokens": pa.array(clen),
+            "chunk_text": pc.binary_join(chunks, " "),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+#: PII scrub rules, applied IN ORDER on the running text (count, then
+#: replace): RE2-only syntax so pyarrow and DuckDB agree byte-for-byte.
+PII_PATTERNS = (
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("n_phones", r"\+\d{1,3}-\d{3}-\d{2,6}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(ds: rd.Dataset, id_col: str = "doc_id",
+              text_col: str = "text") -> rd.Dataset:
+    """PII redaction for training corpora: emails, IPv4 addresses and
+    +CC-prefixed phone numbers are counted and replaced with typed
+    placeholder tags, sequentially per rule (a later rule sees the
+    earlier rule's redactions — the oracle applies the same order).
+    Embarrassingly parallel; all matching/replacement runs in Arrow's
+    RE2 kernels (count_substring_regex / replace_substring_regex), no
+    Python per row. Returns (doc_id, n_emails, n_ips, n_phones,
+    clean_text)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        cur = pc.cast(t.column(text_col), pa.string())
+        out = {id_col: t.column(id_col)}
+        for name, pat, repl in PII_PATTERNS:
+            out[name] = pc.cast(pc.count_substring_regex(cur, pat), pa.int64())
+            cur = pc.replace_substring_regex(cur, pat, repl)
+        out["clean_text"] = cur
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def pack_sequences(ds: rd.Dataset, id_col: str = "doc_id",
                    text_col: str = "text", seq_len: int = 32) -> rd.Dataset:
     """LM-training sequence packing (per-doc): each document's
