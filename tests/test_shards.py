@@ -201,3 +201,44 @@ def test_token_budget_sample_tok_col_and_huge_budget():
     got = shards.token_budget_sample(rd.from_pandas(df), budget_tokens=10**9,
                                      tok_col="nt").to_pandas()
     assert len(got) == 10 and set(got["n_tok"]) == {5}
+
+
+def test_pack_stream_matches_python_oracle():
+    import numpy as np
+
+    df = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [" ".join(f"w{i}_{j}" for j in range(1 + (i * 13) % 9))
+                 for i in range(40)]})
+    out = (shards.pack_stream(rd.from_pandas(df), seq_len=8, seed=42,
+                              num_buckets=16)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+
+    order = sorted(range(40), key=lambda i: (md5_hex(f"42|{i}"), i))
+    ntok = {i: df.loc[i, "text"].count(" ") + 1 for i in range(40)}
+    start, expect = 0, {}
+    for i in order:
+        expect[i] = (ntok[i], start, start // 8, (start + ntok[i] - 1) // 8)
+        start += ntok[i]
+
+    for _, r in out.iterrows():
+        e = expect[int(r["doc_id"])]
+        assert (int(r["n_tok"]), int(r["start_tok"]),
+                int(r["first_seq"]), int(r["last_seq"])) == e
+    # the stream is gapless: offsets tile [0, total)
+    total = sum(ntok.values())
+    assert sorted(int(r) for r in out["start_tok"]) != []
+    covered = np.zeros(total, dtype=bool)
+    for _, r in out.iterrows():
+        covered[int(r["start_tok"]):int(r["start_tok"]) + int(r["n_tok"])] = True
+    assert covered.all()
+
+
+def test_pack_stream_independent_of_bucket_count():
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(30)],
+                       "text": ["a b c"] * 30})
+    a = (shards.pack_stream(rd.from_pandas(df), seq_len=4, num_buckets=2)
+         .to_pandas().sort_values("doc_id", ignore_index=True))
+    b = (shards.pack_stream(rd.from_pandas(df), seq_len=4, num_buckets=64)
+         .to_pandas().sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)

@@ -216,3 +216,33 @@ def test_pii_scrub_counts_and_replacement_order():
     assert out.loc[0, "clean_text"] == ("mail <EMAIL> and <EMAIL> ip <IP> "
                                         "tel <PHONE> done")
     assert out.loc[2, "clean_text"] == "u@<IP> plus bare <IP>"
+
+
+def test_dsir_weights_matches_python_oracle():
+    import math
+
+    from westa_ocr_ray.dedup import md5_hex
+
+    rows = [{"doc_id": 1, "lang": "en", "text": "good clean prose here"},
+            {"doc_id": 2, "lang": "en", "text": "good good prose"},
+            {"doc_id": 3, "lang": "de", "text": "der hund good"},
+            {"doc_id": 4, "lang": "fr", "text": "le chat"}]
+    B = 16
+    out = (text_analysis.dsir_weights(_ds(rows), num_buckets=B)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+
+    bkt = lambda t: int(md5_hex(t)[:8], 16) % B
+    raw, tgt = [0] * B, [0] * B
+    for r in rows:
+        for t in r["text"].split(" "):
+            raw[bkt(t)] += 1
+            if r["lang"] == "en":
+                tgt[bkt(t)] += 1
+    R, T = sum(raw), sum(tgt)
+    w = [round(1000 * math.log(((tgt[b] + 1.0) * (R + B))
+                               / ((raw[b] + 1.0) * (T + B))))
+         for b in range(B)]
+    expect = [sum(w[bkt(t)] for t in r["text"].split(" ")) for r in rows]
+    assert list(out["dsir_w_mn"]) == expect
+    # target-language docs should score higher than off-target ones
+    assert out.loc[0, "dsir_w_mn"] > out.loc[3, "dsir_w_mn"]

@@ -1037,6 +1037,21 @@ def q_pii_scrub(sf_dir: str) -> rd.Dataset:
         docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def q_pack_stream(sf_dir: str) -> rd.Dataset:
+    """Cross-document GPT-style stream packing manifest (seq_len=32 so
+    sequences genuinely cross doc boundaries at test scale)."""
+    from . import shards
+    return shards.pack_stream(rp(sf_dir, "documents", ["doc_id", "text"]),
+                              seq_len=32)
+
+
+def q_dsir_weights(sf_dir: str) -> rd.Dataset:
+    """DSIR hashed-feature importance weights; target distribution =
+    the English subset of the corpus."""
+    return text_analysis.dsir_weights(
+        rp(sf_dir, "documents", ["doc_id", "lang", "text"]))
+
+
 def q_pack_sequences(sf_dir: str) -> rd.Dataset:
     """Fixed-length LM sequence packing over the documents table."""
     return text_analysis.pack_sequences(
@@ -1906,11 +1921,29 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
             out.append(("strat_sum_h", lang, int(d["h"].sum())))
         return out
 
+    # round-3 fold #7: as-of join and exact grouped median — their
+    # slots went to pack_stream / dsir_weights
+    def t_asof() -> List[tuple]:
+        aj = asof_last_order_before_event(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"eid": df["event_id"].to_numpy(dtype=np.int64),
+                 "dint": pd.to_numeric(
+                     df["last_order_date"].str.replace("-", ""),
+                     errors="coerce").fillna(0).astype(np.int64)}),
+            batch_format="pandas")
+        return checksum(aj, ["eid", "dint"], "asof")
+
+    def t_median() -> List[tuple]:
+        md = median_value_by_type(sf_dir)  # already a tiny DataFrame
+        return [("median2", r["event_type"],
+                 int(round(2 * float(r["median_cents"]))))
+                for _, r in md.sort_values("event_type").iterrows()]
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
              t_regexfw, t_priocode, t_mask, t_propsjson,
              t_shpairs, t_toklang, t_bigrams, t_daily,
-             t_m9, t_jnat, t_o3, t_bpe, t_strat]
+             t_m9, t_jnat, t_o3, t_bpe, t_strat, t_asof, t_median]
     with ThreadPoolExecutor(max_workers=6) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
@@ -2125,9 +2158,9 @@ QUERIES = {
     "m1_explode_tokens": m1_explode_tokens,
     "build_vocab": q_build_vocab,
     "top_tokens_per_doc": top_tokens_per_doc,
-    "asof_last_order_before_event": asof_last_order_before_event,
+    "pack_stream": q_pack_stream,
     "range_join_balance_band": range_join_balance_band,
-    "median_value_by_type": median_value_by_type,
+    "dsir_weights": q_dsir_weights,
     "events_sessionize": events_sessionize,
     # round-3 training-data operators (in-window; their slots come from
     # events_tumbling / events_prev_gap / order_priorities_concat /
@@ -2185,6 +2218,10 @@ QUERIES = {
     # / pii_scrub); their checksums live in combined_small_shapes
     "token_count_bpe": q_token_count_bpe,
     "stratified_sample_by_lang": stratified_sample_by_lang,
+    # round-3 fold #7 displaced these two (slots went to pack_stream /
+    # dsir_weights); checksums live in combined_small_shapes
+    "asof_last_order_before_event": asof_last_order_before_event,
+    "median_value_by_type": median_value_by_type,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -2238,6 +2275,38 @@ def _pii_scrub_oracle_sql() -> str:
         cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
     return ("SELECT doc_id, " + ",\n               ".join(counts)
             + f",\n               {cur} AS clean_text FROM documents")
+
+
+def _dsir_oracle_sql() -> str:
+    """Generated from text_analysis.DSIR_BUCKETS (same feature space
+    as the engine) and the same target rule (lang='en'). The weight
+    formula keeps the engine's exact double-arithmetic shape:
+    (x+1.0)*(total+B) each rounded to double, one divide, one ln, one
+    round-to-millinats."""
+    B = text_analysis.DSIR_BUCKETS
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % {B} AS b
+          FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          WHERE tok <> ''),
+        agg AS (
+          SELECT b, CAST(COUNT(*) AS BIGINT) AS r,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tg
+          FROM tk GROUP BY b),
+        tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rtot,
+                       CAST(SUM(tg) AS BIGINT) AS ttot FROM agg),
+        w AS (
+          SELECT b, CAST(ROUND(1000 * ln(((tg + 1.0) * (rtot + {B}))
+                                       / ((r + 1.0) * (ttot + {B}))))
+                         AS BIGINT) AS w
+          FROM agg, tot),
+        s AS (SELECT tk.doc_id, CAST(SUM(w.w) AS BIGINT) AS s
+              FROM tk JOIN w USING (b) GROUP BY tk.doc_id)
+        SELECT d.doc_id, CAST(COALESCE(s.s, 0) AS BIGINT) AS dsir_w_mn
+        FROM documents d LEFT JOIN s USING (doc_id)"""
 
 
 def _epoch_oversample_oracle_sql() -> str:
@@ -2487,6 +2556,22 @@ ORACLE_SQL = {
         WHERE EXISTS (SELECT 1 FROM customer c
                       WHERE c.c_custkey = e.user_id
                         AND c.c_mktsegment = 'BUILDING')""",
+    "pack_stream": """
+        WITH n AS (
+          SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS k,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        o AS (
+          SELECT doc_id, n_tok,
+                 COALESCE(SUM(n_tok) OVER (ORDER BY k, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS st
+          FROM n)
+        SELECT doc_id, n_tok, CAST(st AS BIGINT) AS start_tok,
+               CAST(st // 32 AS BIGINT) AS first_seq,
+               CAST((st + n_tok - 1) // 32 AS BIGINT) AS last_seq
+        FROM o""",
+    "dsir_weights": _dsir_oracle_sql(),
     "chunk_documents": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         c AS (SELECT doc_id, toks, len(toks) AS n,
@@ -2928,7 +3013,25 @@ ORACLE_SQL = {
         FROM (
           SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-          FROM documents) WHERE rk <= 20 GROUP BY lang""",
+          FROM documents) WHERE rk <= 20 GROUP BY lang
+        UNION ALL
+        SELECT 'asof_count', '', COUNT(*)
+        FROM events e ASOF JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        UNION ALL
+        SELECT 'asof_sum_eid', '', CAST(SUM(e.event_id) AS BIGINT)
+        FROM events e ASOF JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        UNION ALL
+        SELECT 'asof_sum_dint', '',
+               CAST(SUM(CAST(replace(strftime(o.o_orderdate, '%Y-%m-%d'),
+                                     '-', '') AS BIGINT)) AS BIGINT)
+        FROM events e ASOF JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        UNION ALL
+        SELECT 'median2', event_type,
+               CAST(2 * median(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+        FROM events GROUP BY event_type""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,

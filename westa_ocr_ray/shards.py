@@ -203,6 +203,69 @@ def token_budget_sample(ds: rd.Dataset, budget_tokens: int,
             .groupby("__grb").map_groups(assign, batch_format="pandas"))
 
 
+def pack_stream(ds: rd.Dataset, seq_len: int = 1024,
+                id_col: str = "doc_id", text_col: str = "text",
+                seed: int = 42,
+                num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Cross-document LM stream packing: every document's tokens are
+    concatenated — in the deterministic md5 shuffle order — into ONE
+    global token stream, which is cut into fixed ``seq_len`` training
+    sequences (the GPT-style packing layout: sequences cross document
+    boundaries, zero padding except the final tail). Returns per doc
+    ``(id, n_tok, start_tok, first_seq, last_seq)`` — the doc's global
+    token offset and the training-sequence range it lands in, which is
+    exactly the manifest a packed-dataset writer needs.
+
+    Distributed prefix sums with NO global sort (the shuffle_rank
+    machinery): pass 1 sums tokens per order-preserving md5 range
+    bucket — the driver prefix-sums ``num_buckets`` SCALARS — pass 2
+    sorts each bucket locally and applies offset + cumsum. Only the
+    (id, n_tok, key) projection moves; text never leaves the first
+    map. SQL twin: queries.ORACLE_SQL['pack_stream'] (one windowed
+    running sum)."""
+    import ray
+
+    nb = num_buckets if num_buckets is not None else min(auto_buckets(), 1 << 12)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        # len(split(' ')) == spaces + 1, fully vectorized
+        n_tok = (df[text_col].str.count(" ") + 1).to_numpy(dtype=np.int64)
+        keys = [md5_hex(f"{seed}|{i}") for i in df[id_col]]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_tok": n_tok,
+            "__sk": pd.Series(keys, dtype=object),
+            "__rb": np.fromiter((int(k[:4], 16) * nb >> 16 for k in keys),
+                                dtype=np.int64, count=len(keys))})
+
+    # the projection feeds both the bucket-sum pass and the assign pass
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
+
+    sums = partial_aggregate(
+        tagged.select_columns(["__rb", "n_tok"]),
+        ["__rb"], {"tok": ("sum", "n_tok")},
+        num_buckets=min(nb, 64)).to_pandas().sort_values("__rb")
+    size = nb if not len(sums) else max(nb, int(sums["__rb"].max()) + 1)
+    offsets = np.zeros(size, dtype=np.int64)
+    offsets[sums["__rb"].to_numpy()] = sums["tok"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(df["__rb"].iloc[0])]
+        df = df.sort_values(["__sk", id_col], ignore_index=True)
+        n = df["n_tok"].to_numpy()
+        start = off + np.cumsum(n) - n
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "n_tok": n,
+                             "start_tok": start,
+                             "first_seq": start // seq_len,
+                             "last_seq": (start + n - 1) // seq_len})
+
+    return (tagged.groupby("__rb")
+            .map_groups(assign, batch_format="pandas"))
+
+
 def mixture_threshold_hex(weight: float) -> Optional[str]:
     """The 8-hex-digit keep threshold for a sampling weight in [0,1):
     keep a row iff md5(seed|id)[:8] < this string (equal-length hex

@@ -238,6 +238,94 @@ def pii_scrub(ds: rd.Dataset, id_col: str = "doc_id",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+#: hashed-feature space size for DSIR importance weights — small enough
+#: that the weight table is a trivially broadcast vector, large enough
+#: that token collisions average out (the method is robust to both).
+DSIR_BUCKETS = 128
+
+
+def _flat_token_buckets(df: pd.DataFrame, text_col: str,
+                        num_buckets: int) -> "tuple":
+    """Tokenize a batch into one flat array of md5-hashed feature
+    buckets (empty tokens dropped) + the row index of each token.
+    md5 runs once per UNIQUE token in the batch (the simhash pattern);
+    everything else is numpy."""
+    from .dedup import md5_hex
+
+    toks = df[text_col].str.split(" ")
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    if not lens.sum():
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    rows = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+    mask = flat != ""
+    flat, rows = flat[mask], rows[mask]
+    uniq, inv = np.unique(flat, return_inverse=True)
+    ub = np.fromiter((int(md5_hex(t)[:8], 16) % num_buckets for t in uniq),
+                     dtype=np.int64, count=len(uniq))
+    return ub[inv], rows
+
+
+def dsir_weights(ds: rd.Dataset, target_col: str = "lang",
+                 target_val: str = "en", id_col: str = "doc_id",
+                 text_col: str = "text",
+                 num_buckets: int = DSIR_BUCKETS) -> rd.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    estimate target and raw unigram distributions over a HASHED feature
+    space (md5(token) % num_buckets), then score every document by the
+    sum over its tokens of the per-bucket log importance ratio
+    ln(p_target(b)/p_raw(b)) with add-1 smoothing, in integer millinats
+    (round(1000·ln)) so the result is hash-stable and DuckDB can
+    recompute it bit-for-bit (queries.ORACLE_SQL['dsir_weights']).
+    The target distribution here is the rows where ``target_col ==
+    target_val`` — in a real pipeline, a high-quality reference corpus.
+
+    Two streaming passes: (1) per-batch bucket-count partials →
+    bucketed aggregate → the driver sees ``num_buckets`` rows and
+    ray.put's a num_buckets-long int64 weight vector; (2) a map that
+    scores each doc against the broadcast vector. No joins, no
+    shuffles beyond the tiny count aggregate; the weight table is
+    broadcast ONCE, never per batch. Returns (id, dsir_w_mn)."""
+    import ray
+
+    from .relops import partial_aggregate as pagg
+
+    def count_batch(df: pd.DataFrame) -> pd.DataFrame:
+        b, rows = _flat_token_buckets(df, text_col, num_buckets)
+        raw = np.bincount(b, minlength=num_buckets)
+        tmask = (df[target_col].to_numpy() == target_val)[rows]
+        tgt = np.bincount(b[tmask], minlength=num_buckets)
+        return pd.DataFrame({"b": np.arange(num_buckets, dtype=np.int64),
+                             "r": raw.astype(np.int64),
+                             "tg": tgt.astype(np.int64)})
+
+    counts = pagg(ds.map_batches(count_batch, batch_format="pandas"),
+                  ["b"], {"r": ("sum", "r"), "tg": ("sum", "tg")}
+                  ).to_pandas().sort_values("b")
+    r = np.zeros(num_buckets, dtype=np.int64)
+    tg = np.zeros(num_buckets, dtype=np.int64)
+    r[counts["b"].to_numpy()] = counts["r"].to_numpy()
+    tg[counts["b"].to_numpy()] = counts["tg"].to_numpy()
+    R, T = int(r.sum()), int(tg.sum())
+    # same double-arithmetic shape as the SQL oracle: (x+1.0)*(total+B)
+    # each rounds to double BEFORE the divide, then one ln + one round
+    num = (tg + 1.0) * float(R + num_buckets)
+    den = (r + 1.0) * float(T + num_buckets)
+    w = np.round(1000.0 * np.log(num / den)).astype(np.int64)
+    w_ref = ray.put(w)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        wv = ray.get(w_ref)
+        b, rows = _flat_token_buckets(df, text_col, num_buckets)
+        s = np.bincount(rows, weights=wv[b].astype(np.float64),
+                        minlength=len(df)).astype(np.int64)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "dsir_w_mn": s})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def pack_sequences(ds: rd.Dataset, id_col: str = "doc_id",
                    text_col: str = "text", seq_len: int = 32) -> rd.Dataset:
     """LM-training sequence packing (per-doc): each document's
