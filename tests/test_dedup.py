@@ -324,3 +324,29 @@ def test_remove_duplicate_chunks_in_doc_repeat_is_not_cross_doc():
            .to_pandas().sort_values("doc_id", ignore_index=True))
     # both in-doc copies survive, order preserved
     assert list(got["text"]) == [chunk + " " + chunk, "p q r s t"]
+
+
+def test_dedup_incremental_drops_base_and_within_batch():
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import dedup
+
+    base = pd.DataFrame({"doc_id": [100, 101],
+                         "text": ["already ingested", "old news"]})
+    new = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["already ingested",   # exact dup of base -> dropped
+                 "fresh doc one",
+                 "fresh doc two",
+                 "fresh doc one",      # dup within the new batch -> first wins
+                 "old news"]})         # dup of base -> dropped
+    out = (dedup.dedup_incremental(rd.from_pandas(new), rd.from_pandas(base))
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert list(out["doc_id"]) == [2, 3]
+    # union base+result is exactly deduplicated: rerunning with the
+    # merged base drops everything
+    merged = pd.concat([base, new[new["doc_id"].isin([2, 3])]])
+    again = dedup.dedup_incremental(rd.from_pandas(new),
+                                    rd.from_pandas(merged)).to_pandas()
+    assert len(again) == 0

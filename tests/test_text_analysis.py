@@ -246,3 +246,18 @@ def test_dsir_weights_matches_python_oracle():
     assert list(out["dsir_w_mn"]) == expect
     # target-language docs should score higher than off-target ones
     assert out.loc[0, "dsir_w_mn"] > out.loc[3, "dsir_w_mn"]
+
+
+def test_corpus_report_counts_dups_and_tokens():
+    rows = [{"lang": "en", "text": "a b c"},
+            {"lang": "en", "text": "a b c"},        # exact dup
+            {"lang": "en", "text": "longer doc with five"},
+            {"lang": "de", "text": "x"}]
+    out = (text_analysis.corpus_report(_ds(rows)).to_pandas()
+           .sort_values("lang", ignore_index=True))
+    de, en = out.iloc[0], out.iloc[1]
+    assert (en["n_docs"], en["n_dup_docs"]) == (3, 1)
+    assert en["n_tokens"] == 3 + 3 + 4
+    assert en["n_chars"] == 5 + 5 + 20
+    assert en["max_tokens"] == 4
+    assert (de["n_docs"], de["n_dup_docs"], de["n_tokens"]) == (1, 0, 1)

@@ -1203,3 +1203,41 @@ def drop_contained(ds: rd.Dataset, n: int = 4, id_col: str = "doc_id",
         ds, id_col, pairs.select_columns(["contained_doc_id"]),
         key_col="contained_doc_id", anti=True, num_buckets=num_buckets,
         cols=list(cols) if cols is not None else None)
+
+
+def dedup_incremental(new_ds: rd.Dataset, base_ds: rd.Dataset,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Incremental-snapshot dedup — the daily-ingest shape of a living
+    corpus: drop from ``new_ds`` (today's crawl) every doc whose exact
+    text already exists in ``base_ds`` (everything ingested so far),
+    then first-wins dedup WITHIN the new batch, so base ∪ result stays
+    exactly deduplicated without re-reading or re-shuffling base texts.
+
+    Scale shape: both sides reduce to (id, md5(text)) projections
+    inside their first map — no text ever leaves a read task. The
+    new-vs-base membership test is the bloom-prefiltered EXACT
+    anti-join (relops.semi_anti_filter_scalable): ~all genuinely-new
+    docs resolve locally against the broadcast filter and only bloom
+    hits pay the partitioned join. The within-batch first-wins is one
+    bucketed (hash → min id) aggregate. Returns (text_hash, doc_id)
+    for the kept new docs; callers join text back by id when exporting.
+    SQL twin: queries.ORACLE_SQL['dedup_incremental']."""
+    from .relops import semi_anti_filter_scalable
+
+    def sign(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "text_hash": [md5_hex(t) for t in df[text_col]]})
+
+    def sign_hash_only(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"text_hash": [md5_hex(t) for t in df[text_col]]})
+
+    new_signed = new_ds.map_batches(sign, batch_format="pandas")
+    base_hashes = base_ds.map_batches(sign_hash_only, batch_format="pandas")
+    fresh = semi_anti_filter_scalable(
+        new_signed, "text_hash", base_hashes, anti=True,
+        num_buckets=num_buckets, cols=[id_col, "text_hash"])
+    return partial_aggregate(fresh, ["text_hash"],
+                             {id_col: ("min", id_col)},
+                             num_buckets=num_buckets)

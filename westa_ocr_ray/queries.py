@@ -1037,6 +1037,22 @@ def q_pii_scrub(sf_dir: str) -> rd.Dataset:
         docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def q_dedup_incremental(sf_dir: str) -> rd.Dataset:
+    """Incremental-snapshot dedup: base corpus = docs with doc_id % 3
+    == 0 (already ingested), new snapshot = the whole table — so the
+    new-vs-base anti-join, not the within-batch dedup, does the work."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    base = docs.map_batches(lambda df: df[df["doc_id"] % 3 == 0],
+                            batch_format="pandas")
+    return dedup.dedup_incremental(docs, base)
+
+
+def q_corpus_report(sf_dir: str) -> rd.Dataset:
+    """Per-language corpus datasheet over the documents table."""
+    return text_analysis.corpus_report(
+        rp(sf_dir, "documents", ["lang", "text"]))
+
+
 def q_pack_stream(sf_dir: str) -> rd.Dataset:
     """Cross-document GPT-style stream packing manifest (seq_len=32 so
     sequences genuinely cross doc boundaries at test scale)."""
@@ -1745,9 +1761,13 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
             return pd.DataFrame(d)
 
         p = ds.map_batches(part, batch_format="pandas").to_pandas()
-        out = [(metric + "_count", "", int(p["n"].sum()))]
+        # an all-empty Dataset loses its schema (NOTES.md known wart):
+        # zero partial rows means every checksum is 0
+        empty = "n" not in p.columns
+        out = [(metric + "_count", "", 0 if empty else int(p["n"].sum()))]
         for c in cols:
-            out.append((metric + "_sum_" + c, "", int(p["s_" + c].sum())))
+            out.append((metric + "_sum_" + c, "",
+                        0 if empty else int(p["s_" + c].sum())))
         return out
 
     def t_count_orders() -> List[tuple]:
@@ -1939,11 +1959,30 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
                  int(round(2 * float(r["median_cents"]))))
                 for _, r in md.sort_values("event_type").iterrows()]
 
+    # round-3 fold #8: banded range join and sessionization — their
+    # slots went to dedup_incremental / corpus_report
+    def t_range() -> List[tuple]:
+        rj = range_join_balance_band(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"chk": df["c_custkey"].to_numpy(dtype=np.int64) * 31
+                 + df["s_suppkey"].to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        return checksum(rj, ["chk"], "rjoin")
+
+    def t_sess() -> List[tuple]:
+        se = events_sessionize(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"chk": df["event_id"].to_numpy(dtype=np.int64) * 7
+                 + df["session_idx"].to_numpy(dtype=np.int64) * 31}),
+            batch_format="pandas")
+        return checksum(se, ["chk"], "sess")
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
              t_regexfw, t_priocode, t_mask, t_propsjson,
              t_shpairs, t_toklang, t_bigrams, t_daily,
-             t_m9, t_jnat, t_o3, t_bpe, t_strat, t_asof, t_median]
+             t_m9, t_jnat, t_o3, t_bpe, t_strat, t_asof, t_median,
+             t_range, t_sess]
     with ThreadPoolExecutor(max_workers=6) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
@@ -2159,9 +2198,9 @@ QUERIES = {
     "build_vocab": q_build_vocab,
     "top_tokens_per_doc": top_tokens_per_doc,
     "pack_stream": q_pack_stream,
-    "range_join_balance_band": range_join_balance_band,
+    "dedup_incremental": q_dedup_incremental,
     "dsir_weights": q_dsir_weights,
-    "events_sessionize": events_sessionize,
+    "corpus_report": q_corpus_report,
     # round-3 training-data operators (in-window; their slots come from
     # events_tumbling / events_prev_gap / order_priorities_concat /
     # events_value_histogram / m3_regex_first_word / m4_priority_code /
@@ -2222,6 +2261,10 @@ QUERIES = {
     # dsir_weights); checksums live in combined_small_shapes
     "asof_last_order_before_event": asof_last_order_before_event,
     "median_value_by_type": median_value_by_type,
+    # round-3 fold #8 displaced these two (slots went to
+    # dedup_incremental / corpus_report); checksums in the combined twin
+    "range_join_balance_band": range_join_balance_band,
+    "events_sessionize": events_sessionize,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -2572,6 +2615,27 @@ ORACLE_SQL = {
                CAST((st + n_tok - 1) // 32 AS BIGINT) AS last_seq
         FROM o""",
     "dsir_weights": _dsir_oracle_sql(),
+    "dedup_incremental": """
+        WITH base AS (
+          SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+        fresh AS (
+          SELECT doc_id, md5(text) AS text_hash FROM documents
+          WHERE md5(text) NOT IN (SELECT h FROM base))
+        SELECT text_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        FROM fresh GROUP BY text_hash""",
+    "corpus_report": """
+        WITH g AS (
+          SELECT lang, md5(text) AS h, COUNT(*) AS n,
+                 SUM(len(string_split(text, ' '))) AS tok,
+                 SUM(length(text)) AS ch,
+                 MAX(len(string_split(text, ' '))) AS mt
+          FROM documents GROUP BY lang, h)
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(ch) AS BIGINT) AS n_chars,
+               CAST(MAX(mt) AS BIGINT) AS max_tokens
+        FROM g GROUP BY lang""",
     "chunk_documents": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         c AS (SELECT doc_id, toks, len(toks) AS n,
@@ -3031,7 +3095,29 @@ ORACLE_SQL = {
         UNION ALL
         SELECT 'median2', event_type,
                CAST(2 * median(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
-        FROM events GROUP BY event_type""",
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'rjoin_count', '', COUNT(*) FROM customer, supplier
+        WHERE abs(c_acctbal - s_acctbal) <= 1.0
+        UNION ALL
+        SELECT 'rjoin_sum_chk', '',
+               CAST(COALESCE(SUM(c_custkey * 31 + s_suppkey), 0) AS BIGINT)
+        FROM customer, supplier WHERE abs(c_acctbal - s_acctbal) <= 1.0
+        UNION ALL
+        SELECT 'sess_count', '', COUNT(*) FROM events
+        UNION ALL
+        SELECT 'sess_sum_chk', '', CAST(SUM(event_id * 7 + si * 31) AS BIGINT)
+        FROM (
+          SELECT event_id,
+                 SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) - 1 AS si
+          FROM (SELECT event_id, user_id, ts,
+                       date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id), ts) AS gap_us
+                FROM events))""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,

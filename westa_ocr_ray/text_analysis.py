@@ -553,3 +553,45 @@ def hash_embed(ds: rd.Dataset, dim: int = 16, id_col: str = "doc_id",
                              "vec": list(mat)})
 
     return ds.map_batches(embed, batch_format="pandas")
+
+
+def corpus_report(ds: rd.Dataset, lang_col: str = "lang",
+                  text_col: str = "text") -> rd.Dataset:
+    """Corpus datasheet — the per-source summary a training-data
+    release ships with (a "datasheets for datasets" rollup): for each
+    language/source, document count, exact-duplicate count (docs minus
+    distinct texts), token and char totals, and the longest doc. All
+    EXACT, so the whole report is one SQL oracle
+    (queries.ORACLE_SQL['corpus_report']).
+
+    Two bucketed exchanges, nothing corpus-sized anywhere: texts reduce
+    to (lang, md5(text), n_tok, n_chars) in the first map; a
+    (lang, hash) aggregate collapses duplicates; a per-lang aggregate
+    produces the langs-sized report."""
+    from .dedup import md5_hex
+
+    def sign(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            lang_col: df[lang_col].to_numpy(),
+            "h": [md5_hex(t) for t in df[text_col]],
+            "tok": (df[text_col].str.count(" ") + 1).to_numpy(np.int64),
+            "ch": df[text_col].str.len().to_numpy(np.int64)})
+
+    by_text = partial_aggregate(
+        ds.map_batches(sign, batch_format="pandas"),
+        [lang_col, "h"],
+        {"n": ("count", None), "tok": ("sum", "tok"),
+         "ch": ("sum", "ch"), "mt": ("max", "tok")})
+    rep = partial_aggregate(
+        by_text, [lang_col],
+        {"n_docs": ("sum", "n"), "n_texts": ("count", None),
+         "n_tokens": ("sum", "tok"), "n_chars": ("sum", "ch"),
+         "max_tokens": ("max", "mt")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_dup_docs"] = df["n_docs"] - df.pop("n_texts")
+        return df[[lang_col, "n_docs", "n_dup_docs", "n_tokens",
+                   "n_chars", "max_tokens"]]
+
+    return rep.map_batches(finish, batch_format="pandas")
