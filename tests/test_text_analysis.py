@@ -261,3 +261,16 @@ def test_corpus_report_counts_dups_and_tokens():
     assert en["n_chars"] == 5 + 5 + 20
     assert en["max_tokens"] == 4
     assert (de["n_docs"], de["n_dup_docs"], de["n_tokens"]) == (1, 0, 1)
+
+
+def test_vocab_encode_oov_accounting():
+    rows = [{"doc_id": 1, "text": "b b c rare1"},
+            {"doc_id": 2, "text": "c b rare2 rare3"},
+            {"doc_id": 3, "text": "b c"}]
+    # counts: b=4 c=3 rare*=1 each -> top2 vocab = b(rk1), c(rk2)
+    out = (text_analysis.vocab_encode(_ds(rows), top_v=2).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert list(out["n_tok"]) == [4, 4, 2]
+    assert list(out["n_oov"]) == [1, 2, 0]
+    # id_sum = sum tf*rk over in-vocab tokens
+    assert list(out["id_sum"]) == [2 * 1 + 1 * 2, 1 * 1 + 1 * 2, 1 + 2]

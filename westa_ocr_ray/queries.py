@@ -1577,6 +1577,76 @@ def lm_unigram_score(sf_dir: str) -> rd.Dataset:
         lambda df: df[["doc_id", "surprisal_mn"]], batch_format="pandas")
 
 
+def lm_bigram_score(sf_dir: str) -> rd.Dataset:
+    """Bigram conditional LM scoring — the higher-order companion of
+    lm_unigram_score: per-doc total conditional surprisal
+    sum tf·round(1000·ln(c(w1)/c(w1,w2))) over the doc's bigrams, where
+    c(w1,w2) is the corpus bigram count and c(w1) = Σ_w2 c(w1,w2) (the
+    bigram-first marginal, the proper P(w2|w1) denominator). Exact
+    integer millinats (queries.ORACLE_SQL['lm_bigram_score']).
+
+    Distributed shape: per-doc bigram tf table (Counter per doc, the
+    _lm_doc_scores pattern) → bucketed bigram-count aggregate → a
+    second tiny aggregate for the w1 marginal → two partitioned hash
+    joins (composite bigram key as one string; neither count table is
+    ever broadcast or on the driver), with the per-doc aggregate FUSED
+    into the second join's buckets so only (doc, bucket) partials leave
+    the join. Docs with fewer than two tokens have no bigrams and drop
+    — same rule both sides."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_bg(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        ids, bgs, w1s, tfs = [], [], [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            toks = [t for t in text.split(" ") if t]
+            c = Counter(zip(toks, toks[1:]))
+            ids.extend([did] * len(c))
+            bgs.extend(a + "\x1f" + b for a, b in c.keys())
+            w1s.extend(a for a, _ in c.keys())
+            tfs.extend(c.values())
+        return pd.DataFrame({"doc_id": ids, "bg": bgs, "w1": w1s,
+                             "tf": np.array(tfs, dtype=np.int64)})
+
+    b12 = docs.map_batches(doc_bg, batch_format="pandas")
+    c12 = partial_aggregate(b12, ["bg"], {"c12": ("sum", "tf"),
+                                          "w1m": ("min", "w1")}).materialize()
+    c1 = partial_aggregate(c12.map_batches(
+        lambda df: df[["w1m", "c12"]].rename(columns={"w1m": "w1"}),
+        batch_format="pandas"), ["w1"], {"c1": ("sum", "c12")})
+
+    j1 = hash_join(b12, c12, "bg", "bg",
+                   left_cols=["doc_id", "bg", "w1", "tf"],
+                   right_cols=["bg", "c12"],
+                   bucket_fn=lambda df: df[["doc_id", "w1", "tf", "c12"]])
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        c1v = df["c1"].to_numpy(dtype=np.float64)
+        c12v = df["c12"].to_numpy(dtype=np.float64)
+        s = np.round(1000.0 * np.log(c1v / c12v)).astype(np.int64)
+        tf = df["tf"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "part_mn": tf * s, "part_n": tf})
+        return (out.groupby("doc_id", sort=False, as_index=False)
+                .agg(part_mn=("part_mn", "sum"), part_n=("part_n", "sum"))
+                .infer_objects())
+
+    j2 = hash_join(j1, c1, "w1", "w1",
+                   left_cols=["doc_id", "w1", "tf", "c12"],
+                   right_cols=["w1", "c1"], bucket_fn=score_bucket)
+    return partial_aggregate(j2, ["doc_id"],
+                             {"bigram_mn": ("sum", "part_mn"),
+                              "n_bigrams": ("sum", "part_n")})
+
+
+def q_vocab_encode(sf_dir: str) -> rd.Dataset:
+    """Encode the corpus against its own top-256 build_vocab vocabulary
+    (tokenizer application with OOV accounting)."""
+    return text_analysis.vocab_encode(
+        rp(sf_dir, "documents", ["doc_id", "text"]), top_v=256)
+
+
 def perplexity_filter(sf_dir: str) -> rd.Dataset:
     """Quality-based data pruning — "keep every doc scoring at or below
     the 90%-quantile mean surprisal" (the perplexity-filtering step of
@@ -1977,12 +2047,37 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
             batch_format="pandas")
         return checksum(se, ["chk"], "sess")
 
+    # round-3 fold #9: token explode and per-doc top tokens — their
+    # slots went to lm_bigram_score / vocab_encode. Row identities are
+    # checksummed through md5-derived ints, not just counts.
+    from .dedup import md5_hex
+
+    def t_m1() -> List[tuple]:
+        m1 = m1_explode_tokens(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"chk": np.fromiter(
+                    (int(md5_hex(f"{d}|{t}")[:8], 16)
+                     for d, t in zip(df["doc_id"], df["token"])),
+                    dtype=np.int64, count=len(df))}),
+            batch_format="pandas")
+        return checksum(m1, ["chk"], "m1")
+
+    def t_tpd() -> List[tuple]:
+        tp = top_tokens_per_doc(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"chk": np.fromiter(
+                    (int(md5_hex(f"{d}|{t}|{r}")[:8], 16)
+                     for d, t, r in zip(df["doc_id"], df["token"], df["rk"])),
+                    dtype=np.int64, count=len(df))}),
+            batch_format="pandas")
+        return checksum(tp, ["chk"], "tpd")
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
              t_regexfw, t_priocode, t_mask, t_propsjson,
              t_shpairs, t_toklang, t_bigrams, t_daily,
              t_m9, t_jnat, t_o3, t_bpe, t_strat, t_asof, t_median,
-             t_range, t_sess]
+             t_range, t_sess, t_m1, t_tpd]
     with ThreadPoolExecutor(max_workers=6) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
@@ -2194,9 +2289,9 @@ QUERIES = {
     "j4_customer_order_counts": j4_customer_order_counts,
     "q3_mktsegment_revenue": q3_mktsegment_revenue,
     "o1_first_line_partkey": o1_first_line_partkey,
-    "m1_explode_tokens": m1_explode_tokens,
+    "lm_bigram_score": lm_bigram_score,
     "build_vocab": q_build_vocab,
-    "top_tokens_per_doc": top_tokens_per_doc,
+    "vocab_encode": q_vocab_encode,
     "pack_stream": q_pack_stream,
     "dedup_incremental": q_dedup_incremental,
     "dsir_weights": q_dsir_weights,
@@ -2265,6 +2360,10 @@ QUERIES = {
     # dedup_incremental / corpus_report); checksums in the combined twin
     "range_join_balance_band": range_join_balance_band,
     "events_sessionize": events_sessionize,
+    # round-3 fold #9 displaced these two (slots went to lm_bigram_score
+    # / vocab_encode); checksums in the combined twin
+    "m1_explode_tokens": m1_explode_tokens,
+    "top_tokens_per_doc": top_tokens_per_doc,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -2615,6 +2714,44 @@ ORACLE_SQL = {
                CAST((st + n_tok - 1) // 32 AS BIGINT) AS last_seq
         FROM o""",
     "dsir_weights": _dsir_oracle_sql(),
+    "lm_bigram_score": """
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS tk
+          FROM documents),
+        bg AS (
+          SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)),
+        b12 AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM bg GROUP BY doc_id, w1, w2),
+        c12 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12
+                FROM b12 GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+               FROM c12 GROUP BY w1)
+        SELECT b12.doc_id,
+               CAST(SUM(b12.tf * CAST(ROUND(1000 * ln(CAST(c1.c1 AS DOUBLE)
+                        / c12.c12)) AS BIGINT)) AS BIGINT) AS bigram_mn,
+               CAST(SUM(b12.tf) AS BIGINT) AS n_bigrams
+        FROM b12 JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY b12.doc_id""",
+    "vocab_encode": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks WHERE token <> '' GROUP BY doc_id, token),
+        c AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt
+              FROM tf GROUP BY token),
+        v AS (SELECT token,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                          AS BIGINT) AS rk
+              FROM c QUALIFY rk <= 256)
+        SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
+               CAST(SUM(CASE WHEN v.rk IS NULL THEN tf.tf ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST(SUM(CASE WHEN v.rk IS NULL THEN 0
+                             ELSE tf.tf * v.rk END) AS BIGINT) AS id_sum
+        FROM tf LEFT JOIN v USING (token) GROUP BY tf.doc_id""",
     "dedup_incremental": """
         WITH base AS (
           SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
@@ -3117,7 +3254,39 @@ ORACLE_SQL = {
                        date_diff('microsecond',
                          lag(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id), ts) AS gap_us
-                FROM events))""",
+                FROM events))
+        UNION ALL
+        SELECT 'm1_count', '', COUNT(*)
+        FROM (SELECT unnest(string_split(text, ' ')) FROM documents)
+        UNION ALL
+        SELECT 'm1_sum_chk', '',
+               CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || '|' || token), 1, 8)) AS UBIGINT)) AS BIGINT)
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        UNION ALL
+        SELECT 'tpd_count', '', COUNT(*)
+        FROM (SELECT doc_id,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY n DESC, token) AS rk
+              FROM (SELECT doc_id, token, COUNT(*) AS n
+                    FROM (SELECT doc_id, unnest(string_split(text, ' '))
+                            AS token FROM documents)
+                    WHERE token <> '' GROUP BY doc_id, token))
+        WHERE rk <= 3
+        UNION ALL
+        SELECT 'tpd_sum_chk', '',
+               CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || '|' || token || '|' || CAST(rk AS VARCHAR)), 1, 8))
+                    AS UBIGINT)) AS BIGINT)
+        FROM (SELECT doc_id, token,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY n DESC, token) AS rk
+              FROM (SELECT doc_id, token, COUNT(*) AS n
+                    FROM (SELECT doc_id, unnest(string_split(text, ' '))
+                            AS token FROM documents)
+                    WHERE token <> '' GROUP BY doc_id, token))
+        WHERE rk <= 3""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,
