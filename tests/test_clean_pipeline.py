@@ -160,3 +160,54 @@ def test_prep_funnel_no_bench_labels_every_doc():
     got = prep_funnel(_ds(rows)).to_pandas()
     assert len(got) == 9
     assert set(got["drop_reason"]) == {"kept", "quality"}
+
+
+def test_prepare_rag_chunks_manifest_matches_direct():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray.dedup import md5_hex
+    from westa_ocr_ray.pipelines.clean import prepare_rag_chunks
+
+    rows = []
+    for i in range(30):
+        # doc 7 is a short low-quality doc; docs 10/11 are exact dups
+        if i == 7:
+            text = "tiny"
+        elif i == 11:
+            text = " ".join(f"w10_{j}" for j in range(10 + (10 * 9) % 50))
+        else:
+            text = " ".join(f"w{i}_{j}" for j in range(10 + (i * 9) % 50))
+    # (doc 10's text == doc 11's text by the branch above)
+        rows.append({"doc_id": i, "text": text})
+    out = (prepare_rag_chunks(rd.from_pandas(pd.DataFrame(rows)),
+                              window=8, stride=5, num_shards=4)
+           .to_pandas().sort_values("shard", ignore_index=True))
+
+    # direct python oracle
+    kept = {}
+    seen = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        if len([t for t in toks if t]) < 5 or len(r["text"]) < 30:
+            continue
+        if r["text"] in seen:
+            continue
+        seen[r["text"]] = r["doc_id"]
+        kept[r["doc_id"]] = toks
+    man = {}
+    for did, toks in kept.items():
+        n = len(toks)
+        nc = 1 if n <= 8 else -(-(n - 8) // 5) + 1
+        for ci in range(nc):
+            sh = int(md5_hex(f"{did}|{ci}")[:8], 16) % 4
+            nt = min(8, n - 5 * ci)
+            a = man.setdefault(sh, [0, 0])
+            a[0] += 1
+            a[1] += nt
+    got = {int(r["shard"]): [int(r["n_chunks"]), int(r["sum_tokens"])]
+           for _, r in out.iterrows()}
+    assert got == man
+    # the dup (11) and the low-quality doc (7) contributed nothing
+    assert 7 not in kept and 11 not in kept and 10 in kept

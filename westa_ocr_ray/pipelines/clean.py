@@ -243,3 +243,52 @@ def prepare_training_data(ds: rd.Dataset, id_col: str = "doc_id",
         out = shards_mod.epoch_oversample(out, epoch_factors,
                                           key_col=mixture_key)
     return out
+
+
+def prepare_rag_chunks(ds: rd.Dataset, window: int = 32, stride: int = 24,
+                       num_shards: int = 16, id_col: str = "doc_id",
+                       text_col: str = "text", min_words: int = 5,
+                       min_chars: int = 30,
+                       cols: Optional[Sequence[str]] = None) -> rd.Dataset:
+    """RAG-corpus preparation — the retrieval counterpart of
+    prepare_training_data, composed end-to-end from the engine's own
+    operators:
+
+        quality filter → exact dedup (first-wins)
+          → sliding-window token chunking (window/stride overlap)
+          → deterministic chunk-level shard assignment
+          → per-shard manifest aggregate
+
+    Returns the (shard, n_chunks, sum_tokens) manifest a chunk-store
+    loader sizes its readers from. The chunk shard key is
+    md5(doc_id|chunk_idx) % num_shards — content-addressed like the
+    doc-level export, so a chunk keeps its shard on any cluster shape
+    and across reruns. Every stage streams; the only shuffles are the
+    dedup anti-join machinery and the final num_shards-row aggregate.
+    One composed DuckDB oracle covers the whole chain
+    (queries.ORACLE_SQL['rag_prep'])."""
+    import numpy as np
+
+    from ..dedup import md5_hex
+    from ..relops import partial_aggregate
+    from ..text_analysis import chunk_tokens
+
+    out = quality_filter(ds, text_col=text_col, min_words=min_words,
+                         min_chars=min_chars)
+    out = dedup_exact_keep(out, id_col=id_col, text_col=text_col, cols=cols)
+    chunks = chunk_tokens(out, window=window, stride=stride,
+                          id_col=id_col, text_col=text_col)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        sh = np.fromiter(
+            (int(md5_hex(f"{d}|{c}")[:8], 16) % num_shards
+             for d, c in zip(df[id_col], df["chunk_idx"])),
+            dtype=np.int64, count=len(df))
+        return pd.DataFrame({"shard": sh,
+                             "n_tokens": df["n_tokens"].to_numpy(np.int64)})
+
+    return partial_aggregate(chunks.map_batches(assign,
+                                                batch_format="pandas"),
+                             ["shard"],
+                             {"n_chunks": ("count", None),
+                              "sum_tokens": ("sum", "n_tokens")})

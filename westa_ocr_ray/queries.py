@@ -1053,6 +1053,16 @@ def q_corpus_report(sf_dir: str) -> rd.Dataset:
         rp(sf_dir, "documents", ["lang", "text"]))
 
 
+def q_rag_prep(sf_dir: str) -> rd.Dataset:
+    """The END-TO-END RAG-corpus preparation chain as ONE
+    driver-checkable query: quality filter → exact dedup →
+    sliding-window chunking (32/24) → content-addressed chunk sharding
+    → 16-row per-shard manifest, with a single composed SQL oracle."""
+    from .pipelines.clean import prepare_rag_chunks
+    return prepare_rag_chunks(rp(sf_dir, "documents", ["doc_id", "text"]),
+                              cols=["doc_id", "text"])
+
+
 def q_pack_stream(sf_dir: str) -> rd.Dataset:
     """Cross-document GPT-style stream packing manifest (seq_len=32 so
     sequences genuinely cross doc boundaries at test scale)."""
@@ -2072,12 +2082,27 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
             batch_format="pandas")
         return checksum(tp, ["chk"], "tpd")
 
+    # round-3 fold #10: per-doc fixed-length packing — its slot went to
+    # the composed rag_prep chain (chunk_documents keeps the explode
+    # family in-window)
+    def t_pack() -> List[tuple]:
+        pk = q_pack_sequences(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"chk": np.fromiter(
+                    (int(md5_hex(f"{d}|{s}|{n}|{t}")[:8], 16)
+                     for d, s, n, t in zip(df["doc_id"], df["seq_idx"],
+                                           df["n_tokens"],
+                                           df["first_token"])),
+                    dtype=np.int64, count=len(df))}),
+            batch_format="pandas")
+        return checksum(pk, ["chk"], "pack")
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
              t_regexfw, t_priocode, t_mask, t_propsjson,
              t_shpairs, t_toklang, t_bigrams, t_daily,
              t_m9, t_jnat, t_o3, t_bpe, t_strat, t_asof, t_median,
-             t_range, t_sess, t_m1, t_tpd]
+             t_range, t_sess, t_m1, t_tpd, t_pack]
     with ThreadPoolExecutor(max_workers=6) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
@@ -2309,7 +2334,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "shard_stats": q_shard_stats,
     "training_prep": q_training_prep,
-    "pack_sequences": q_pack_sequences,
+    "rag_prep": q_rag_prep,
     "semi_anti_bloom": q_semi_anti_bloom,
     "shuffle_rank": q_shuffle_rank,
     "lang_quota": q_lang_quota,
@@ -2364,6 +2389,9 @@ QUERIES = {
     # / vocab_encode); checksums in the combined twin
     "m1_explode_tokens": m1_explode_tokens,
     "top_tokens_per_doc": top_tokens_per_doc,
+    # round-3 fold #10 displaced this one (slot went to rag_prep);
+    # checksum in the combined twin
+    "pack_sequences": q_pack_sequences,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -2714,6 +2742,26 @@ ORACLE_SQL = {
                CAST((st + n_tok - 1) // 32 AS BIGINT) AS last_seq
         FROM o""",
     "dsir_weights": _dsir_oracle_sql(),
+    "rag_prep": """
+        WITH q AS (
+          SELECT doc_id, text FROM documents
+          WHERE LEN(regexp_extract_all(text, '[A-Za-z0-9_]+')) >= 5
+            AND LENGTH(text) >= 30),
+        k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        d AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id IN (SELECT doc_id FROM k)),
+        c AS (SELECT doc_id, toks, len(toks) AS n,
+                     unnest(range(CASE WHEN len(toks) <= 32 THEN 1
+                                  ELSE (len(toks) - 32 + 23) // 24 + 1 END))
+                       AS ci
+              FROM d),
+        ch AS (SELECT doc_id, ci, least(32, n - 24*ci) AS nt FROM c)
+        SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                    || CAST(ci AS VARCHAR)), 1, 8)) AS UBIGINT) % 16
+                    AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(nt) AS BIGINT) AS sum_tokens
+        FROM ch GROUP BY 1""",
     "lm_bigram_score": """
         WITH t AS (
           SELECT doc_id, list_filter(string_split(text, ' '),
@@ -3286,7 +3334,21 @@ ORACLE_SQL = {
                     FROM (SELECT doc_id, unnest(string_split(text, ' '))
                             AS token FROM documents)
                     WHERE token <> '' GROUP BY doc_id, token))
-        WHERE rk <= 3""",
+        WHERE rk <= 3
+        UNION ALL
+        SELECT 'pack_count', '', COUNT(*)
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents) t,
+             LATERAL (SELECT unnest(range(0, (len(toks) + 31) // 32)) AS i)
+        UNION ALL
+        SELECT 'pack_sum_chk', '',
+               CAST(SUM(CAST(('0x' || substr(md5(
+                    CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)
+                    || '|' || CAST(least(32, len(toks) - 32*i) AS VARCHAR)
+                    || '|' || toks[32*i + 1]), 1, 8)) AS UBIGINT)) AS BIGINT)
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents) t,
+             LATERAL (SELECT unnest(range(0, (len(toks) + 31) // 32)) AS i)""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,
