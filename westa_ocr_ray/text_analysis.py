@@ -171,7 +171,13 @@ def chunk_tokens(ds: rd.Dataset, window: int = 32, stride: int = 24,
     def fn(df: pd.DataFrame) -> pa.Table:
         n = len(df)
         if n == 0:
-            return pa.table({id_col: pa.Array.from_pandas(df[id_col]),
+            # empty blocks are routine downstream of a filter; an empty
+            # OBJECT series infers a null-typed Arrow column, which
+            # conflicts with the string blocks at the union — pin it
+            ids = pa.Array.from_pandas(df[id_col])
+            if pa.types.is_null(ids.type):
+                ids = ids.cast(pa.string())
+            return pa.table({id_col: ids,
                              "chunk_idx": pa.array([], pa.int64()),
                              "n_tokens": pa.array([], pa.int64()),
                              "chunk_text": pa.array([], pa.string())})
