@@ -32,7 +32,10 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-2 additions (new keys; round-1 keys unchanged)
                  "parse_detail_rows", "lm_unigram_score",
                  # round-3 addition: the end-to-end training-prep chain
-                 "training_prep"]
+                 "training_prep",
+                 # round-3 additions (new keys; earlier keys unchanged)
+                 "rag_prep", "pack_stream", "dedup_incremental",
+                 "dsir_weights"]
 
 
 def _warm_workers(ncpu: int) -> None:
