@@ -350,3 +350,45 @@ def test_dedup_incremental_drops_base_and_within_batch():
     again = dedup.dedup_incremental(rd.from_pandas(new),
                                     rd.from_pandas(merged)).to_pandas()
     assert len(again) == 0
+
+
+def test_embedding_near_dup_lsh_recall_and_precision():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import dedup
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    # 12 clusters of 3 near-identical vectors + 40 background vectors
+    for c in range(12):
+        base = rng.randn(16)
+        for _ in range(3):
+            rows.append({"vec_id": vid, "label": c,
+                         "embedding": (base + 0.05 * rng.randn(16)).tolist()})
+            vid += 1
+    for _ in range(40):
+        rows.append({"vec_id": vid, "label": -1,
+                     "embedding": rng.randn(16).tolist()})
+        vid += 1
+    emb = rd.from_pandas(pd.DataFrame(rows))
+
+    # exact truth: all-pairs cosine over the tiny fixture
+    m = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    iu = np.triu_indices(len(rows), k=1)
+    truth = {(int(min(a, b)), int(max(a, b)))
+             for a, b in zip(iu[0][sims[iu] > 0.8], iu[1][sims[iu] > 0.8])}
+    assert len(truth) >= 12 * 3  # the planted clusters
+
+    got_df = dedup.embedding_near_dup_lsh(emb, threshold=0.8, n_tables=6,
+                                          n_planes=4).to_pandas()
+    got = {(int(a), int(b))
+           for a, b in zip(got_df["vec_id_a"], got_df["vec_id_b"])}
+    assert got <= truth                      # precision exact
+    assert len(got & truth) / len(truth) >= 0.8   # banding recall
+    # no duplicate pairs across tables
+    assert len(got_df) == len(got)

@@ -1241,3 +1241,56 @@ def dedup_incremental(new_ds: rd.Dataset, base_ds: rd.Dataset,
     return partial_aggregate(fresh, ["text_hash"],
                              {id_col: ("min", id_col)},
                              num_buckets=num_buckets)
+
+
+def embedding_near_dup_lsh(emb: rd.Dataset, threshold: float = 0.4,
+                           n_tables: int = 4, n_planes: int = 6,
+                           seed: int = 42, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs at corpus scale — the LSH-bucket
+    blocking path embedding_near_dup_pairs' docstring points to:
+    ``n_tables`` independent random-hyperplane sign signatures block the
+    vectors (a pair is a candidate if it collides in ANY table — the
+    banding trick, recall grows with tables), each (table, bucket)
+    group verifies exact cosine locally, and one bucketed distinct
+    collapses cross-table duplicates. Pairwise work is bounded by the
+    bucket population (2^n_planes buckets per table; scale n_planes
+    with corpus size), never the corpus. Documented-approximate
+    (recall < 1); precision is exact by construction (every emitted
+    pair is cosine-verified), recall-gated in tests against the exact
+    label-group variant. Returns (vec_id_a, vec_id_b)."""
+    from .similarity import _planes
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        parts = []
+        for t in range(n_tables):
+            planes = _planes(m.shape[1], n_planes, seed + 1000 * t)
+            bits = (m @ planes.T) > 0
+            bucket = (bits @ (1 << np.arange(n_planes))).astype(np.int64)
+            parts.append(pd.DataFrame({
+                "__tb": t * (1 << n_planes) + bucket,
+                id_col: df[id_col].to_numpy(),
+                vec_col: df[vec_col].to_numpy()}))
+        return pd.concat(parts, ignore_index=True)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] > threshold
+        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_id_a": lo.astype(np.int64),
+                             "vec_id_b": hi.astype(np.int64)})
+
+    pairs = (emb.map_batches(tag, batch_format="pandas")
+             .groupby("__tb").map_groups(verify, batch_format="pandas"))
+    # cross-table duplicate pairs collapse in one bucketed distinct
+    dist = partial_aggregate(pairs, ["vec_id_a", "vec_id_b"],
+                             {"n": ("count", None)}, num_buckets=num_buckets)
+    return dist.map_batches(lambda df: df[["vec_id_a", "vec_id_b"]],
+                            batch_format="pandas")

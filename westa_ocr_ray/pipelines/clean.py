@@ -275,6 +275,11 @@ def prepare_rag_chunks(ds: rd.Dataset, window: int = 32, stride: int = 24,
 
     out = quality_filter(ds, text_col=text_col, min_words=min_words,
                          min_chars=min_chars)
+    # the filtered intermediate feeds BOTH the dropped-id build and the
+    # anti-join inside dedup_exact_keep — checkpoint it or the lazy
+    # chain re-reads and re-filters the corpus per consumer (the same
+    # re-execution prepare_training_data checkpoints against)
+    out = compact_blocks(out.materialize())
     out = dedup_exact_keep(out, id_col=id_col, text_col=text_col, cols=cols)
     chunks = chunk_tokens(out, window=window, stride=stride,
                           id_col=id_col, text_col=text_col)

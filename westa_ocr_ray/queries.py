@@ -792,6 +792,14 @@ def q_dedup_embedding(sf_dir: str) -> rd.Dataset:
         rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"]), threshold=0.4)
 
 
+def q_dedup_embedding_lsh(sf_dir: str) -> rd.Dataset:
+    """LSH-bucket-blocked embedding near-dup (the scale path; rows-only
+    by design: banding recall < 1, precision exact by construction and
+    recall-gated in tests/test_dedup.py)."""
+    return dedup.embedding_near_dup_lsh(
+        rp(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4)
+
+
 def embedding_centroids(sf_dir: str) -> rd.Dataset:
     """Per-label centroid of the embedding column — vector aggregation
     via per-batch numpy partial sums (one (label, dim) row per batch),
@@ -2403,6 +2411,7 @@ QUERIES = {
     "pack_greedy": q_pack_greedy,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_keep": q_dedup_minhash_keep,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "clean_corpus_fuzzy": q_clean_corpus_fuzzy,
     "approx_distinct_users": approx_distinct_users,
     "heavy_hitter_tokens": heavy_hitter_tokens,
