@@ -392,3 +392,36 @@ def test_embedding_near_dup_lsh_recall_and_precision():
     assert len(got & truth) / len(truth) >= 0.8   # banding recall
     # no duplicate pairs across tables
     assert len(got_df) == len(got)
+
+
+def test_self_overlap_matches_python_oracle():
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import dedup
+
+    rows = [{"doc_id": 1, "text": "a b c d e f"},       # shares a-b-c-d w/ 2
+            {"doc_id": 2, "text": "a b c d x y"},
+            {"doc_id": 3, "text": "p q r s p q r s"},   # self-repeated shingle
+            {"doc_id": 4, "text": "u v"}]               # short doc: 1 shingle
+    out = (dedup.self_overlap(rd.from_pandas(pd.DataFrame(rows)), n=4)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+
+    def shingles(t):
+        toks = t.split(" ")
+        if len(toks) < 4:
+            return [t]
+        return [" ".join(toks[i:i + 4]) for i in range(len(toks) - 3)]
+
+    from collections import Counter
+    corpus = Counter(g for r in rows for g in shingles(r["text"]))
+    for _, r in out.iterrows():
+        mine = set(shingles([x["text"] for x in rows
+                             if x["doc_id"] == r["doc_id"]][0]))
+        assert r["n_shingles"] == len(mine)
+        assert r["n_shared"] == sum(1 for g in mine if corpus[g] >= 2)
+    # doc 3's 'p q r s' occurs twice within itself -> counted as shared
+    d3 = out[out["doc_id"] == 3].iloc[0]
+    assert d3["n_shared"] >= 1
+    # doc 4 is unique boilerplate-free -> nothing shared
+    assert out[out["doc_id"] == 4].iloc[0]["n_shared"] == 0

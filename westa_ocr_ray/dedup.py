@@ -1294,3 +1294,48 @@ def embedding_near_dup_lsh(emb: rd.Dataset, threshold: float = 0.4,
                              {"n": ("count", None)}, num_buckets=num_buckets)
     return dist.map_batches(lambda df: df[["vec_id_a", "vec_id_b"]],
                             batch_format="pandas")
+
+
+def self_overlap(ds: rd.Dataset, n: int = 4, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Memorization / self-overlap audit: for every doc, how many of
+    its DISTINCT ``n``-token shingles also occur in at least one OTHER
+    place in the corpus — the train-set self-overlap number a
+    memorization-risk report is built from (high shared fraction =
+    boilerplate / near-dup / template content the model will see many
+    times). Exact (queries.ORACLE_SQL['self_overlap']); returns
+    (id, n_shingles, n_shared).
+
+    Shape: shingle explode → per-(doc, shingle) distinct (bucketed
+    aggregate) → shingle document-frequency aggregate → one partitioned
+    hash join with the per-doc reduce fused into the join buckets. Both
+    shingle-scale tables stay distributed; note df >= 2 counts a
+    shingle repeated INSIDE one doc too (it occurs at least twice in
+    the corpus) — the rule is 'seen more than once anywhere'."""
+
+    sh = shingle_table(ds, n, id_col, text_col)
+    # distinct (doc, shingle) — carry the within-doc multiplicity so
+    # df can count OCCURRENCES (>=2 means 'not unique in the corpus')
+    dsh = partial_aggregate(sh, [id_col, "g"], {"occ": ("count", None)},
+                            num_buckets=num_buckets)
+    dfq = partial_aggregate(
+        dsh.map_batches(lambda df: df[["g", "occ"]], batch_format="pandas"),
+        ["g"], {"df": ("sum", "occ")}, num_buckets=num_buckets)
+
+    def agg(d: pd.DataFrame) -> pd.DataFrame:
+        shared = (d["df"].to_numpy(np.int64) >= 2).astype(np.int64)
+        out = pd.DataFrame({id_col: d[id_col].to_numpy(),
+                            "n_shingles": np.ones(len(d), dtype=np.int64),
+                            "n_shared": shared})
+        return (out.groupby(id_col, sort=False, as_index=False)
+                .agg(n_shingles=("n_shingles", "sum"),
+                     n_shared=("n_shared", "sum")).infer_objects())
+
+    j = hash_join(dsh, dfq, "g", "g",
+                  left_cols=[id_col, "g", "occ"], right_cols=["g", "df"],
+                  num_buckets=num_buckets, bucket_fn=agg)
+    return partial_aggregate(j, [id_col],
+                             {"n_shingles": ("sum", "n_shingles"),
+                              "n_shared": ("sum", "n_shared")},
+                             num_buckets=num_buckets)

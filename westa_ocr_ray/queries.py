@@ -1061,6 +1061,13 @@ def q_corpus_report(sf_dir: str) -> rd.Dataset:
         rp(sf_dir, "documents", ["lang", "text"]))
 
 
+def q_self_overlap(sf_dir: str) -> rd.Dataset:
+    """Per-doc memorization / self-overlap audit over the documents
+    table (4-token shingles)."""
+    return dedup.self_overlap(rp(sf_dir, "documents", ["doc_id", "text"]),
+                              n=4)
+
+
 def q_rag_prep(sf_dir: str) -> rd.Dataset:
     """The END-TO-END RAG-corpus preparation chain as ONE
     driver-checkable query: quality filter → exact dedup →
@@ -2090,6 +2097,18 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
             batch_format="pandas")
         return checksum(tp, ["chk"], "tpd")
 
+    # round-3 fold #11: the md5 shard manifest — its slot went to
+    # self_overlap (training_prep's composed oracle still value-checks
+    # the same shard-assignment rule in-window)
+    def t_shard() -> List[tuple]:
+        ss = q_shard_stats(sf_dir).to_pandas().sort_values("shard")
+        out: List[tuple] = []
+        for _, r in ss.iterrows():
+            out.append(("shard_n", str(int(r["shard"])), int(r["n_docs"])))
+            out.append(("shard_chars", str(int(r["shard"])),
+                        int(r["sum_n_chars"])))
+        return out
+
     # round-3 fold #10: per-doc fixed-length packing — its slot went to
     # the composed rag_prep chain (chunk_documents keeps the explode
     # family in-window)
@@ -2110,7 +2129,7 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
              t_regexfw, t_priocode, t_mask, t_propsjson,
              t_shpairs, t_toklang, t_bigrams, t_daily,
              t_m9, t_jnat, t_o3, t_bpe, t_strat, t_asof, t_median,
-             t_range, t_sess, t_m1, t_tpd, t_pack]
+             t_range, t_sess, t_m1, t_tpd, t_pack, t_shard]
     with ThreadPoolExecutor(max_workers=6) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
@@ -2340,7 +2359,7 @@ QUERIES = {
     "token_budget_per_lang": q_token_budget_per_lang,
     "text_repetition": q_text_repetition,
     "decontaminate": q_decontaminate,
-    "shard_stats": q_shard_stats,
+    "self_overlap": q_self_overlap,
     "training_prep": q_training_prep,
     "rag_prep": q_rag_prep,
     "semi_anti_bloom": q_semi_anti_bloom,
@@ -2400,6 +2419,10 @@ QUERIES = {
     # round-3 fold #10 displaced this one (slot went to rag_prep);
     # checksum in the combined twin
     "pack_sequences": q_pack_sequences,
+    # round-3 fold #11 displaced this one (slot went to self_overlap;
+    # training_prep's composed oracle still value-checks the md5 shard
+    # manifest shape in-window)
+    "shard_stats": q_shard_stats,
     # flagship-family row views (rows-only by design: raw span rows /
     # cleaned ids; the family's VALUE checks are extract_summary,
     # ingest_flat_documents and the pytest span-sequence gate)
@@ -2751,6 +2774,19 @@ ORACLE_SQL = {
                CAST((st + n_tok - 1) // 32 AS BIGINT) AS last_seq
         FROM o""",
     "dsir_weights": _dsir_oracle_sql(),
+    "self_overlap": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        sh AS (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g FROM t,
+               unnest(range(1, greatest(2, len(toks) - 2))) AS u(i)),
+        dsh AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS occ
+                FROM sh GROUP BY doc_id, g),
+        dfq AS (SELECT g, CAST(SUM(occ) AS BIGINT) AS df
+                FROM dsh GROUP BY g)
+        SELECT dsh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared
+        FROM dsh JOIN dfq USING (g) GROUP BY dsh.doc_id""",
     "rag_prep": """
         WITH q AS (
           SELECT doc_id, text FROM documents
@@ -3357,7 +3393,19 @@ ORACLE_SQL = {
                     || '|' || toks[32*i + 1]), 1, 8)) AS UBIGINT)) AS BIGINT)
         FROM (SELECT doc_id, string_split(text, ' ') AS toks
               FROM documents) t,
-             LATERAL (SELECT unnest(range(0, (len(toks) + 31) // 32)) AS i)""",
+             LATERAL (SELECT unnest(range(0, (len(toks) + 31) // 32)) AS i)
+        UNION ALL
+        SELECT 'shard_n', CAST(shard AS VARCHAR), n_docs FROM (
+          SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS UBIGINT) % 16 AS BIGINT) AS shard,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1)
+        UNION ALL
+        SELECT 'shard_chars', CAST(shard AS VARCHAR), sum_n_chars FROM (
+          SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS UBIGINT) % 16 AS BIGINT) AS shard,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+          FROM documents GROUP BY 1)""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,
