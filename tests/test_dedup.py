@@ -425,3 +425,27 @@ def test_self_overlap_matches_python_oracle():
     assert d3["n_shared"] >= 1
     # doc 4 is unique boilerplate-free -> nothing shared
     assert out[out["doc_id"] == 4].iloc[0]["n_shared"] == 0
+
+
+def test_semantic_dedup_planted_clusters():
+    # two tight clusters + one singleton; centroids = 3 smallest ids.
+    # Near-identical vectors inside a cluster dedup down to the
+    # smallest id; the pairwise (not greedy-chain) drop rule keeps a
+    # vector only if NO smaller-id same-cluster vector is near it.
+    rng = np.random.RandomState(7)
+    a = rng.standard_normal(16)
+    b = rng.standard_normal(16)
+    c = rng.standard_normal(16)
+    rows = [
+        {"vec_id": 1, "embedding": a.tolist()},
+        {"vec_id": 2, "embedding": b.tolist()},
+        {"vec_id": 3, "embedding": c.tolist()},
+        {"vec_id": 4, "embedding": (a + 0.01 * rng.standard_normal(16)).tolist()},
+        {"vec_id": 5, "embedding": (a + 0.01 * rng.standard_normal(16)).tolist()},
+        {"vec_id": 6, "embedding": (b + 0.01 * rng.standard_normal(16)).tolist()},
+    ]
+    out = dedup.semantic_dedup(rd.from_pandas(pd.DataFrame(rows)),
+                               n_clusters=3, threshold=0.95).to_pandas()
+    kept = dict(zip(out["vec_id"], out["cluster"]))
+    # 4 and 5 collapse into 1 (cluster 0); 6 collapses into 2 (cluster 1)
+    assert kept == {1: 0, 2: 1, 3: 2}

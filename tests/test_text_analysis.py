@@ -274,3 +274,28 @@ def test_vocab_encode_oov_accounting():
     assert list(out["n_oov"]) == [1, 2, 0]
     # id_sum = sum tf*rk over in-vocab tokens
     assert list(out["id_sum"]) == [2 * 1 + 1 * 2, 1 * 1 + 1 * 2, 1 + 2]
+
+
+def test_quality_classifier_matches_serial_scorer():
+    rows = [{"doc_id": 1, "text": "alpha beta gamma"},
+            {"doc_id": 2, "text": "single"},
+            {"doc_id": 3, "text": ""},
+            {"doc_id": 4, "text": "x  y"}]  # empty token between x and y
+    out = (text_analysis.quality_classifier(_ds(rows)).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    w = text_analysis.classifier_weights()
+    from westa_ocr_ray.dedup import md5_hex
+
+    def serial(text):
+        toks = [t for t in text.split(" ") if t]
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return sum(int(w[int(md5_hex(g)[:8], 16) % len(w)]) for g in bgs), len(bgs)
+
+    for _, r in out.iterrows():
+        s, n = serial(rows[int(r["doc_id"]) - 1]["text"])
+        assert (r["score_mu"], r["n_bigrams"]) == (s, n)
+        assert r["keep"] == int(s > 0)
+    # doc 2 (one token) and doc 3 (empty) have no bigrams -> not kept
+    assert list(out["n_bigrams"])[1:3] == [0, 0]
+    # doc 4: the empty token is dropped, x/y still form a bigram
+    assert out["n_bigrams"].iloc[3] == 1

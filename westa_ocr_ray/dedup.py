@@ -1339,3 +1339,75 @@ def self_overlap(ds: rd.Dataset, n: int = 4, id_col: str = "doc_id",
                              {"n_shingles": ("sum", "n_shingles"),
                               "n_shared": ("sum", "n_shared")},
                              num_buckets=num_buckets)
+
+
+def semantic_dedup(emb: rd.Dataset, n_clusters: int = 8,
+                   threshold: float = 0.4, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then drop near-duplicates WITHIN each cluster —
+    the pairwise work is bounded by the cluster population instead of
+    the corpus, which is the whole point of the method at 100 TB.
+
+    Deterministic variant so an exact SQL oracle can replay it:
+    - centroids = the embeddings of the ``n_clusters`` smallest ids
+      (a per-block partial top-k picks them — no global sort), held
+      once per assignment actor as a normalized matrix;
+    - assignment = argmax cosine, ties to the lowest cluster index;
+    - drop rule = a vector is a duplicate iff SOME other vector in the
+      same cluster has a smaller id and cosine > ``threshold``
+      (the pairwise, order-free form of SemDeDup's keep-one rule —
+      greedy chain suppression would be order-dependent and
+      SQL-inexpressible).
+
+    Returns the KEPT rows (id, cluster). Scale notes: n_clusters grows
+    with the corpus (the paper uses ~sqrt(n)); a cluster that still
+    exceeds one worker's pairwise budget is sub-blocked by the
+    random-hyperplane tables of embedding_near_dup_lsh — same verify
+    kernel, recall<1 documented there."""
+    import ray
+
+    from .relops import grouped_topk
+
+    # centroid pick: constant-group partial top-k (blocks emit their
+    # own k smallest ids; one small final reduce) — never a global sort
+    cand = emb.map_batches(
+        lambda df: df.assign(__g=np.int32(0)), batch_format="pandas")
+    cent = (grouped_topk(cand, ["__g"], [id_col], k=n_clusters,
+                         ascending=True, num_buckets=1)
+            .to_pandas().sort_values(id_col, ignore_index=True))
+    cmat = np.stack(cent[vec_col].to_numpy()).astype(np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    cref = ray.put(cmat)
+
+    class Assign:
+        def __init__(self) -> None:
+            self.c = ray.get(cref)  # once per actor, not per batch
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({id_col: df[id_col],
+                                     vec_col: df[vec_col],
+                                     "cluster": pd.Series([], dtype=np.int64)})
+            m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            # argmax returns the FIRST max == lowest cluster index
+            cl = np.argmax(m @ self.c.T, axis=1).astype(np.int64)
+            return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                                 vec_col: df[vec_col].to_numpy(),
+                                 "cluster": cl})
+
+    def keep_fn(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(df[id_col].to_numpy(), kind="stable")
+        ids = df[id_col].to_numpy()[order]
+        m = np.stack(df[vec_col].to_numpy()[order]).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        # dup iff any EARLIER (smaller-id) row is closer than threshold
+        dup = (np.tril(sims > threshold, k=-1)).any(axis=1)
+        return pd.DataFrame({id_col: ids[~dup].astype(np.int64),
+                             "cluster": df["cluster"].to_numpy()[order][~dup]})
+
+    assigned = emb.map_batches(Assign, concurrency=4, batch_format="pandas")
+    return assigned.groupby("cluster").map_groups(
+        keep_fn, batch_format="pandas")

@@ -666,3 +666,82 @@ def vocab_encode(ds: rd.Dataset, top_v: int = 256, id_col: str = "doc_id",
                                            ).to_numpy(np.int64),
                                  "id_sum": df["id_sum"].to_numpy(np.int64)}),
         batch_format="pandas")
+
+
+# ---------------------------------------- model-based quality filtering
+
+#: hashed-bigram feature space + deterministic weight seed for the
+#: fastText-style linear quality classifier. The weights are a hermetic
+#: stand-in for a trained model (md5-derived, so DuckDB can recompute
+#: the scorer bit-for-bit); the Ray-side shape — weight vector loaded
+#: once per actor, vectorized hashed-feature scoring per batch — is
+#: exactly what serving a real .bin model looks like.
+QC_BUCKETS = 256
+QC_SEED = "qc_v1"
+
+
+def classifier_weights(num_buckets: int = QC_BUCKETS,
+                       seed: str = QC_SEED) -> np.ndarray:
+    """Deterministic integer milli-unit weight per feature bucket:
+    (md5('{seed}|{b}')[:8] as uint) % 2001 - 1000 ∈ [-1000, 1000]."""
+    from .dedup import md5_hex
+
+    return np.fromiter(
+        (int(md5_hex(f"{seed}|{b}")[:8], 16) % 2001 - 1000
+         for b in range(num_buckets)), dtype=np.int64, count=num_buckets)
+
+
+def quality_classifier(ds: rd.Dataset, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       num_buckets: int = QC_BUCKETS,
+                       seed: str = QC_SEED) -> rd.Dataset:
+    """fastText-style linear quality classifier (the model-scoring
+    stage of CCNet / LLaMA-style quality filtering, public method):
+    score every document as the sum over its token-BIGRAM occurrences
+    of a per-hashed-feature weight, keep docs with positive score.
+    One streaming map — no shuffle, no join; the weight vector is
+    built once per actor in __init__ (the model-load shape; swap
+    classifier_weights for a real trained model's buckets and nothing
+    else changes). Integer milli-unit arithmetic end-to-end so the
+    score is hash-stable and the SQL oracle replays it bit-for-bit
+    (queries.ORACLE_SQL['quality_classifier']).
+
+    Bigrams = adjacent pairs of the non-empty whitespace tokens; docs
+    with <2 tokens score 0 (not kept). Returns
+    (id, n_bigrams, score_mu, keep)."""
+    from .dedup import md5_hex
+
+    class Score:
+        def __init__(self) -> None:
+            self.w = classifier_weights(num_buckets, seed)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
+            nbg = np.zeros(n, dtype=np.int64)
+            sc = np.zeros(n, dtype=np.int64)
+            if n:
+                toks = df[text_col].str.split(" ")
+                lens = toks.map(len).to_numpy(dtype=np.int64)
+                if lens.sum():
+                    flat = np.concatenate(
+                        [np.asarray(t, dtype=object) for t in toks])
+                    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+                    m = flat != ""
+                    flat, rows = flat[m], rows[m]
+                    if len(flat) > 1:
+                        adj = rows[:-1] == rows[1:]
+                        bg = flat[:-1][adj] + " " + flat[1:][adj]
+                        brow = rows[:-1][adj]
+                        if len(bg):
+                            uniq, inv = np.unique(bg, return_inverse=True)
+                            ub = np.fromiter(
+                                (int(md5_hex(t)[:8], 16) % num_buckets
+                                 for t in uniq),
+                                dtype=np.int64, count=len(uniq))
+                            np.add.at(sc, brow, self.w[ub[inv]])
+                            np.add.at(nbg, brow, 1)
+            return pd.DataFrame({id_col: df[id_col],
+                                 "n_bigrams": nbg, "score_mu": sc,
+                                 "keep": (sc > 0).astype(np.int64)})
+
+    return ds.map_batches(Score, concurrency=4, batch_format="pandas")
