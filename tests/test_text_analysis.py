@@ -299,3 +299,29 @@ def test_quality_classifier_matches_serial_scorer():
     assert list(out["n_bigrams"])[1:3] == [0, 0]
     # doc 4: the empty token is dropped, x/y still form a bigram
     assert out["n_bigrams"].iloc[3] == 1
+
+
+def test_bpe_train_matches_serial_reference():
+    texts = ["the cat sat on the mat", "the cat ate the rat",
+             "low lower lowest", "aaa aa aaaa", ""]
+    got = text_analysis.bpe_train(
+        _ds([{"doc_id": i, "text": t} for i, t in enumerate(texts)]),
+        n_merges=6)
+    exp = text_analysis.bpe_train_serial(texts, 6)
+    assert [(r["lhs"], r["rhs"], int(r["pair_count"]))
+            for _, r in got.iterrows()] == exp
+    # overlapping-run counting: 'aaa aa aaaa' has (a,a) 2+1+3 times +
+    # 'sat'/'mat'/'ate'/'rat' contribute (a,t) — first merge is a
+    # deterministic tie-break between them
+    assert got["rank"].tolist() == list(range(6))
+
+
+def test_apply_bpe_merges_greedy_left_to_right():
+    # [a,a,a] + (a,a) -> [aa, a], not [a, aa]
+    assert text_analysis.apply_bpe_merges("aaa", [("a", "a")]) == ["aa", "a"]
+    # merges apply in rank order: (a,a) then (aa,a) -> 'aaaa' = [aa,aa] -> no (aa,a)
+    assert text_analysis.apply_bpe_merges("aaaa", [("a", "a"), ("aa", "a")]) \
+        == ["aa", "aa"]
+    # 'aaaaa' -> (a,a): [aa, aa, a]; (aa,a) matches at index 1 -> [aa, aaa]
+    assert text_analysis.apply_bpe_merges("aaaaa", [("a", "a"), ("aa", "a")]) \
+        == ["aa", "aaa"]

@@ -1029,6 +1029,15 @@ def q_quality_classifier(sf_dir: str) -> rd.Dataset:
         rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_bpe_train(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer training over the documents corpus —
+    K merge rounds, each a distributed pair count over the word-freq
+    table; the driver sees one row per round. Value-checked against an
+    inline-VALUES oracle generated by the independent serial reference
+    (_bpe_train_oracle_sql), the extract_summary pattern."""
+    return text_analysis.bpe_train(rp(sf_dir, "documents", ["text"]))
+
+
 def q_token_count_bpe(sf_dir: str) -> rd.Dataset:
     return text_analysis.token_count_table(rp(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -2165,19 +2174,74 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
             batch_format="pandas")
         return checksum(fp, ["chk"], "fprint")
 
+    # round-3 fold #14: per-lang length z-score — its slot went to
+    # bpe_train (the distributed BPE tokenizer trainer)
+    def t_zs() -> List[tuple]:
+        return checksum(zscore_by_lang(sf_dir), ["doc_id", "z_milli"],
+                        "zs")
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
              t_regexfw, t_priocode, t_mask, t_propsjson,
              t_shpairs, t_toklang, t_bigrams, t_daily,
              t_m9, t_jnat, t_o3, t_bpe, t_strat, t_asof, t_median,
              t_range, t_sess, t_m1, t_tpd, t_pack, t_shard, t_ngram,
-             t_fprint]
+             t_fprint, t_zs]
     with ThreadPoolExecutor(max_workers=6) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
     return pd.DataFrame({"metric": [r[0] for r in rows],
                          "k": [str(r[1]) for r in rows],
                          "v": np.array([r[2] for r in rows], dtype=np.int64)})
+
+
+def _bpe_train_oracle_sql(tier: str = "correctness") -> str:
+    """Inline-VALUES oracle for q_bpe_train, generated by the
+    INDEPENDENT serial BPE (text_analysis.bpe_train_serial — Counter +
+    incremental segmentations, a different algorithm shape from the
+    distributed trainer). Same pattern as _extract_summary_oracle_sql;
+    disk-cached keyed by the documents.parquet stat + merge count so a
+    corpus or semantics change regenerates it. Tier maps to the
+    standard testdata dir (the driver always runs the correctness tier
+    = sf0.01)."""
+    import json
+    import os
+
+    sf = {"smoke": "sf0.001", "correctness": "sf0.01",
+          "bench": "sf0.1"}[tier]
+    path = f"/root/testdata/{sf}/documents.parquet"
+    st = os.stat(path)
+    key = dedup.md5_hex(
+        f"bpe1|{path}|{st.st_size}|{st.st_mtime_ns}|"
+        f"{text_analysis.BPE_TRAIN_MERGES}")[:16]
+    cache = f"/tmp/westa_oracle_cache/bpe_{key}.json"
+    rows = None
+    if os.path.exists(cache):
+        try:
+            with open(cache) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            rows = None
+    if rows is None:
+        import pyarrow.parquet as pq
+        texts = pq.read_table(path, columns=["text"])["text"].to_pylist()
+        rows = [[r, a, b, c] for r, (a, b, c) in
+                enumerate(text_analysis.bpe_train_serial(
+                    texts, text_analysis.BPE_TRAIN_MERGES))]
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(rows, fh)
+        os.replace(tmp, cache)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(f"({r}, {q(a)}, {q(b)}, {c})" for r, a, b, c in rows)
+    return f"""
+        SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs,
+               CAST(pair_count AS BIGINT) AS pair_count
+        FROM (VALUES {vals}) AS t(rank, lhs, rhs, pair_count)"""
 
 
 # --------------------------------------- extract-summary value oracle
@@ -2369,7 +2433,7 @@ QUERIES = {
     "perplexity_filter": perplexity_filter,
     "pii_scrub": q_pii_scrub,
     "lm_unigram_score": lm_unigram_score,
-    "zscore_by_lang": zscore_by_lang,
+    "bpe_train": q_bpe_train,
     "approx_quantiles_value": approx_quantiles_value,
     "top_distinctive_token": top_distinctive_token,
     "contamination_report": q_contamination_report,
@@ -2440,11 +2504,12 @@ QUERIES = {
     "curriculum_rank": q_curriculum_rank,
     "train_val_split": q_train_val_split,
     "dedup_contained_pairs": q_dedup_contained_pairs,
-    # round-3 folds #12/#13 displaced these (slots went to
-    # semantic_dedup / quality_classifier); checksums live in
-    # combined_small_shapes
+    # round-3 folds #12/#13/#14 displaced these (slots went to
+    # semantic_dedup / quality_classifier / bpe_train); checksums live
+    # in combined_small_shapes
     "dedup_ngram": q_dedup_ngram,
     "text_fingerprint": q_text_fingerprint,
+    "zscore_by_lang": zscore_by_lang,
     "hash_embed_stats": q_hash_embed_stats,
     "bm25_search": q_bm25_search,
     # round-3 fold #6 displaced these two (slots went to chunk_documents
@@ -2831,6 +2896,7 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(MIN(h) >> 1 AS BIGINT) AS fingerprint
         FROM w GROUP BY doc_id""",
     "quality_classifier": _quality_classifier_oracle_sql(),
+    "bpe_train": _bpe_train_oracle_sql("correctness"),
     "extract_summary": _extract_summary_oracle_sql("correctness"),
     "pack_sequences": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
@@ -3221,7 +3287,23 @@ ORACLE_SQL = {
                 FROM t)),
         fpr AS (
           SELECT doc_id, CAST(MIN(h) >> 1 AS BIGINT) AS fingerprint
-          FROM fpw GROUP BY doc_id)
+          FROM fpw GROUP BY doc_id),
+        zsized AS (
+          SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS n
+          FROM documents),
+        zm AS (
+          SELECT lang,
+                 CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean,
+                 CAST(SUM(n*n) AS DOUBLE) / COUNT(*)
+                   - (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+                     * (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS var
+          FROM zsized GROUP BY lang),
+        zsc AS (
+          SELECT s.doc_id,
+                 CAST(CASE WHEN m.var > 0
+                      THEN FLOOR(1000 * (s.n - m.mean) / sqrt(m.var))
+                      ELSE 0 END AS BIGINT) AS z_milli
+          FROM zsized s JOIN zm m USING (lang))
         SELECT 'count_orders' AS metric, '' AS k, COUNT(*) AS v FROM orders
         UNION ALL
         SELECT 'event_type', event_type, CAST(1 AS BIGINT)
@@ -3526,7 +3608,15 @@ ORACLE_SQL = {
         UNION ALL
         SELECT 'fprint_sum_chk', '',
                CAST(COALESCE(SUM(fingerprint % 1000003), 0) AS BIGINT)
-        FROM fpr""",
+        FROM fpr
+        UNION ALL
+        SELECT 'zs_count', '', COUNT(*) FROM zsc
+        UNION ALL
+        SELECT 'zs_sum_doc_id', '',
+               CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM zsc
+        UNION ALL
+        SELECT 'zs_sum_z_milli', '',
+               CAST(COALESCE(SUM(z_milli), 0) AS BIGINT) FROM zsc""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,
@@ -3791,4 +3881,5 @@ ORACLE_SQL = {
 # through this hook when checking other sf dirs.
 TIER_ORACLE_BUILDERS = {
     "extract_summary": _extract_summary_oracle_sql,
+    "bpe_train": _bpe_train_oracle_sql,
 }

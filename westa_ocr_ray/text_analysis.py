@@ -745,3 +745,141 @@ def quality_classifier(ds: rd.Dataset, id_col: str = "doc_id",
                                  "keep": (sc > 0).astype(np.int64)})
 
     return ds.map_batches(Score, concurrency=4, batch_format="pandas")
+
+
+# ------------------------------------------------- BPE tokenizer training
+
+#: merge count for the corpus-scale BPE trainer below — at real scale
+#: this is thousands; the shape (per-round distributed pair count over
+#: the word-frequency table) is identical at any K.
+BPE_TRAIN_MERGES = 8
+
+
+def apply_bpe_merges(seq, merges) -> list:
+    """Apply merges in rank order, each greedy left-to-right and
+    non-overlapping within the token sequence (the classic BPE apply
+    rule, Sennrich et al. 2016)."""
+    for a, b in merges:
+        out, i, n = [], 0, len(seq)
+        while i < n:
+            if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return list(seq)
+
+
+def bpe_train(ds: rd.Dataset, n_merges: int = BPE_TRAIN_MERGES,
+              text_col: str = "text",
+              num_buckets: "int | None" = None) -> pd.DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) —
+    the corpus-scale shape: ONE distributed pass builds the
+    (word, freq) table (the corpus never moves again; BPE statistics
+    are a function of word frequencies only), then each merge round is
+    a distributed adjacent-pair count over that vocab-sized table —
+    per-batch partial Counters → bucketed aggregate → constant-group
+    top-1 — and the driver sees exactly one (pair, count) row per
+    round. Ties break (count desc, lhs asc, rhs asc) so the merge
+    table is deterministic under any block layout.
+
+    Segmentations are recomputed from the merge list each round
+    instead of materializing a per-word segmentation table: the
+    recompute is O(V·K) python over the vocab (bounded by vocab size,
+    not corpus size) and keeps every round stateless/resumable. The
+    word-count table is checkpointed once (consumed K times).
+
+    Returns the merge table (rank, lhs, rhs, pair_count) as a small
+    DataFrame — K rows. Verified against an independent serial
+    implementation (tests) and an inline-VALUES oracle generated from
+    it (queries._bpe_train_oracle_sql)."""
+    from .relops import partial_aggregate as pagg
+
+    def wc(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        if not lens.sum():
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "freq": pd.Series([], dtype=np.int64)})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        flat = flat[flat != ""]
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"word": uniq, "freq": counts.astype(np.int64)})
+
+    words = pagg(ds.map_batches(wc, batch_format="pandas"), ["word"],
+                 {"freq": ("sum", "freq")}, num_buckets=num_buckets)
+    words = words.materialize()  # consumed once per merge round
+
+    merges: list = []
+    out_rows = []
+    for rank in range(n_merges):
+        ms = tuple((a, b) for a, b, _ in merges)
+
+        def pair_counts(df: pd.DataFrame, ms=ms) -> pd.DataFrame:
+            cnt: dict = {}
+            for w, f in zip(df["word"].to_numpy(), df["freq"].to_numpy()):
+                seq = apply_bpe_merges(w, ms)  # str iterates as chars
+                f = int(f)
+                for p in zip(seq, seq[1:]):
+                    cnt[p] = cnt.get(p, 0) + f
+            if not cnt:
+                return pd.DataFrame({"lhs": pd.Series([], dtype=object),
+                                     "rhs": pd.Series([], dtype=object),
+                                     "cnt": pd.Series([], dtype=np.int64)})
+            ks = list(cnt.keys())
+            return pd.DataFrame({"lhs": [k[0] for k in ks],
+                                 "rhs": [k[1] for k in ks],
+                                 "cnt": np.fromiter(cnt.values(),
+                                                    dtype=np.int64,
+                                                    count=len(ks))})
+
+        pc = pagg(words.map_batches(pair_counts, batch_format="pandas"),
+                  ["lhs", "rhs"], {"cnt": ("sum", "cnt")},
+                  num_buckets=num_buckets)
+
+        def neg(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__g"] = np.int32(0)
+            df["neg_cnt"] = -df["cnt"].to_numpy(np.int64)
+            return df
+
+        from .relops import grouped_topk
+        top = (grouped_topk(pc.map_batches(neg, batch_format="pandas"),
+                            ["__g"], ["neg_cnt", "lhs", "rhs"], k=1,
+                            ascending=True, num_buckets=1)
+               .to_pandas())
+        if not len(top):
+            break
+        a, b, c = top["lhs"].iloc[0], top["rhs"].iloc[0], int(top["cnt"].iloc[0])
+        merges.append((a, b, c))
+        out_rows.append({"rank": rank, "lhs": a, "rhs": b, "pair_count": c})
+    return pd.DataFrame(out_rows, columns=["rank", "lhs", "rhs",
+                                           "pair_count"]).astype(
+        {"rank": np.int64, "pair_count": np.int64}, errors="ignore")
+
+
+def bpe_train_serial(texts, n_merges: int = BPE_TRAIN_MERGES) -> list:
+    """Independent single-process BPE reference (Counter + incremental
+    per-word segmentations — a different algorithm shape from the
+    distributed recompute-per-round trainer above). Used by the unit
+    tests and to generate the inline-VALUES oracle."""
+    from collections import Counter
+
+    wc = Counter(t for text in texts for t in text.split(" ") if t)
+    segs = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, f in wc.items():
+            s = segs[w]
+            for p in zip(s, s[1:]):
+                pc[p] += f
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, int(c)))
+        for w, s in segs.items():
+            segs[w] = apply_bpe_merges(s, [(a, b)])
+    return merges
