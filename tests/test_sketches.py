@@ -79,3 +79,41 @@ def test_bloom_no_false_negatives_and_bounded_fp():
     absent = pd.Series([f"other_{i}" for i in range(5000)])
     fp = sketches.bloom_might_contain(absent, bloom, 1 << 16, 4).mean()
     assert fp < 0.02
+
+
+def test_count_min_never_underestimates_and_is_tight_for_heavy_keys():
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import sketches
+
+    # zipf-ish: key_i appears (2000 // (i+1)) times
+    vals = [f"key_{i}" for i in range(200) for _ in range(2000 // (i + 1))]
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    grid = sketches.count_min_build(ds, "v", width=2048, depth=4)
+    n = len(vals)
+    truth = pd.Series(vals).value_counts()
+    q = pd.Series([f"key_{i}" for i in range(200)])
+    est = sketches.count_min_query(grid, q)
+    for i, e in enumerate(est):
+        t = truth[f"key_{i}"]
+        assert e >= t  # CMS never underestimates
+        assert e <= t + 3 * n / 2048  # ~e*N/width slack, generous
+    # grid mass = depth * N (each occurrence increments one cell per row)
+    assert grid.sum() == 4 * n
+
+
+def test_count_min_premerge_identical_to_flat():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import sketches
+
+    vals = [f"k{i % 37}" for i in range(1500)]
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(6)
+    g1 = sketches.count_min_build(ds, "v", width=256, depth=3,
+                                  premerge_buckets=2)
+    g2 = sketches.count_min_build(ds, "v", width=256, depth=3,
+                                  premerge_buckets=64)
+    assert np.array_equal(g1, g2)

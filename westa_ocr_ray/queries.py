@@ -1029,6 +1029,37 @@ def q_quality_classifier(sf_dir: str) -> rd.Dataset:
         rp(sf_dir, "documents", ["doc_id", "text"]))
 
 
+#: count-min sketch geometry + the fixed probe tokens for the
+#: value-checked CMS query (oracle generated from the same constants)
+CMS_WIDTH = 2048
+CMS_DEPTH = 4
+CMS_QUERY_TOKENS = ("the", "a", "data", "value", "row")
+
+
+def q_cms_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-min sketch over the corpus token stream, probed at a fixed
+    token list. EXACT oracle: the md5 cell function is SQL-expressible,
+    so DuckDB recomputes every probe's min-over-rows collision count
+    bit-for-bit (_cms_oracle_sql)."""
+    from . import sketches
+
+    docs = rp(sf_dir, "documents", ["text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"tok": pd.Series([], dtype=object)})
+        toks = df["text"].str.split(" ")
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        return pd.DataFrame({"tok": flat[flat != ""]})
+
+    grid = sketches.count_min_build(
+        docs.map_batches(explode, batch_format="pandas"), "tok",
+        width=CMS_WIDTH, depth=CMS_DEPTH)
+    est = sketches.count_min_query(grid, pd.Series(CMS_QUERY_TOKENS))
+    return pd.DataFrame({"token": list(CMS_QUERY_TOKENS),
+                         "est_count": est.astype(np.int64)})
+
+
 def q_bpe_train(sf_dir: str) -> pd.DataFrame:
     """Distributed BPE tokenizer training over the documents corpus —
     K merge rounds, each a distributed pair count over the word-freq
@@ -2195,6 +2226,34 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
                          "v": np.array([r[2] for r in rows], dtype=np.int64)})
 
 
+def _cms_oracle_sql() -> str:
+    """Generated from CMS_WIDTH / CMS_DEPTH / CMS_QUERY_TOKENS — the
+    same constants the engine sketch uses, so the cell hashing cannot
+    drift. est(q) = min over depth rows of the count of token
+    OCCURRENCES whose row-d cell collides with q's."""
+    W, D = CMS_WIDTH, CMS_DEPTH
+    probe = ", ".join(f"'{t}'" for t in CMS_QUERY_TOKENS)
+    cnts = ",\n        ".join(
+        f"cnt{d} AS (SELECT CAST(('0x' || substr(md5('{d}|' || tok), 1, 16))"
+        f" AS UBIGINT) % {W} AS c, CAST(COUNT(*) AS BIGINT) AS n"
+        f" FROM tok GROUP BY 1)"
+        for d in range(D))
+    joins = "\n        ".join(
+        f"LEFT JOIN cnt{d} c{d} ON c{d}.c = CAST(('0x' || substr("
+        f"md5('{d}|' || q.token), 1, 16)) AS UBIGINT) % {W}"
+        for d in range(D))
+    least = ", ".join(f"COALESCE(c{d}.n, 0)" for d in range(D))
+    return f"""
+        WITH tok AS (
+          SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                           FROM documents) WHERE tok <> ''),
+        {cnts},
+        qs AS (SELECT unnest([{probe}]) AS token)
+        SELECT q.token, CAST(least({least}) AS BIGINT) AS est_count
+        FROM qs q
+        {joins}"""
+
+
 def _bpe_train_oracle_sql(tier: str = "correctness") -> str:
     """Inline-VALUES oracle for q_bpe_train, generated by the
     INDEPENDENT serial BPE (text_analysis.bpe_train_serial — Counter +
@@ -2512,6 +2571,7 @@ QUERIES = {
     "zscore_by_lang": zscore_by_lang,
     "hash_embed_stats": q_hash_embed_stats,
     "bm25_search": q_bm25_search,
+    "cms_token_counts": q_cms_token_counts,
     # round-3 fold #6 displaced these two (slots went to chunk_documents
     # / pii_scrub); their checksums live in combined_small_shapes
     "token_count_bpe": q_token_count_bpe,
@@ -2896,6 +2956,7 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(MIN(h) >> 1 AS BIGINT) AS fingerprint
         FROM w GROUP BY doc_id""",
     "quality_classifier": _quality_classifier_oracle_sql(),
+    "cms_token_counts": _cms_oracle_sql(),
     "bpe_train": _bpe_train_oracle_sql("correctness"),
     "extract_summary": _extract_summary_oracle_sql("correctness"),
     "pack_sequences": """

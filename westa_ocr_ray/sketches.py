@@ -233,3 +233,70 @@ def bloom_might_contain(values: pd.Series, bloom: bytes, m_bits: int,
     idx = _bloom_indices(values, m_bits, k)
     hit = (bits[idx // 8] >> (idx % 8).astype(np.uint8)) & np.uint8(1)
     return hit.all(axis=1).astype(bool)
+
+
+# --------------------------------------------------- count-min sketch
+
+def _cms_cells(values: pd.Series, width: int, depth: int) -> np.ndarray:
+    """(depth, len) array of cell indices — row d uses md5('{d}|' + v),
+    so the rows are independent hash functions (same trick as the
+    Bloom filter's _bloom_indices). md5 runs once per UNIQUE value per
+    batch (the simhash pattern); DuckDB recomputes the same cells via
+    ('0x' || substr(md5(...), 1, 16))::UBIGINT % width."""
+    import hashlib
+
+    svals = values.astype(str).to_numpy()
+    uniq, inv = np.unique(svals, return_inverse=True)
+    out = np.empty((depth, len(uniq)), dtype=np.int64)
+    for d in range(depth):
+        pre = f"{d}|".encode("utf-8")
+        out[d] = np.fromiter(
+            (int.from_bytes(hashlib.md5(pre + v.encode("utf-8"))
+                            .digest()[:8], "big") % width for v in uniq),
+            dtype=np.int64, count=len(uniq))
+    return out[:, inv]
+
+
+def count_min_build(ds: rd.Dataset, col: str, width: int = 2048,
+                    depth: int = 4, premerge_buckets: int = 64) -> np.ndarray:
+    """Count-min sketch of value frequencies (Cormode & Muthukrishnan
+    2005): per-batch (depth, width) int64 grids, tree-merged — cell-wise
+    ADD is associative/commutative, so the bucketed pre-merge stage
+    (same shape as approx_distinct's) collapses per-block grids to ≤
+    ``premerge_buckets`` rows and the driver sums only those. Point
+    query = min over rows; estimate is NEVER below the true count and
+    exceeds it by ≤ e·N/width with prob ≥ 1-e^-depth (guarantee-gated
+    in tests). Returns the merged (depth, width) grid."""
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        grid = np.zeros((depth, width), dtype=np.int64)
+        if len(df):
+            cells = _cms_cells(df[col], width, depth)
+            for d in range(depth):
+                np.add.at(grid[d], cells[d], 1)
+        return pd.DataFrame({"grid": [grid.tobytes()]})
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for raw in df["grid"]:
+            acc += np.frombuffer(raw, dtype=np.int64)
+        return pd.DataFrame({"grid": [acc.tobytes()]})
+
+    parts = (ds.map_batches(sketch, batch_format="pandas")
+             .map_batches(_premerge_buckets("grid", premerge_buckets),
+                          batch_format="pandas")
+             .groupby("__b")
+             .map_groups(lambda df: merge_bucket(df.drop(columns="__b")),
+                         batch_format="pandas"))
+    total = np.zeros(depth * width, dtype=np.int64)
+    for row in parts.take_all():  # ≤ premerge_buckets rows
+        total += np.frombuffer(row["grid"], dtype=np.int64)
+    return total.reshape(depth, width)
+
+
+def count_min_query(grid: np.ndarray, values: pd.Series) -> np.ndarray:
+    """Point-estimate each value's frequency: min over the depth rows."""
+    depth, width = grid.shape
+    cells = _cms_cells(values, width, depth)
+    return np.min(np.stack([grid[d][cells[d]] for d in range(depth)]),
+                  axis=0)
