@@ -1487,6 +1487,45 @@ def q_extract_summary(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(to64, batch_format="pandas")
 
 
+def q_media_usage(sf_dir: str) -> rd.Dataset:
+    """Media-asset usage audit over the flagship extraction: per media
+    kind (pdf / image), how many extracted spans, how many DISTINCT
+    media_refs, and total extracted characters — the dangling-asset /
+    dedup-planning report an interleaved text+media corpus ships with.
+    Two bounded bucketed exchanges ((kind, ref) distinct → per-kind
+    rollup); value oracle = the independent serial extraction
+    (_media_usage_oracle_sql VALUES, the extract_summary pattern)."""
+    flat = q_extract_flat(sf_dir)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.is_in(t.column("kind"),
+                        value_set=pa.array(["pdf", "image"]))
+        t = t.filter(mask)
+        return pa.table({
+            "kind": t.column("kind"),
+            "media_ref": t.column("media_ref"),
+            "chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+        })
+
+    per_ref = partial_aggregate(
+        flat.map_batches(keep, batch_format="pyarrow"),
+        ["kind", "media_ref"],
+        {"n_spans": ("count", None), "sum_chars": ("sum", "chars")})
+    per_kind = partial_aggregate(
+        per_ref, ["kind"],
+        {"n_refs": ("count", None), "n_spans": ("sum", "n_spans"),
+         "sum_chars": ("sum", "sum_chars")})
+
+    def to64(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ("n_refs", "n_spans", "sum_chars"):
+            df[c] = df[c].astype("int64")
+        return df
+
+    return per_kind.map_batches(to64, batch_format="pandas")
+
+
 def ingest_flat_documents(sf_dir: str) -> rd.Dataset:
     """End-to-end: ingest the driver's FLAT documents table into the
     engine's interleaved input schema (how a reference user would bring
@@ -2303,6 +2342,50 @@ def _bpe_train_oracle_sql(tier: str = "correctness") -> str:
         FROM (VALUES {vals}) AS t(rank, lhs, rhs, pair_count)"""
 
 
+def _media_usage_oracle_sql(tier: str = "correctness") -> str:
+    """Inline-VALUES oracle for q_media_usage from the single-process
+    reference extraction (same independent implementation the pytest
+    span-sequence gate asserts against); disk-cached by source
+    fingerprint + tier like _extract_summary_oracle_sql."""
+    import json
+    import os
+
+    from . import oracle as oracle_mod
+
+    fp = fixtures.source_fingerprint(fixtures, extractors, oracle_mod)
+    cache = f"/tmp/westa_oracle_cache/{fp}_{tier}_media_usage.json"
+    rows = None
+    if os.path.exists(cache):
+        try:
+            with open(cache) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            rows = None
+    if rows is None:
+        per_doc = oracle_mod.extract_corpus(fixtures.DEFAULT_SEED,
+                                            fixtures.TIERS[tier])
+        acc: dict = {}
+        for r in per_doc:
+            for s in r["spans"]:
+                if s["kind"] in ("pdf", "image"):
+                    a = acc.setdefault(s["kind"], [set(), 0, 0])
+                    a[0].add(s["media_ref"])
+                    a[1] += 1
+                    a[2] += len(s["text"])
+        rows = [[k, len(v[0]), v[1], v[2]] for k, v in sorted(acc.items())]
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(rows, fh)
+        os.replace(tmp, cache)
+    vals = ", ".join("('{}', {}, {}, {})".format(*r) for r in rows)
+    return f"""
+        SELECT kind, CAST(n_refs AS BIGINT) AS n_refs,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(sum_chars AS BIGINT) AS sum_chars
+        FROM (VALUES {vals}) AS t(kind, n_refs, n_spans, sum_chars)"""
+
+
 # --------------------------------------- extract-summary value oracle
 
 def _extract_summary_oracle_sql(tier: str = "correctness") -> str:
@@ -2572,6 +2655,7 @@ QUERIES = {
     "hash_embed_stats": q_hash_embed_stats,
     "bm25_search": q_bm25_search,
     "cms_token_counts": q_cms_token_counts,
+    "media_usage": q_media_usage,
     # round-3 fold #6 displaced these two (slots went to chunk_documents
     # / pii_scrub); their checksums live in combined_small_shapes
     "token_count_bpe": q_token_count_bpe,
@@ -2958,6 +3042,7 @@ ORACLE_SQL = {
     "quality_classifier": _quality_classifier_oracle_sql(),
     "cms_token_counts": _cms_oracle_sql(),
     "bpe_train": _bpe_train_oracle_sql("correctness"),
+    "media_usage": _media_usage_oracle_sql("correctness"),
     "extract_summary": _extract_summary_oracle_sql("correctness"),
     "pack_sequences": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
@@ -3943,4 +4028,5 @@ ORACLE_SQL = {
 TIER_ORACLE_BUILDERS = {
     "extract_summary": _extract_summary_oracle_sql,
     "bpe_train": _bpe_train_oracle_sql,
+    "media_usage": _media_usage_oracle_sql,
 }
