@@ -79,3 +79,33 @@ def test_resize_media_shrinks_and_reparses():
     bad = out[out["error"] != ""]
     # corrupt payloads surface as error rows, not failures
     assert (bad["resized_bytes"] == 0).all()
+
+
+def test_payload_dedup_collapses_identical_payloads():
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": "d1", "media_ref": "m/b", "kind": "image",
+         "payload": b"\x01\x02\x03"},
+        {"doc_id": "d2", "media_ref": "m/a", "kind": "image",
+         "payload": b"\x01\x02\x03"},        # same bytes, other ref
+        {"doc_id": "d3", "media_ref": "m/c", "kind": "pdf",
+         "payload": b"\x01\x02\x03"},        # same bytes, other KIND
+        {"doc_id": "d4", "media_ref": "m/d", "kind": "image",
+         "payload": b"\xff"},
+    ]
+    t = pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "media_ref": [r["media_ref"] for r in rows],
+        "kind": [r["kind"] for r in rows],
+        "payload": pa.array([r["payload"] for r in rows], type=pa.binary()),
+    })
+    out = (multimodal.payload_dedup(rd.from_arrow(t), num_buckets=4)
+           .to_pandas().sort_values(["kind", "keeper_ref"],
+                                    ignore_index=True))
+    assert len(out) == 3
+    img = out[(out["kind"] == "image") & (out["n_copies"] == 2)].iloc[0]
+    assert img["keeper_ref"] == "m/a"  # lexicographically smallest ref
+    assert img["nbytes"] == 3
+    # same payload under a different kind stays a separate group
+    assert (out["kind"] == "pdf").sum() == 1

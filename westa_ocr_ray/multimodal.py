@@ -195,3 +195,42 @@ def resize_media(media: rd.Dataset, factor: int = 2, max_runs: int = 4,
                                                         max_runs=max_runs),
                              batch_format="pyarrow", batch_size=batch_size,
                              concurrency=concurrency)
+
+
+def payload_dedup(media: rd.Dataset,
+                  num_buckets: "int | None" = None) -> rd.Dataset:
+    """Exact media-payload dedup across refs: hash the binary payload
+    INSIDE the map stage (bytes never reach the driver or the shuffle —
+    only (ref, kind, hash, nbytes) rows move), then collapse each
+    content hash to its keeper = the lexicographically smallest
+    media_ref, with a copy count. The image/audio dedup step of a
+    multimodal corpus build; at 100 TB the exchange carries one small
+    row per media object, not the object.
+
+    Returns (payload_sha, kind, keeper_ref, n_copies, nbytes) —
+    n_copies counts referencing span rows (the same ref in two docs is
+    two copies)."""
+    import hashlib
+
+    from .relops import partial_aggregate
+
+    def h(t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        return pa.table({
+            "payload_sha": pa.array(
+                [hashlib.sha1(p).hexdigest() for p in payloads],
+                type=pa.string()),
+            "kind": t.column("kind"),
+            "media_ref": t.column("media_ref"),
+            "nbytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        })
+
+    hashed = media.map_batches(h, batch_format="pyarrow", batch_size=64)
+    agg = partial_aggregate(hashed, ["payload_sha", "kind"],
+                            {"keeper_ref": ("min", "media_ref"),
+                             "n_copies": ("count", None),
+                             "nbytes": ("min", "nbytes")},
+                            num_buckets=num_buckets)
+    return agg.map_batches(
+        lambda df: df.astype({"n_copies": "int64", "nbytes": "int64"}),
+        batch_format="pandas")

@@ -2386,6 +2386,52 @@ def _media_usage_oracle_sql(tier: str = "correctness") -> str:
         FROM (VALUES {vals}) AS t(kind, n_refs, n_spans, sum_chars)"""
 
 
+def _mm_payload_oracle_sql(tier: str = "correctness") -> str:
+    """Inline-VALUES oracle for q_mm_payload_dedup: an independent
+    serial pass over the SAME fixture corpus rows (including duplicate
+    doc_ids — media_table does not doc-dedup), sha1 per payload,
+    first-wins keeper per (sha, kind). Disk-cached by fixtures source
+    fingerprint + tier."""
+    import hashlib
+    import json
+    import os
+
+    fp = fixtures.source_fingerprint(fixtures)
+    cache = f"/tmp/westa_oracle_cache/{fp}_{tier}_mm_payload.json"
+    rows = None
+    if os.path.exists(cache):
+        try:
+            with open(cache) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            rows = None
+    if rows is None:
+        acc: dict = {}
+        for i in range(fixtures.TIERS[tier]):
+            d = fixtures.gen_doc_row(fixtures.DEFAULT_SEED, i)
+            for s in d["spans"]:
+                if s["kind"] in ("pdf", "image"):
+                    p = fixtures.media_store(s["media_ref"],
+                                             fixtures.DEFAULT_SEED)
+                    k = (hashlib.sha1(p).hexdigest(), s["kind"])
+                    a = acc.setdefault(k, [s["media_ref"], 0, len(p)])
+                    a[0] = min(a[0], s["media_ref"])
+                    a[1] += 1
+        rows = [[h, k, v[0], v[1], v[2]] for (h, k), v in sorted(acc.items())]
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(rows, fh)
+        os.replace(tmp, cache)
+    vals = ", ".join("('{}', '{}', '{}', {}, {})".format(*r) for r in rows)
+    return f"""
+        SELECT payload_sha, kind, keeper_ref,
+               CAST(n_copies AS BIGINT) AS n_copies,
+               CAST(nbytes AS BIGINT) AS nbytes
+        FROM (VALUES {vals})
+          AS t(payload_sha, kind, keeper_ref, n_copies, nbytes)"""
+
+
 # --------------------------------------- extract-summary value oracle
 
 def _extract_summary_oracle_sql(tier: str = "correctness") -> str:
@@ -2444,6 +2490,15 @@ def _extract_summary_oracle_sql(tier: str = "correctness") -> str:
 
 
 # ----------------------------------------------------------- multimodal
+
+def q_mm_payload_dedup(sf_dir: str) -> rd.Dataset:
+    """Exact media-payload dedup over the interleaved corpus's binary
+    column — hashes stay inside the map stage, the exchange carries
+    only (sha, kind, ref) rows. Value oracle = an independent serial
+    pass over the same fixture corpus (_mm_payload_oracle_sql)."""
+    media = multimodal.media_table(_corpus(sf_dir))
+    return multimodal.payload_dedup(media)
+
 
 def q_mm_featurize(sf_dir: str) -> rd.Dataset:
     media = multimodal.media_table(_corpus(sf_dir))
@@ -2656,6 +2711,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "cms_token_counts": q_cms_token_counts,
     "media_usage": q_media_usage,
+    "mm_payload_dedup": q_mm_payload_dedup,
     # round-3 fold #6 displaced these two (slots went to chunk_documents
     # / pii_scrub); their checksums live in combined_small_shapes
     "token_count_bpe": q_token_count_bpe,
@@ -3043,6 +3099,7 @@ ORACLE_SQL = {
     "cms_token_counts": _cms_oracle_sql(),
     "bpe_train": _bpe_train_oracle_sql("correctness"),
     "media_usage": _media_usage_oracle_sql("correctness"),
+    "mm_payload_dedup": _mm_payload_oracle_sql("correctness"),
     "extract_summary": _extract_summary_oracle_sql("correctness"),
     "pack_sequences": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
@@ -4029,4 +4086,5 @@ TIER_ORACLE_BUILDERS = {
     "extract_summary": _extract_summary_oracle_sql,
     "bpe_train": _bpe_train_oracle_sql,
     "media_usage": _media_usage_oracle_sql,
+    "mm_payload_dedup": _mm_payload_oracle_sql,
 }
