@@ -109,3 +109,29 @@ def test_payload_dedup_collapses_identical_payloads():
     assert img["nbytes"] == 3
     # same payload under a different kind stays a separate group
     assert (out["kind"] == "pdf").sum() == 1
+
+
+def test_interleaved_pack_greedy_budget():
+    import ray.data as rd
+
+    def span(kind, text, ref=""):
+        return {"kind": kind, "text": text, "media_ref": ref, "order": 0}
+
+    docs = [
+        # 10 + (16+2) = 28 <= 64 -> one sequence
+        {"doc_id": "a", "spans": [span("html", "t " * 9 + "t"),
+                                  span("image", "x y", "m/1")]},
+        # 60 + 60 > 64 -> two sequences
+        {"doc_id": "b", "spans": [span("html", " ".join(["w"] * 60)),
+                                  span("html", " ".join(["w"] * 60))]},
+        # single oversized span (100 > 64) still gets exactly one seq
+        {"doc_id": "c", "spans": [span("pdf", " ".join(["w"] * 100), "m/2")]},
+        {"doc_id": "d", "spans": []},
+    ]
+    out = (multimodal.interleaved_pack(rd.from_items(docs))
+           .to_pandas().set_index("doc_id"))
+    assert out.loc["a", "n_seqs"] == 1 and out.loc["a", "n_media"] == 1
+    assert out.loc["a", "n_text_tokens"] == 12
+    assert out.loc["b", "n_seqs"] == 2
+    assert out.loc["c", "n_seqs"] == 1 and out.loc["c", "n_media"] == 1
+    assert out.loc["d", "n_seqs"] == 0 and out.loc["d", "n_spans"] == 0

@@ -234,3 +234,63 @@ def payload_dedup(media: rd.Dataset,
     return agg.map_batches(
         lambda df: df.astype({"n_copies": "int64", "nbytes": "int64"}),
         batch_format="pandas")
+
+
+#: interleaved-sequence packing constants: per-media token surcharge
+#: (the placeholder/patch budget an MLLM spends per image) and the
+#: training-sequence token budget.
+MM_TOKENS_PER_MEDIA = 16
+MM_SEQ_BUDGET = 64
+
+
+def interleaved_pack(extracted: rd.Dataset,
+                     seq_budget: int = MM_SEQ_BUDGET,
+                     media_tokens: int = MM_TOKENS_PER_MEDIA) -> rd.Dataset:
+    """Interleaved text+media sequence packing (the MMC4 / Flamingo-
+    style layout step, public method): greedily pack each document's
+    extracted spans IN ORDER into training sequences of at most
+    ``seq_budget`` tokens, where a span costs its whitespace token
+    count plus ``media_tokens`` if it references media; a span larger
+    than the whole budget occupies its own sequence (spans are atoms —
+    an image cannot be split). Per-doc rollup out:
+    (doc_id, n_seqs, n_spans, n_media, n_text_tokens).
+
+    Order is the extraction's reading order, so this composes directly
+    with the flagship reassembly. The greedy scan is per-doc python
+    over the span list (bounded by spans/doc — single digits here,
+    tens at web scale), everything around it batch-vectorized."""
+
+    def fn(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        out = {"doc_id": [], "n_seqs": [], "n_spans": [],
+               "n_media": [], "n_text_tokens": []}
+        for doc_id, spans in zip(df["doc_id"], df["spans"]):
+            n_seqs = cur = 0
+            n_media = n_text = 0
+            for s in spans:
+                toks = len(s["text"].split()) if s["text"] else 0
+                cost = toks
+                if s["kind"] in ("pdf", "image"):
+                    cost += media_tokens
+                    n_media += 1
+                n_text += toks
+                if cur == 0 or cur + cost > seq_budget:
+                    n_seqs += 1
+                    cur = cost
+                else:
+                    cur += cost
+            out["doc_id"].append(doc_id)
+            out["n_seqs"].append(n_seqs)
+            out["n_spans"].append(len(spans))
+            out["n_media"].append(n_media)
+            out["n_text_tokens"].append(n_text)
+        return pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype=object),
+            "n_seqs": pd.Series(out["n_seqs"], dtype="int64"),
+            "n_spans": pd.Series(out["n_spans"], dtype="int64"),
+            "n_media": pd.Series(out["n_media"], dtype="int64"),
+            "n_text_tokens": pd.Series(out["n_text_tokens"], dtype="int64"),
+        })
+
+    return extracted.map_batches(fn, batch_format="pandas")

@@ -2432,6 +2432,63 @@ def _mm_payload_oracle_sql(tier: str = "correctness") -> str:
           AS t(payload_sha, kind, keeper_ref, n_copies, nbytes)"""
 
 
+def _mm_interleaved_oracle_sql(tier: str = "correctness") -> str:
+    """Inline-VALUES oracle for q_mm_interleaved_pack: the serial
+    reference extraction's span lists run through the same greedy
+    budget rule in plain python. Cached by source fingerprint + tier
+    + packing constants."""
+    import json
+    import os
+
+    from . import oracle as oracle_mod
+
+    budget = multimodal.MM_SEQ_BUDGET
+    mtok = multimodal.MM_TOKENS_PER_MEDIA
+    fp = fixtures.source_fingerprint(fixtures, extractors, oracle_mod)
+    cache = (f"/tmp/westa_oracle_cache/{fp}_{tier}_mmpack_"
+             f"{budget}_{mtok}.json")
+    rows = None
+    if os.path.exists(cache):
+        try:
+            with open(cache) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            rows = None
+    if rows is None:
+        per_doc = oracle_mod.extract_corpus(fixtures.DEFAULT_SEED,
+                                            fixtures.TIERS[tier])
+        rows = []
+        for r in per_doc:
+            n_seqs = cur = n_media = n_text = 0
+            for s in r["spans"]:
+                toks = len(s["text"].split()) if s["text"] else 0
+                cost = toks
+                if s["kind"] in ("pdf", "image"):
+                    cost += mtok
+                    n_media += 1
+                n_text += toks
+                if cur == 0 or cur + cost > budget:
+                    n_seqs += 1
+                    cur = cost
+                else:
+                    cur += cost
+            rows.append([r["doc_id"], n_seqs, len(r["spans"]), n_media,
+                         n_text])
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(rows, fh)
+        os.replace(tmp, cache)
+    vals = ", ".join("('{}', {}, {}, {}, {})".format(*r) for r in rows)
+    return f"""
+        SELECT doc_id, CAST(n_seqs AS BIGINT) AS n_seqs,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(n_media AS BIGINT) AS n_media,
+               CAST(n_text_tokens AS BIGINT) AS n_text_tokens
+        FROM (VALUES {vals})
+          AS t(doc_id, n_seqs, n_spans, n_media, n_text_tokens)"""
+
+
 # --------------------------------------- extract-summary value oracle
 
 def _extract_summary_oracle_sql(tier: str = "correctness") -> str:
@@ -2498,6 +2555,15 @@ def q_mm_payload_dedup(sf_dir: str) -> rd.Dataset:
     pass over the same fixture corpus (_mm_payload_oracle_sql)."""
     media = multimodal.media_table(_corpus(sf_dir))
     return multimodal.payload_dedup(media)
+
+
+def q_mm_interleaved_pack(sf_dir: str) -> rd.Dataset:
+    """MMC4/Flamingo-style interleaved text+media sequence packing over
+    the flagship extraction's reading-order span lists; per-doc rollup,
+    VALUES oracle from the independent serial extraction + the same
+    greedy rule (_mm_interleaved_oracle_sql)."""
+    return multimodal.interleaved_pack(
+        _extracted(sf_dir).select_columns(["doc_id", "spans"]))
 
 
 def q_mm_featurize(sf_dir: str) -> rd.Dataset:
@@ -2712,6 +2778,7 @@ QUERIES = {
     "cms_token_counts": q_cms_token_counts,
     "media_usage": q_media_usage,
     "mm_payload_dedup": q_mm_payload_dedup,
+    "mm_interleaved_pack": q_mm_interleaved_pack,
     # round-3 fold #6 displaced these two (slots went to chunk_documents
     # / pii_scrub); their checksums live in combined_small_shapes
     "token_count_bpe": q_token_count_bpe,
@@ -3100,6 +3167,7 @@ ORACLE_SQL = {
     "bpe_train": _bpe_train_oracle_sql("correctness"),
     "media_usage": _media_usage_oracle_sql("correctness"),
     "mm_payload_dedup": _mm_payload_oracle_sql("correctness"),
+    "mm_interleaved_pack": _mm_interleaved_oracle_sql("correctness"),
     "extract_summary": _extract_summary_oracle_sql("correctness"),
     "pack_sequences": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
@@ -4087,4 +4155,5 @@ TIER_ORACLE_BUILDERS = {
     "bpe_train": _bpe_train_oracle_sql,
     "media_usage": _media_usage_oracle_sql,
     "mm_payload_dedup": _mm_payload_oracle_sql,
+    "mm_interleaved_pack": _mm_interleaved_oracle_sql,
 }
