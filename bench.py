@@ -35,7 +35,10 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "training_prep",
                  # round-3 additions (new keys; earlier keys unchanged)
                  "rag_prep", "pack_stream", "dedup_incremental",
-                 "dsir_weights"]
+                 "dsir_weights",
+                 # round-3 continuation #2 additions
+                 "semantic_dedup", "quality_classifier", "bpe_train",
+                 "mm_interleaved_pack"]
 
 
 def _warm_workers(ncpu: int) -> None:

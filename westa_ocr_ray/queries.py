@@ -2702,7 +2702,10 @@ QUERIES = {
     "contamination_report": q_contamination_report,
     "embedding_centroids": embedding_centroids,
     "sim_topk": q_sim_topk,
-    "chunk_documents": q_chunk_documents,
+    # multimodal value checks (payload-exact dedup + interleaved pack;
+    # chunk_documents moved past-window — its 32/24 chunk rule stays
+    # value-checked in-window inside rag_prep's composed oracle)
+    "mm_payload_dedup": q_mm_payload_dedup,
     # relational core
     "combined_small_shapes": combined_small_shapes,
     "g1_lineitem_agg": g1_lineitem_agg,
@@ -2724,7 +2727,9 @@ QUERIES = {
     # tokens_by_lang / top_bigrams / events_daily / m9_status_filter /
     # j_native_supplier_nation / o3_topk_recent_events, whose checksums
     # moved into combined_small_shapes below)
-    "prep_funnel": q_prep_funnel,
+    # prep_funnel moved past-window — it audits the same chain
+    # training_prep value-checks below
+    "mm_interleaved_pack": q_mm_interleaved_pack,
     "token_budget_per_lang": q_token_budget_per_lang,
     "text_repetition": q_text_repetition,
     "decontaminate": q_decontaminate,
@@ -2777,8 +2782,10 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "cms_token_counts": q_cms_token_counts,
     "media_usage": q_media_usage,
-    "mm_payload_dedup": q_mm_payload_dedup,
-    "mm_interleaved_pack": q_mm_interleaved_pack,
+    # displaced by the in-window multimodal value checks: chunking is
+    # re-verified inside rag_prep, the funnel inside training_prep
+    "chunk_documents": q_chunk_documents,
+    "prep_funnel": q_prep_funnel,
     # round-3 fold #6 displaced these two (slots went to chunk_documents
     # / pii_scrub); their checksums live in combined_small_shapes
     "token_count_bpe": q_token_count_bpe,
