@@ -256,41 +256,77 @@ def interleaved_pack(extracted: rd.Dataset,
     (doc_id, n_seqs, n_spans, n_media, n_text_tokens).
 
     Order is the extraction's reading order, so this composes directly
-    with the flagship reassembly. The greedy scan is per-doc python
-    over the span list (bounded by spans/doc — single digits here,
-    tens at web scale), everything around it batch-vectorized."""
+    with the flagship reassembly. Zero-copy Arrow throughout: span
+    structs flatten with list kernels (never materialized as python
+    dicts), token counts come from utf8_split_whitespace (counting the
+    NON-EMPTY pieces — exactly python str.split()'s semantics, which
+    the oracle uses), and only the inherently-sequential greedy reset
+    scan is a python loop, over numpy scalars."""
+    import numpy as np
 
-    def fn(df) -> "pd.DataFrame":
-        import pandas as pd
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        out = {"doc_id": [], "n_seqs": [], "n_spans": [],
-               "n_media": [], "n_text_tokens": []}
-        for doc_id, spans in zip(df["doc_id"], df["spans"]):
-            n_seqs = cur = 0
-            n_media = n_text = 0
-            for s in spans:
-                toks = len(s["text"].split()) if s["text"] else 0
-                cost = toks
-                if s["kind"] in ("pdf", "image"):
-                    cost += media_tokens
-                    n_media += 1
-                n_text += toks
-                if cur == 0 or cur + cost > seq_budget:
-                    n_seqs += 1
-                    cur = cost
-                else:
-                    cur += cost
-            out["doc_id"].append(doc_id)
-            out["n_seqs"].append(n_seqs)
-            out["n_spans"].append(len(spans))
-            out["n_media"].append(n_media)
-            out["n_text_tokens"].append(n_text)
-        return pd.DataFrame({
-            "doc_id": pd.Series(out["doc_id"], dtype=object),
-            "n_seqs": pd.Series(out["n_seqs"], dtype="int64"),
-            "n_spans": pd.Series(out["n_spans"], dtype="int64"),
-            "n_media": pd.Series(out["n_media"], dtype="int64"),
-            "n_text_tokens": pd.Series(out["n_text_tokens"], dtype="int64"),
+        t = t.combine_chunks()
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        ndocs = len(t)
+        parent = pc.list_parent_indices(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(spans)
+        nsp = len(flat)
+        if nsp == 0:  # all-empty span lists infer as list<null> blocks
+            z = pa.array(np.zeros(ndocs, dtype=np.int64), type=pa.int64())
+            return pa.table({"doc_id": t.column("doc_id"), "n_seqs": z,
+                             "n_spans": z, "n_media": z,
+                             "n_text_tokens": z})
+        kinds = flat.field("kind")
+        texts = flat.field("text")
+        # python-split-equivalent token counts: arrow's whitespace
+        # split emits empty pieces at string edges; count non-empty
+        sw = pc.utf8_split_whitespace(texts)
+        pieces = pc.list_flatten(sw)
+        pparent = pc.list_parent_indices(sw).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nonempty = pc.not_equal(pieces, "").to_numpy(zero_copy_only=False)
+        toks = np.bincount(pparent[nonempty], minlength=nsp
+                           ).astype(np.int64) if nsp else np.zeros(
+                               0, dtype=np.int64)
+        media = pc.is_in(kinds, value_set=pa.array(["pdf", "image"])
+                         ).to_numpy(zero_copy_only=False)
+        cost = toks + media.astype(np.int64) * media_tokens
+
+        n_spans = np.bincount(parent, minlength=ndocs).astype(np.int64)
+        n_media = np.bincount(parent[media], minlength=ndocs
+                              ).astype(np.int64) if media.any() else \
+            np.zeros(ndocs, dtype=np.int64)
+        n_text = (np.bincount(parent, weights=toks, minlength=ndocs)
+                  .astype(np.int64))
+        # greedy budget resets — sequential by definition; one pass
+        # over the flat span arrays (spans of a doc are contiguous)
+        n_seqs = np.zeros(ndocs, dtype=np.int64)
+        cur = 0
+        prev = -1
+        cl = cost.tolist()
+        pl = parent.tolist()
+        for i in range(nsp):
+            d = pl[i]
+            if d != prev:
+                cur = 0
+                prev = d
+            c = cl[i]
+            if cur == 0 or cur + c > seq_budget:
+                n_seqs[d] += 1
+                cur = c
+            else:
+                cur += c
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_seqs": pa.array(n_seqs, type=pa.int64()),
+            "n_spans": pa.array(n_spans, type=pa.int64()),
+            "n_media": pa.array(n_media, type=pa.int64()),
+            "n_text_tokens": pa.array(n_text, type=pa.int64()),
         })
 
-    return extracted.map_batches(fn, batch_format="pandas")
+    return extracted.map_batches(fn, batch_format="pyarrow")
