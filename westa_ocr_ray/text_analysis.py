@@ -839,19 +839,21 @@ def bpe_train(ds: rd.Dataset, n_merges: int = BPE_TRAIN_MERGES,
                   ["lhs", "rhs"], {"cnt": ("sum", "cnt")},
                   num_buckets=num_buckets)
 
-        def neg(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__g"] = np.int32(0)
-            df["neg_cnt"] = -df["cnt"].to_numpy(np.int64)
-            return df
+        # global top-1 without another exchange: each (already
+        # key-disjoint) bucket emits its own best row, the driver
+        # reduces ≤ num_buckets candidates
+        def block_top(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df
+            return df.sort_values(["cnt", "lhs", "rhs"],
+                                  ascending=[False, True, True]).head(1)
 
-        from .relops import grouped_topk
-        top = (grouped_topk(pc.map_batches(neg, batch_format="pandas"),
-                            ["__g"], ["neg_cnt", "lhs", "rhs"], k=1,
-                            ascending=True, num_buckets=1)
+        top = (pc.map_batches(block_top, batch_format="pandas")
                .to_pandas())
         if not len(top):
             break
+        top = top.sort_values(["cnt", "lhs", "rhs"],
+                              ascending=[False, True, True]).head(1)
         a, b, c = top["lhs"].iloc[0], top["rhs"].iloc[0], int(top["cnt"].iloc[0])
         merges.append((a, b, c))
         out_rows.append({"rank": rank, "lhs": a, "rhs": b, "pair_count": c})
