@@ -99,3 +99,31 @@ def test_hash_embed_feeds_brute_force_topk():
                                       id_col="doc_id", vec_col="vec")
     # doc 1 shares 3 of its 4 hashed buckets with doc 0 -> nearest
     assert list(map(tuple, got.to_numpy())) == [(0, 1, 1)]
+
+
+def test_contrastive_pairs_planted():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import similarity
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((3, 16))
+    rows = []
+    # anchor 0 (label 0); 1 = near-identical same-label (the positive);
+    # 2 = same-label but farther; 3 = near-identical DIFFERENT label
+    # (the hardest negative); 4, 5 = far different-label
+    specs = [(0, 0, base[0]),
+             (1, 0, base[0] + 0.01 * rng.standard_normal(16)),
+             (2, 0, base[1]),
+             (3, 1, base[0] + 0.01 * rng.standard_normal(16)),
+             (4, 1, base[2]),
+             (5, 2, -base[0])]
+    for vid, lab, v in specs:
+        rows.append({"vec_id": vid, "label": lab, "embedding": v.tolist()})
+    out = similarity.contrastive_pairs(
+        rd.from_pandas(pd.DataFrame(rows)), anchor_ids=[0], k_neg=2)
+    got = {(r["role"], int(r["rk"])): int(r["cand_id"])
+           for _, r in out.iterrows()}
+    assert got == {("pos", 1): 1, ("neg", 1): 3, ("neg", 2): 4}

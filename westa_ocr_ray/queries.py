@@ -849,6 +849,16 @@ def embedding_centroids(sf_dir: str) -> rd.Dataset:
 QUERY_VEC_IDS = tuple(range(8))
 
 
+def q_contrastive_pairs(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative contrastive pair mining at the probe anchors:
+    per anchor, top same-label positive + top-2 different-label
+    negatives. Exact SQL oracle (per-(anchor, role) window over
+    list_cosine_similarity)."""
+    return similarity.contrastive_pairs(
+        rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        QUERY_VEC_IDS, k_neg=2)
+
+
 def q_sim_topk(sf_dir: str) -> pd.DataFrame:
     return similarity.brute_force_topk(
         rp(sf_dir, "embeddings", ["vec_id", "embedding"]), QUERY_VEC_IDS, k=5)
@@ -2782,6 +2792,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "cms_token_counts": q_cms_token_counts,
     "media_usage": q_media_usage,
+    "contrastive_pairs": q_contrastive_pairs,
     # displaced by the in-window multimodal value checks: chunking is
     # re-verified inside rag_prep, the funnel inside training_prep
     "chunk_documents": q_chunk_documents,
@@ -3939,6 +3950,24 @@ ORACLE_SQL = {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4""",
+    "contrastive_pairs": """
+        WITH a AS (
+          SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+        s AS (
+          SELECT a.vec_id AS anchor_id, e.vec_id AS cand_id,
+                 CASE WHEN e.label = a.label THEN 1 ELSE 0 END AS same,
+                 list_cosine_similarity(a.embedding, e.embedding) AS sim
+          FROM a JOIN embeddings e ON e.vec_id <> a.vec_id),
+        r AS (
+          SELECT anchor_id, cand_id, same,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id, same
+                                    ORDER BY sim DESC, cand_id) AS rk
+          FROM s)
+        SELECT anchor_id,
+               CASE WHEN same = 1 THEN 'pos' ELSE 'neg' END AS role,
+               CAST(rk AS BIGINT) AS rk, cand_id
+        FROM r WHERE (same = 1 AND rk = 1) OR (same = 0 AND rk <= 2)""",
     "semantic_dedup": """
         WITH cent AS (
           SELECT embedding AS cemb,

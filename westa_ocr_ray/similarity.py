@@ -260,3 +260,80 @@ def ann_topk_ivf(emb: rd.Dataset, query_ids: Sequence[int], k: int = 5,
     out = df[df["rank"] <= k][["query_id", "neighbor_id", "rank"]]
     out["rank"] = out["rank"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def contrastive_pairs(emb: rd.Dataset, anchor_ids: Sequence[int],
+                      k_neg: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      label_col: str = "label") -> pd.DataFrame:
+    """Contrastive training-pair mining (the hard-negative mining step
+    of embedding-model curation, public method): for each anchor, the
+    single most-similar SAME-label vector (the positive) and the
+    ``k_neg`` most-similar DIFFERENT-label vectors (the hard
+    negatives), self excluded, ties by candidate id ascending.
+
+    Same machinery as brute_force_topk — the anchor matrix (ids, vecs,
+    labels) broadcasts once per actor, every batch contributes its own
+    per-anchor per-role top-k, the driver merges blocks × anchors ×
+    (k+1) candidate rows. Exact (SQL oracle via
+    list_cosine_similarity + a per-(anchor, role) window); the at-scale
+    variant swaps the scan for the IVF/LSH candidate generation in
+    this module. Returns tall (anchor_id, role, rk, cand_id)."""
+    qids, qmat = load_queries(emb, anchor_ids, id_col, vec_col)
+    qset = set(int(q) for q in anchor_ids)
+    qlab = (emb.map_batches(
+        lambda df: df[df[id_col].isin(qset)][[id_col, label_col]],
+        batch_format="pandas").to_pandas()
+        .sort_values(id_col, ignore_index=True))[label_col].to_numpy()
+    refs = (ray.put(qids), ray.put(qmat), ray.put(qlab))
+    kmax = k_neg + 1
+
+    class Cand:
+        def __init__(self) -> None:
+            self.qids, self.qmat, self.qlab = (ray.get(r) for r in refs)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df[id_col].to_numpy()
+            labs = df[label_col].to_numpy()
+            m = _normalize(_stack(df[vec_col]))
+            sims = self.qmat @ m.T  # (nq, batch)
+            out_a, out_c, out_s, out_same = [], [], [], []
+            for qi in range(sims.shape[0]):
+                same = labs == self.qlab[qi]
+                for mask in (same, ~same):
+                    idx = np.nonzero(mask)[0]
+                    if not len(idx):
+                        continue
+                    k = min(kmax + 1, len(idx))  # +1: self may be here
+                    top = idx[np.argpartition(-sims[qi][idx], k - 1)[:k]]
+                    out_a.append(np.full(len(top), self.qids[qi],
+                                         dtype=np.int64))
+                    out_c.append(ids[top])
+                    out_s.append(sims[qi][top])
+                    out_same.append(np.full(len(top), bool(mask is same)))
+            if not out_a:
+                return pd.DataFrame({"anchor_id": pd.Series([], dtype=np.int64),
+                                     "cand_id": pd.Series([], dtype=np.int64),
+                                     "sim": pd.Series([], dtype=np.float64),
+                                     "same": pd.Series([], dtype=bool)})
+            return pd.DataFrame({
+                "anchor_id": np.concatenate(out_a),
+                "cand_id": np.concatenate(out_c).astype(np.int64),
+                "sim": np.concatenate(out_s),
+                "same": np.concatenate(out_same)})
+
+    cand = emb.map_batches(Cand, batch_format="pandas",
+                           concurrency=(1, 8), batch_size=4096)
+    df = cand.to_pandas()
+    df = df[df["anchor_id"] != df["cand_id"]]
+    df = df.sort_values(["anchor_id", "same", "sim", "cand_id"],
+                        ascending=[True, False, False, True],
+                        ignore_index=True)
+    df["rk"] = df.groupby(["anchor_id", "same"]).cumcount() + 1
+    keep = ((df["same"] & (df["rk"] == 1))
+            | (~df["same"] & (df["rk"] <= k_neg)))
+    out = df[keep].copy()
+    out["role"] = np.where(out["same"], "pos", "neg")
+    out["rk"] = out["rk"].astype(np.int64)
+    return (out[["anchor_id", "role", "rk", "cand_id"]]
+            .reset_index(drop=True))
