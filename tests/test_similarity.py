@@ -127,3 +127,39 @@ def test_contrastive_pairs_planted():
     got = {(r["role"], int(r["rk"])): int(r["cand_id"])
            for _, r in out.iterrows()}
     assert got == {("pos", 1): 1, ("neg", 1): 3, ("neg", 2): 4}
+
+
+def test_ivf_index_build_query_and_resume(tmp_path):
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import similarity
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append({"vec_id": i, "embedding":
+                     (centers[c] + 0.3 * rng.standard_normal(16)).tolist()})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    out = str(tmp_path / "ivf")
+    similarity.build_ivf_index(ds, out, n_centroids=4, rounds=2)
+    assert os.path.exists(f"{out}/_SUCCESS")
+    assert os.path.exists(f"{out}/centroids.parquet")
+
+    qids = [0, 1, 2, 3]
+    qvecs = np.stack([rows[q]["embedding"] for q in qids])
+    got = similarity.ann_topk_from_index(out, qvecs, qids, k=5, n_probe=2)
+    exact = similarity.brute_force_topk(ds, qids, k=5)
+    g = {(r["query_id"], r["neighbor_id"]) for _, r in got.iterrows()}
+    e = {(r["query_id"], r["neighbor_id"]) for _, r in exact.iterrows()}
+    assert len(g & e) / len(e) >= 0.8  # recall vs brute force
+
+    # resume: marker short-circuits a rebuild even with new data
+    mt = os.path.getmtime(f"{out}/centroids.parquet")
+    similarity.build_ivf_index(ds, out, n_centroids=4, rounds=2)
+    assert os.path.getmtime(f"{out}/centroids.parquet") == mt

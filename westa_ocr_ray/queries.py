@@ -849,6 +849,23 @@ def embedding_centroids(sf_dir: str) -> rd.Dataset:
 QUERY_VEC_IDS = tuple(range(8))
 
 
+def q_sim_ann_ivf_index(sf_dir: str) -> pd.DataFrame:
+    """ANN through a PERSISTED IVF index: build once under /tmp
+    (cell-partitioned parquet + centroid table + _SUCCESS; re-runs
+    skip the build), then answer the probe queries by reading ONLY the
+    probed cells' files. Rows-only by design (IVF recall < 1;
+    recall-gated in tests/test_similarity.py)."""
+    import os
+
+    emb = rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = dedup.md5_hex(f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}")[:12]
+    out = f"/tmp/westa_ivf_index/{key}"
+    similarity.build_ivf_index(emb, out, n_centroids=16, rounds=3)
+    qids, qmat = similarity.load_queries(emb, QUERY_VEC_IDS)
+    return similarity.ann_topk_from_index(out, qmat, qids, k=5, n_probe=4)
+
+
 def q_contrastive_pairs(sf_dir: str) -> pd.DataFrame:
     """Hard-negative contrastive pair mining at the probe anchors:
     per anchor, top same-label positive + top-2 different-label
@@ -2837,6 +2854,7 @@ QUERIES = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_ivf": q_sim_ann_ivf,
+    "sim_ann_ivf_index": q_sim_ann_ivf_index,
     "mm_featurize": q_mm_featurize,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,

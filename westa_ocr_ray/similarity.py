@@ -14,6 +14,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -337,3 +338,95 @@ def contrastive_pairs(emb: rd.Dataset, anchor_ids: Sequence[int],
     out["rk"] = out["rk"].astype(np.int64)
     return (out[["anchor_id", "role", "rk", "cand_id"]]
             .reset_index(drop=True))
+
+
+def build_ivf_index(emb: rd.Dataset, out_dir: str, n_centroids: int = 16,
+                    rounds: int = 3, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """Persist an IVF index: train coarse centroids (one streaming
+    mini-Lloyd), assign every vector, and write the corpus
+    CELL-PARTITIONED (``out_dir/cell=<c>/*.parquet``) next to a
+    centroids table, stamping ``_SUCCESS`` on completion — the
+    build-once / query-many layout ann_topk_ivf's docstring points to:
+    a probe then reads ONLY its cells' files instead of streaming the
+    whole corpus. Re-runs that find the marker skip the build
+    (same whole-export resume granularity as export_training_shards).
+    Returns out_dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    centroids = ivf_train_centroids(emb, n_centroids=n_centroids,
+                                    rounds=rounds, id_col=id_col,
+                                    vec_col=vec_col)
+    cref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        m = _normalize(_stack(df[vec_col]))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             vec_col: df[vec_col].to_numpy(),
+                             "cell": np.argmax(m @ c.T, axis=1
+                                               ).astype(np.int64)})
+
+    (emb.map_batches(assign, batch_format="pandas")
+        .write_parquet(os.path.join(out_dir, "cells"),
+                       partition_cols=["cell"]))
+    pq.write_table(
+        pa.table({"cell": pa.array(range(len(centroids)), type=pa.int64()),
+                  "centroid": pa.array([c.tolist() for c in centroids],
+                                       type=pa.list_(pa.float64()))}),
+        os.path.join(out_dir, "centroids.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir
+
+
+def ann_topk_from_index(index_dir: str, query_vecs: np.ndarray,
+                        query_ids: Sequence[int], k: int = 5,
+                        n_probe: int = 4, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> pd.DataFrame:
+    """Query a persisted IVF index: read ONLY the probed cells'
+    partitions (pushed down as a parquet partition filter — the 100 TB
+    point of the cell layout), brute-force within them. Returns
+    (query_id, neighbor_id, rank) like the other ANN surfaces."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(cent_t.column("cell").to_numpy())
+    centroids = np.stack(
+        cent_t.column("centroid").to_pandas().to_numpy()[order])
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(list(query_ids), dtype=np.int64)
+    probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    wanted = sorted(set(int(c) for c in probe.ravel()))
+
+    # explicit partition pruning: only the probed cells' files are
+    # ever listed or read
+    import glob as _glob
+    paths = [f for c in wanted for f in sorted(_glob.glob(
+        os.path.join(index_dir, "cells", f"cell={c}", "*.parquet")))]
+    cells = rd.read_parquet(paths)
+    qids_ref, qmat_ref = ray.put(qids), ray.put(qmat)
+    cand = cells.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs=dict(qids_ref=qids_ref, qmat_ref=qmat_ref,
+                                   k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pandas", concurrency=(1, 8), batch_size=4096)
+    df = cand.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "neighbor_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64)})
+    df = df[df["query_id"] != df["neighbor_id"]]
+    df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                        ascending=[True, False, True], ignore_index=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    out = df[df["rank"] <= k][["query_id", "neighbor_id", "rank"]]
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.reset_index(drop=True)
