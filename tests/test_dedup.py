@@ -449,3 +449,20 @@ def test_semantic_dedup_planted_clusters():
     kept = dict(zip(out["vec_id"], out["cluster"]))
     # 4 and 5 collapse into 1 (cluster 0); 6 collapses into 2 (cluster 1)
     assert kept == {1: 0, 2: 1, 3: 2}
+
+
+def test_upsert_compact_latest_version_wins():
+    rows = [
+        {"doc_id": 1, "text": "v0", "version": 0},
+        {"doc_id": 1, "text": "v2", "version": 2},
+        {"doc_id": 1, "text": "v1", "version": 1},
+        {"doc_id": 2, "text": "only", "version": 5},
+        {"doc_id": 3, "text": "a", "version": 0},
+        {"doc_id": 3, "text": "b", "version": 1},
+    ]
+    out = (dedup.upsert_compact(rd.from_pandas(pd.DataFrame(rows))
+                                .repartition(3), num_buckets=4)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert list(out["doc_id"]) == [1, 2, 3]
+    assert list(out["text"]) == ["v2", "only", "b"]
+    assert list(out["version"]) == [2, 5, 1]

@@ -1411,3 +1411,42 @@ def semantic_dedup(emb: rd.Dataset, n_clusters: int = 8,
     assigned = emb.map_batches(Assign, concurrency=4, batch_format="pandas")
     return assigned.groupby("cluster").map_groups(
         keep_fn, batch_format="pandas")
+
+
+def upsert_compact(snapshots: rd.Dataset, id_col: str = "doc_id",
+                   version_col: str = "version",
+                   num_buckets: Optional[int] = None) -> rd.Dataset:
+    """CDC-style corpus compaction: given a union of snapshot rows
+    (same id may appear under several versions), keep each id's
+    HIGHEST-version row — the maintenance op a mutable 100 TB corpus
+    runs between training snapshots. Two bounded steps: per-batch
+    latest-per-id partials (a batch contributes ≤ its distinct ids),
+    then a bucketed exchange on hash(id) where each bucket keeps its
+    global latest. Ties on version break by a stable within-sort
+    order, so inputs must carry distinct versions per id (the CDC
+    contract); only winner rows cross the exchange."""
+    if num_buckets is None:
+        num_buckets = auto_buckets(floor=64)
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df["__b"] = pd.Series([], dtype="int32")
+            return df
+        top = (df.sort_values([id_col, version_col],
+                              ascending=[True, False])
+               .drop_duplicates(subset=[id_col], keep="first"))
+        top = top.copy()
+        top["__b"] = (pd.util.hash_pandas_object(
+            top[id_col].astype(str), index=False).to_numpy()
+            % num_buckets).astype("int32")
+        return top
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.drop(columns="__b")
+                .sort_values([id_col, version_col],
+                             ascending=[True, False])
+                .drop_duplicates(subset=[id_col], keep="first"))
+
+    return (snapshots.map_batches(latest, batch_format="pandas")
+            .groupby("__b").map_groups(merge, batch_format="pandas"))

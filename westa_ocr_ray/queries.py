@@ -1132,6 +1132,33 @@ def q_pii_scrub(sf_dir: str) -> rd.Dataset:
         docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def q_upsert_compact(sf_dir: str) -> rd.Dataset:
+    """Latest-version-wins corpus compaction with planted updates
+    (docs with doc_id % 7 == 0 receive a v1 rewrite — the planted-dup
+    pattern of dedup_minhash_planted). Exact SQL oracle: a window over
+    the same synthesized union."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["version"] = np.int64(0)
+        return df
+
+    def updates(df: pd.DataFrame) -> pd.DataFrame:
+        up = df[df["doc_id"] % 7 == 0].copy()
+        up["text"] = up["text"] + " updated"
+        up["version"] = np.int64(1)
+        return up
+
+    union = docs.map_batches(base, batch_format="pandas").union(
+        docs.map_batches(updates, batch_format="pandas"))
+    out = dedup.upsert_compact(union)
+    return out.map_batches(
+        lambda df: df[["doc_id", "text", "version"]].astype(
+            {"version": "int64"}),
+        batch_format="pandas")
+
+
 def q_dedup_incremental(sf_dir: str) -> rd.Dataset:
     """Incremental-snapshot dedup: base corpus = docs with doc_id % 3
     == 0 (already ingested), new snapshot = the whole table — so the
@@ -2810,6 +2837,7 @@ QUERIES = {
     "cms_token_counts": q_cms_token_counts,
     "media_usage": q_media_usage,
     "contrastive_pairs": q_contrastive_pairs,
+    "upsert_compact": q_upsert_compact,
     # displaced by the in-window multimodal value checks: chunking is
     # re-verified inside rag_prep, the funnel inside training_prep
     "chunk_documents": q_chunk_documents,
@@ -3968,6 +3996,17 @@ ORACLE_SQL = {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4""",
+    "upsert_compact": """
+        WITH snap AS (
+          SELECT doc_id, text, CAST(0 AS BIGINT) AS version FROM documents
+          UNION ALL
+          SELECT doc_id, text || ' updated', CAST(1 AS BIGINT)
+          FROM documents WHERE doc_id % 7 = 0)
+        SELECT doc_id, text, version FROM (
+          SELECT doc_id, text, version,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY version DESC) AS rn
+          FROM snap) WHERE rn = 1""",
     "contrastive_pairs": """
         WITH a AS (
           SELECT vec_id, embedding, label FROM embeddings
