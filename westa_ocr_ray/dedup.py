@@ -1207,7 +1207,8 @@ def drop_contained(ds: rd.Dataset, n: int = 4, id_col: str = "doc_id",
 
 def dedup_incremental(new_ds: rd.Dataset, base_ds: rd.Dataset,
                       id_col: str = "doc_id", text_col: str = "text",
-                      num_buckets: Optional[int] = None) -> rd.Dataset:
+                      num_buckets: Optional[int] = None,
+                      checkpoint: bool = True) -> rd.Dataset:
     """Incremental-snapshot dedup — the daily-ingest shape of a living
     corpus: drop from ``new_ds`` (today's crawl) every doc whose exact
     text already exists in ``base_ds`` (everything ingested so far),
@@ -1235,6 +1236,15 @@ def dedup_incremental(new_ds: rd.Dataset, base_ds: rd.Dataset,
 
     new_signed = new_ds.map_batches(sign, batch_format="pandas")
     base_hashes = base_ds.map_batches(sign_hash_only, batch_format="pandas")
+    if checkpoint:
+        # the anti-join consumes new_signed twice (certain/uncertain
+        # split) and base_hashes twice (bloom build + exact side); a
+        # lazy Dataset re-reads and re-hashes the corpus each time —
+        # materialize the small (id, hash) projections once (same
+        # rationale as prepare_training_data's checkpoints)
+        from .relops import compact_blocks
+        new_signed = compact_blocks(new_signed.materialize())
+        base_hashes = compact_blocks(base_hashes.materialize())
     fresh = semi_anti_filter_scalable(
         new_signed, "text_hash", base_hashes, anti=True,
         num_buckets=num_buckets, cols=[id_col, "text_hash"])
