@@ -1746,6 +1746,77 @@ def _lm_doc_scores(docs: rd.Dataset) -> rd.Dataset:
                               "n_tok": ("sum", "part_n")})
 
 
+def lm_heldout_score(sf_dir: str) -> rd.Dataset:
+    """Held-out LM evaluation — the train/eval contract end-to-end:
+    unigram counts come from the TRAIN split only (the content-
+    addressed md5 coin of shards.train_val_split, so the eval set
+    stays stable as the corpus grows), and every VAL doc is scored
+    against them with add-1 smoothing (OOV tokens cost
+    ln((N+V)/1)). Same distributed shape as lm_unigram_score: the
+    count table is materialized once and hash-joined (LEFT — val
+    vocabulary includes OOV) onto the val (doc, token, tf) rows with
+    the per-doc reduce fused into the join buckets. Integer millinats;
+    exact SQL twin in ORACLE_SQL. Returns (doc_id, surprisal_mn,
+    n_tok) for val docs."""
+    from . import shards
+
+    docs = shards.train_val_split(
+        rp(sf_dir, "documents", ["doc_id", "text"]), val_frac=0.02,
+        seed=29)
+
+    def doc_tf(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        ids, toks, tfs = [], [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            c = Counter(t for t in text.split(" ") if t)
+            ids.extend([did] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        return pd.DataFrame({"doc_id": ids, "token": toks,
+                             "tf": np.array(tfs, dtype=np.int64)})
+
+    train_tf = (docs.map_batches(
+        lambda df: df[df["split"] == "train"][["doc_id", "text"]],
+        batch_format="pandas").map_batches(doc_tf, batch_format="pandas"))
+    val_tf = (docs.map_batches(
+        lambda df: df[df["split"] == "val"][["doc_id", "text"]],
+        batch_format="pandas").map_batches(doc_tf, batch_format="pandas"))
+
+    counts = partial_aggregate(train_tf, ["token"],
+                               {"cnt": ("sum", "tf")}).materialize()
+    stats = counts.map_batches(
+        lambda df: pd.DataFrame({"n": [int(df["cnt"].sum())],
+                                 "v": [len(df)]}),
+        batch_format="pandas").to_pandas()
+    nv = float(int(stats["n"].sum()) + int(stats["v"].sum()))  # N + V
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["cnt"].fillna(0).to_numpy(dtype=np.float64)
+        surprisal = np.round(1000.0 * np.log(nv / (cnt + 1.0))
+                             ).astype(np.int64)
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "part_mn": df["tf"].to_numpy(dtype=np.int64)
+                            * surprisal,
+                            "part_n": df["tf"].to_numpy(dtype=np.int64)})
+        out = out[~pd.isna(out["doc_id"])]
+        return (out.groupby("doc_id", sort=False, as_index=False)
+                .agg(part_mn=("part_mn", "sum"), part_n=("part_n", "sum"))
+                .infer_objects())
+
+    joined = hash_join(val_tf, counts, "token", "token", how="left",
+                       left_cols=["doc_id", "token", "tf"],
+                       right_cols=["token", "cnt"],
+                       bucket_fn=score_bucket)
+    agg = partial_aggregate(joined, ["doc_id"],
+                            {"surprisal_mn": ("sum", "part_mn"),
+                             "n_tok": ("sum", "part_n")})
+    return agg.map_batches(
+        lambda df: df.astype({"doc_id": "int64", "surprisal_mn": "int64",
+                              "n_tok": "int64"}),
+        batch_format="pandas")
+
+
 def lm_unigram_score(sf_dir: str) -> rd.Dataset:
     """Unigram language-model scoring — the model-scoring shape with an
     exact integer oracle (see _lm_doc_scores for the distributed
@@ -2838,6 +2909,7 @@ QUERIES = {
     "media_usage": q_media_usage,
     "contrastive_pairs": q_contrastive_pairs,
     "upsert_compact": q_upsert_compact,
+    "lm_heldout_score": lm_heldout_score,
     # displaced by the in-window multimodal value checks: chunking is
     # re-verified inside rag_prep, the funnel inside training_prep
     "chunk_documents": q_chunk_documents,
@@ -3462,6 +3534,36 @@ ORACLE_SQL = {
                                   AND CURRENT ROW) AS cum
           FROM t) WHERE cum - n_tok < 2000""",
     "mixture_sample": _mixture_sample_oracle_sql(),
+    "lm_heldout_score": f"""
+        WITH sp AS (
+          SELECT doc_id, text,
+                 CASE WHEN substr(md5('29|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)
+                           < '{format(int(0.02 * (1 << 32)), "08x")}'
+                      THEN 'val' ELSE 'train' END AS split
+          FROM documents),
+        ttf AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS token
+                FROM sp WHERE split = 'train')
+          WHERE token <> '' GROUP BY token),
+        stats AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                         CAST(COUNT(*) AS BIGINT) AS v FROM ttf),
+        vtf AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM sp WHERE split = 'val')
+          WHERE token <> '' GROUP BY doc_id, token),
+        sc AS (
+          SELECT v.doc_id,
+                 v.tf * CAST(ROUND(1000 * ln(CAST(s.n + s.v AS DOUBLE)
+                             / (COALESCE(t.cnt, 0) + 1.0))) AS BIGINT)
+                   AS part_mn,
+                 v.tf AS part_n
+          FROM vtf v LEFT JOIN ttf t USING (token), stats s)
+        SELECT doc_id, CAST(SUM(part_mn) AS BIGINT) AS surprisal_mn,
+               CAST(SUM(part_n) AS BIGINT) AS n_tok
+        FROM sc GROUP BY doc_id""",
     "train_val_split": f"""
         SELECT doc_id, lang,
                CASE WHEN substr(md5('29|' || CAST(doc_id AS VARCHAR)), 1, 8)
