@@ -74,10 +74,20 @@ def extract_doc(doc: Dict[str, object], seed: int = fixtures.DEFAULT_SEED,
     }
 
 
+#: in-process memo for default-masters extract_corpus calls — several
+#: VALUES-oracle builders (extract_summary / media_usage /
+#: mm_interleaved_pack) each replay the serial extraction at import
+#: time on a cold disk cache; one pass serves all of them. Callers
+#: treat the rows as read-only.
+_CORPUS_MEMO: Dict[tuple, List[Dict[str, object]]] = {}
+
+
 def extract_corpus(seed: int, n_docs: int,
                    masters: Optional[Sequence[str]] = None) -> List[Dict[str, object]]:
     """Expected rows for the fixture corpus, duplicate doc_ids collapsed
     first-wins, sorted by doc_id."""
+    if masters is None and (seed, n_docs) in _CORPUS_MEMO:
+        return _CORPUS_MEMO[(seed, n_docs)]
     mkeys = list(masters) if masters is not None else fixtures.master_keys(seed)
     seen = set()
     out = []
@@ -88,4 +98,6 @@ def extract_corpus(seed: int, n_docs: int,
         seen.add(doc["doc_id"])
         out.append(extract_doc(doc, seed, mkeys))
     out.sort(key=lambda r: r["doc_id"])
+    if masters is None:
+        _CORPUS_MEMO[(seed, n_docs)] = out
     return out
