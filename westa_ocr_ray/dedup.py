@@ -1460,3 +1460,40 @@ def upsert_compact(snapshots: rd.Dataset, id_col: str = "doc_id",
 
     return (snapshots.map_batches(latest, batch_format="pandas")
             .groupby("__b").map_groups(merge, batch_format="pandas"))
+
+
+def dedup_soft(ds: rd.Dataset, id_col: str = "doc_id",
+               text_col: str = "text",
+               num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Soft deduplication: instead of DROPPING exact duplicates,
+    down-weight them — every copy of a text repeated n times gets
+    sampling weight 1/n (integer milli-units, floor), so the group's
+    total mass stays ~one document (the reweight-don't-delete
+    alternative in recent dedup literature; public method). Exact SQL
+    twin in queries.ORACLE_SQL['dedup_soft'].
+
+    Shape: (id, md5(text)) projection inside the read map, bucketed
+    group count, one partitioned hash join carrying the weight back —
+    only hash rows shuffle, texts never move."""
+    from .relops import hash_join
+
+    def sign(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "h": [md5_hex(t) for t in df[text_col]]})
+
+    signed = ds.map_batches(sign, batch_format="pandas")
+    counts = partial_aggregate(signed, ["h"], {"n": ("count", None)},
+                               num_buckets=num_buckets)
+
+    def weight(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        # infer_objects: the join's tag/concat path upcasts id columns
+        # to object and the driver's value hash is type-sensitive
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "n_copies": n,
+                             "weight_mu": 1000 // n}).infer_objects()
+
+    return hash_join(signed, counts, "h", "h",
+                     left_cols=[id_col, "h"], right_cols=["h", "n"],
+                     num_buckets=num_buckets, bucket_fn=weight)

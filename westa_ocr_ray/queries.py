@@ -1132,6 +1132,12 @@ def q_pii_scrub(sf_dir: str) -> rd.Dataset:
         docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def q_dedup_soft(sf_dir: str) -> rd.Dataset:
+    """Soft dedup: exact-duplicate groups keep every copy but weighted
+    1/n (integer milli-units). Exact SQL oracle."""
+    return dedup.dedup_soft(rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_upsert_compact(sf_dir: str) -> rd.Dataset:
     """Latest-version-wins corpus compaction with planted updates
     (docs with doc_id % 7 == 0 receive a v1 rewrite — the planted-dup
@@ -2614,6 +2620,43 @@ def _mm_interleaved_oracle_sql(tier: str = "correctness") -> str:
           AS t(doc_id, n_seqs, n_spans, n_media, n_text_tokens)"""
 
 
+def _mm_transitions_oracle_sql(tier: str = "correctness") -> str:
+    """Inline-VALUES oracle for q_mm_span_transitions from the serial
+    reference extraction's adjacent-span kind pairs."""
+    import json
+    import os
+
+    from . import oracle as oracle_mod
+
+    fp = fixtures.source_fingerprint(fixtures, extractors, oracle_mod)
+    cache = f"/tmp/westa_oracle_cache/{fp}_{tier}_mm_trans.json"
+    rows = None
+    if os.path.exists(cache):
+        try:
+            with open(cache) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            rows = None
+    if rows is None:
+        per_doc = oracle_mod.extract_corpus(fixtures.DEFAULT_SEED,
+                                            fixtures.TIERS[tier])
+        acc: dict = {}
+        for r in per_doc:
+            ks = [s["kind"] for s in r["spans"]]
+            for a, b in zip(ks, ks[1:]):
+                acc[(a, b)] = acc.get((a, b), 0) + 1
+        rows = [[a, b, n] for (a, b), n in sorted(acc.items())]
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(rows, fh)
+        os.replace(tmp, cache)
+    vals = ", ".join("('{}', '{}', {})".format(*r) for r in rows)
+    return f"""
+        SELECT kind_from, kind_to, CAST(n AS BIGINT) AS n
+        FROM (VALUES {vals}) AS t(kind_from, kind_to, n)"""
+
+
 # --------------------------------------- extract-summary value oracle
 
 def _extract_summary_oracle_sql(tier: str = "correctness") -> str:
@@ -2689,6 +2732,46 @@ def q_mm_interleaved_pack(sf_dir: str) -> rd.Dataset:
     greedy rule (_mm_interleaved_oracle_sql)."""
     return multimodal.interleaved_pack(
         _extracted(sf_dir).select_columns(["doc_id", "spans"]))
+
+
+def q_mm_span_transitions(sf_dir: str) -> rd.Dataset:
+    """Interleaving-structure audit: corpus-wide counts of
+    (kind_from → kind_to) transitions between ADJACENT spans in each
+    document's reading order — the layout statistic an interleaved
+    text+media training mix is tuned against. Arrow list kernels +
+    one tiny bucketed aggregate; VALUES oracle from the serial
+    extraction (_mm_transitions_oracle_sql)."""
+    res = _extracted(sf_dir).select_columns(["spans"])
+
+    def trans(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        t = t.combine_chunks()
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        if len(flat) == 0:
+            return pd.DataFrame({"kind_from": pd.Series([], dtype=object),
+                                 "kind_to": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        parent = pc.list_parent_indices(spans).to_numpy(
+            zero_copy_only=False)
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        adj = parent[:-1] == parent[1:]
+        a, b = kinds[:-1][adj], kinds[1:][adj]
+        if not len(a):
+            return pd.DataFrame({"kind_from": pd.Series([], dtype=object),
+                                 "kind_to": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        pairs = pd.DataFrame({"kind_from": a, "kind_to": b})
+        g = pairs.groupby(["kind_from", "kind_to"], sort=False,
+                          as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    return partial_aggregate(
+        res.map_batches(trans, batch_format="pyarrow"),
+        ["kind_from", "kind_to"], {"n": ("sum", "n")})
 
 
 def q_mm_featurize(sf_dir: str) -> rd.Dataset:
@@ -2910,6 +2993,8 @@ QUERIES = {
     "contrastive_pairs": q_contrastive_pairs,
     "upsert_compact": q_upsert_compact,
     "lm_heldout_score": lm_heldout_score,
+    "dedup_soft": q_dedup_soft,
+    "mm_span_transitions": q_mm_span_transitions,
     # displaced by the in-window multimodal value checks: chunking is
     # re-verified inside rag_prep, the funnel inside training_prep
     "chunk_documents": q_chunk_documents,
@@ -3304,6 +3389,7 @@ ORACLE_SQL = {
     "media_usage": _media_usage_oracle_sql("correctness"),
     "mm_payload_dedup": _mm_payload_oracle_sql("correctness"),
     "mm_interleaved_pack": _mm_interleaved_oracle_sql("correctness"),
+    "mm_span_transitions": _mm_transitions_oracle_sql("correctness"),
     "extract_summary": _extract_summary_oracle_sql("correctness"),
     "pack_sequences": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
@@ -4098,6 +4184,12 @@ ORACLE_SQL = {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4""",
+    "dedup_soft": """
+        WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY h)
+        SELECT doc_id, n AS n_copies,
+               CAST(1000 // n AS BIGINT) AS weight_mu
+        FROM h JOIN c USING (h)""",
     "upsert_compact": """
         WITH snap AS (
           SELECT doc_id, text, CAST(0 AS BIGINT) AS version FROM documents
@@ -4351,4 +4443,5 @@ TIER_ORACLE_BUILDERS = {
     "media_usage": _media_usage_oracle_sql,
     "mm_payload_dedup": _mm_payload_oracle_sql,
     "mm_interleaved_pack": _mm_interleaved_oracle_sql,
+    "mm_span_transitions": _mm_transitions_oracle_sql,
 }
