@@ -625,6 +625,25 @@ def events_sessionize(sf_dir: str) -> rd.Dataset:
     return _bucketed_by_user(ev, fn)
 
 
+def events_window_dedup(sf_dir: str) -> rd.Dataset:
+    """Debounce dedup over the event stream: drop an event when the
+    SAME (user, event_type) fired within the previous 60 s — the
+    time-windowed idempotency the reference's exactly-once receive
+    (J3) generalizes to under at-least-once delivery. Lag-based rule
+    (gap to the previous occurrence, kept or not), so it is exactly
+    the SQL LAG window; per-user ordered-log buckets do the work."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    WINDOW_US = 60 * 10**6
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        prev = df.groupby(["user_id", "event_type"])["ts"].shift()
+        gap = df["ts"].astype("int64") - prev.astype("int64")
+        keep = prev.isna() | (gap > WINDOW_US)
+        return pd.DataFrame({"event_id": df["event_id"][keep]})
+
+    return _bucketed_by_user(ev, fn)
+
+
 def topk_orders_per_customer(sf_dir: str) -> rd.Dataset:
     """Top-2 orders per customer by price — grouped top-k via bucketed
     sort + head (no global sort)."""
@@ -2995,6 +3014,7 @@ QUERIES = {
     "lm_heldout_score": lm_heldout_score,
     "dedup_soft": q_dedup_soft,
     "mm_span_transitions": q_mm_span_transitions,
+    "events_window_dedup": events_window_dedup,
     # displaced by the in-window multimodal value checks: chunking is
     # re-verified inside rag_prep, the funnel inside training_prep
     "chunk_documents": q_chunk_documents,
@@ -4184,6 +4204,14 @@ ORACLE_SQL = {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4""",
+    "events_window_dedup": """
+        SELECT event_id FROM (
+          SELECT event_id,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap
+          FROM events)
+        WHERE gap IS NULL OR gap > 60000000""",
     "dedup_soft": """
         WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY h)
