@@ -2400,13 +2400,24 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
         return checksum(zscore_by_lang(sf_dir), ["doc_id", "z_milli"],
                         "zs")
 
+    # round-3 fold #15: shared-chunk pair table — its slot went to
+    # mm_prep (the composed multimodal end-to-end)
+    def t_shc() -> List[tuple]:
+        sc = q_dedup_shared_chunks(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"chk": df["doc_a"].to_numpy(dtype=np.int64) * 31
+                 + df["doc_b"].to_numpy(dtype=np.int64) * 7
+                 + df["n_shared_chunks"].to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        return checksum(sc, ["chk"], "shc")
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
              t_regexfw, t_priocode, t_mask, t_propsjson,
              t_shpairs, t_toklang, t_bigrams, t_daily,
              t_m9, t_jnat, t_o3, t_bpe, t_strat, t_asof, t_median,
              t_range, t_sess, t_m1, t_tpd, t_pack, t_shard, t_ngram,
-             t_fprint, t_zs]
+             t_fprint, t_zs, t_shc]
     with ThreadPoolExecutor(max_workers=6) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
@@ -2676,6 +2687,68 @@ def _mm_transitions_oracle_sql(tier: str = "correctness") -> str:
         FROM (VALUES {vals}) AS t(kind_from, kind_to, n)"""
 
 
+def _mm_prep_oracle_sql(tier: str = "correctness") -> str:
+    """Composed inline-VALUES oracle for q_mm_prep: serial reference
+    extraction → the same greedy packing rule → the same md5 shard
+    rule → per-shard rollup."""
+    import json
+    import os
+
+    from . import oracle as oracle_mod
+
+    budget = multimodal.MM_SEQ_BUDGET
+    mtok = multimodal.MM_TOKENS_PER_MEDIA
+    fp = fixtures.source_fingerprint(fixtures, extractors, oracle_mod)
+    cache = (f"/tmp/westa_oracle_cache/{fp}_{tier}_mmprep_"
+             f"{budget}_{mtok}.json")
+    rows = None
+    if os.path.exists(cache):
+        try:
+            with open(cache) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            rows = None
+    if rows is None:
+        per_doc = oracle_mod.extract_corpus(fixtures.DEFAULT_SEED,
+                                            fixtures.TIERS[tier])
+        acc: dict = {}
+        for r in per_doc:
+            n_seqs = cur = n_media = n_text = 0
+            for s in r["spans"]:
+                toks = len(s["text"].split()) if s["text"] else 0
+                cost = toks
+                if s["kind"] in ("pdf", "image"):
+                    cost += mtok
+                    n_media += 1
+                n_text += toks
+                if cur == 0 or cur + cost > budget:
+                    n_seqs += 1
+                    cur = cost
+                else:
+                    cur += cost
+            sh = int(dedup.md5_hex(str(r["doc_id"]))[:8], 16) % 16
+            a = acc.setdefault(sh, [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += n_seqs
+            a[2] += n_media
+            a[3] += n_text
+        rows = [[sh] + v for sh, v in sorted(acc.items())]
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(rows, fh)
+        os.replace(tmp, cache)
+    vals = ", ".join("({}, {}, {}, {}, {})".format(*r) for r in rows)
+    return f"""
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_seqs AS BIGINT) AS n_seqs,
+               CAST(n_media AS BIGINT) AS n_media,
+               CAST(n_text_tokens AS BIGINT) AS n_text_tokens
+        FROM (VALUES {vals})
+          AS t(shard, n_docs, n_seqs, n_media, n_text_tokens)"""
+
+
 # --------------------------------------- extract-summary value oracle
 
 def _extract_summary_oracle_sql(tier: str = "correctness") -> str:
@@ -2791,6 +2864,31 @@ def q_mm_span_transitions(sf_dir: str) -> rd.Dataset:
     return partial_aggregate(
         res.map_batches(trans, batch_format="pyarrow"),
         ["kind_from", "kind_to"], {"n": ("sum", "n")})
+
+
+def q_mm_prep(sf_dir: str) -> rd.Dataset:
+    """END-TO-END multimodal training-data prep as one query — the
+    interleaved counterpart of training_prep / rag_prep: flagship
+    extraction (reading-order spans) → MMC4-style greedy sequence
+    packing (per-doc rollup) → deterministic md5 sharding → 16-row
+    per-shard manifest (docs, sequences, media spans, text tokens).
+    Composed VALUES oracle runs the serial reference extraction
+    through the same packing + shard rules (_mm_prep_oracle_sql)."""
+    from . import shards
+
+    packed = multimodal.interleaved_pack(
+        _extracted(sf_dir).select_columns(["doc_id", "spans"]))
+    assigned = shards.shard_assign(packed, num_shards=16)
+    agg = partial_aggregate(
+        assigned.select_columns(
+            ["shard", "n_seqs", "n_media", "n_text_tokens"]),
+        ["shard"],
+        {"n_docs": ("count", None), "n_seqs": ("sum", "n_seqs"),
+         "n_media": ("sum", "n_media"),
+         "n_text_tokens": ("sum", "n_text_tokens")})
+    return agg.map_batches(
+        lambda df: df.astype({c: "int64" for c in df.columns}),
+        batch_format="pandas")
 
 
 def q_mm_featurize(sf_dir: str) -> rd.Dataset:
@@ -2913,7 +3011,11 @@ QUERIES = {
     "dedup_contained": q_dedup_contained,
     "dedup_passage": q_dedup_passage,
     "semantic_dedup": q_semantic_dedup,
-    "dedup_shared_chunks": q_dedup_shared_chunks,
+    # mm_prep = the composed multimodal end-to-end (extraction →
+    # interleaved packing → shard manifest); dedup_shared_chunks moved
+    # past-window via fold #15 (dedup_passage and dedup_contained keep
+    # the substring-dedup family in-window)
+    "mm_prep": q_mm_prep,
     "dedup_embedding": q_dedup_embedding,
     "clean_corpus": q_clean_corpus,
     # text / similarity (oracle-bearing)
@@ -3015,6 +3117,9 @@ QUERIES = {
     "dedup_soft": q_dedup_soft,
     "mm_span_transitions": q_mm_span_transitions,
     "events_window_dedup": events_window_dedup,
+    # round-3 fold #15 displaced this one (slot went to mm_prep);
+    # checksum lives in combined_small_shapes
+    "dedup_shared_chunks": q_dedup_shared_chunks,
     # displaced by the in-window multimodal value checks: chunking is
     # re-verified inside rag_prep, the funnel inside training_prep
     "chunk_documents": q_chunk_documents,
@@ -3410,6 +3515,7 @@ ORACLE_SQL = {
     "mm_payload_dedup": _mm_payload_oracle_sql("correctness"),
     "mm_interleaved_pack": _mm_interleaved_oracle_sql("correctness"),
     "mm_span_transitions": _mm_transitions_oracle_sql("correctness"),
+    "mm_prep": _mm_prep_oracle_sql("correctness"),
     "extract_summary": _extract_summary_oracle_sql("correctness"),
     "pack_sequences": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
@@ -3846,7 +3952,20 @@ ORACLE_SQL = {
                  CAST(CASE WHEN m.var > 0
                       THEN FLOOR(1000 * (s.n - m.mean) / sqrt(m.var))
                       ELSE 0 END AS BIGINT) AS z_milli
-          FROM zsized s JOIN zm m USING (lang))
+          FROM zsized s JOIN zm m USING (lang)),
+        shc_c AS (
+          SELECT doc_id, md5(array_to_string(toks[10*i+1:10*i+10], ' '))
+                   AS ch
+          FROM (SELECT doc_id, toks,
+                       unnest(range(0, len(toks) // 10)) AS i
+                FROM t)),
+        shc_d AS (SELECT DISTINCT doc_id, ch FROM shc_c),
+        shc_p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM shc_d a JOIN shc_d b
+            ON a.ch = b.ch AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
         SELECT 'count_orders' AS metric, '' AS k, COUNT(*) AS v FROM orders
         UNION ALL
         SELECT 'event_type', event_type, CAST(1 AS BIGINT)
@@ -4159,7 +4278,14 @@ ORACLE_SQL = {
                CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM zsc
         UNION ALL
         SELECT 'zs_sum_z_milli', '',
-               CAST(COALESCE(SUM(z_milli), 0) AS BIGINT) FROM zsc""",
+               CAST(COALESCE(SUM(z_milli), 0) AS BIGINT) FROM zsc
+        UNION ALL
+        SELECT 'shc_count', '', COUNT(*) FROM shc_p
+        UNION ALL
+        SELECT 'shc_sum_chk', '',
+               CAST(COALESCE(SUM(doc_a * 31 + doc_b * 7 + n), 0)
+                    AS BIGINT)
+        FROM shc_p""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,
@@ -4472,4 +4598,5 @@ TIER_ORACLE_BUILDERS = {
     "mm_payload_dedup": _mm_payload_oracle_sql,
     "mm_interleaved_pack": _mm_interleaved_oracle_sql,
     "mm_span_transitions": _mm_transitions_oracle_sql,
+    "mm_prep": _mm_prep_oracle_sql,
 }
