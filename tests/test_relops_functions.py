@@ -268,3 +268,38 @@ def test_exact_order_statistic_matches_sort():
         relops.exact_order_statistic(ds, "v", 0)
     with pytest.raises(ValueError):
         relops.exact_order_statistic(ds, "v", 4001)
+
+
+def test_pagerank_int_matches_serial_iteration():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import graph
+
+    # two triangles bridged by one edge (undirected, pass each once)
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    edges = pd.DataFrame(pairs, columns=["src", "dst"])
+    got = (graph.pagerank_int(rd.from_pandas(edges), n_iter=3,
+                              num_buckets=4)
+           .to_pandas().sort_values("node", ignore_index=True))
+
+    # independent serial integer iteration
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    rank = {v: 1000 for v in adj}
+    for _ in range(3):
+        s = {v: 0 for v in adj}
+        for u, nbrs in adj.items():
+            c = rank[u] // len(nbrs)
+            for v in nbrs:
+                s[v] += c
+        rank = {v: 150 + (85 * sv) // 100 for v, sv in s.items()}
+    exp = pd.DataFrame(sorted(rank.items()), columns=["node", "rank_mu"])
+    assert list(got["node"]) == list(exp["node"])
+    assert list(got["rank_mu"]) == list(exp["rank_mu"])
+    # bridge endpoints (3, 4) carry the most rank
+    top2 = set(got.nlargest(2, "rank_mu")["node"])
+    assert top2 == {3, 4}

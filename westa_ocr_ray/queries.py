@@ -794,6 +794,26 @@ def q_dedup_shared_chunks(sf_dir: str) -> rd.Dataset:
                                     size_hint_bytes=_doc_size_hint(sf_dir))
 
 
+def q_pagerank_dups(sf_dir: str) -> rd.Dataset:
+    """Integer-milli PageRank over the shared-chunk duplication graph —
+    'which documents sit at the center of a copy cluster', the graph
+    statistic boilerplate/template triage ranks by. Exact: all-integer
+    iteration replayed by a generated K-level SQL CTE chain."""
+    from . import graph
+
+    pairs = dedup.shared_chunk_pairs(
+        rp(sf_dir, "documents", ["doc_id", "text"]),
+        size_hint_bytes=_doc_size_hint(sf_dir))
+    # bucket count sized to the DERIVED pair graph (tiny — pairs of
+    # near-dup docs), not the corpus the pairs came from
+    ranks = graph.pagerank_int(pairs, n_iter=3,
+                               src_col="doc_a", dst_col="doc_b",
+                               num_buckets=8)
+    return ranks.map_batches(
+        lambda df: df.astype({"node": "int64", "rank_mu": "int64"}),
+        batch_format="pandas")
+
+
 def q_dedup_passage(sf_dir: str) -> rd.Dataset:
     """Duplicate-passage REMOVAL with doc reassembly (Lee et al.
     ExactSubstr / CCNet shared-line stripping): passages shared by >=2
@@ -2687,6 +2707,45 @@ def _mm_transitions_oracle_sql(tier: str = "correctness") -> str:
         FROM (VALUES {vals}) AS t(kind_from, kind_to, n)"""
 
 
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """Generated K-level CTE chain replaying graph.pagerank_int's
+    all-integer iteration exactly (floor-division contributions, the
+    85/100 damping ops) over the shared-chunk pair graph."""
+    levels = []
+    for i in range(1, n_iter + 1):
+        levels.append(f"""r{i} AS (
+          SELECT ed.dst AS node,
+                 150 + (85 * SUM(r{i - 1}.rank_mu // ed.deg)) // 100
+                   AS rank_mu
+          FROM ed JOIN r{i - 1} ON r{i - 1}.node = ed.src
+          GROUP BY ed.dst)""")
+    lv = ",\n        ".join(levels)
+    return f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        c AS (
+          SELECT doc_id, md5(array_to_string(toks[10*i+1:10*i+10], ' '))
+                   AS ch
+          FROM (SELECT doc_id, toks,
+                       unnest(range(0, len(toks) // 10)) AS i
+                FROM t)),
+        d AS (SELECT DISTINCT doc_id, ch FROM c),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM d a JOIN d b ON a.ch = b.ch AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM p),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM e GROUP BY src),
+        ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+        r0 AS (SELECT src AS node, CAST(1000 AS BIGINT) AS rank_mu
+               FROM deg),
+        {lv}
+        SELECT node, CAST(rank_mu AS BIGINT) AS rank_mu FROM r{n_iter}"""
+
+
 def _mm_prep_oracle_sql(tier: str = "correctness") -> str:
     """Composed inline-VALUES oracle for q_mm_prep: serial reference
     extraction → the same greedy packing rule → the same md5 shard
@@ -3117,6 +3176,7 @@ QUERIES = {
     "dedup_soft": q_dedup_soft,
     "mm_span_transitions": q_mm_span_transitions,
     "events_window_dedup": events_window_dedup,
+    "pagerank_dups": q_pagerank_dups,
     # round-3 fold #15 displaced this one (slot went to mm_prep);
     # checksum lives in combined_small_shapes
     "dedup_shared_chunks": q_dedup_shared_chunks,
@@ -3516,6 +3576,7 @@ ORACLE_SQL = {
     "mm_interleaved_pack": _mm_interleaved_oracle_sql("correctness"),
     "mm_span_transitions": _mm_transitions_oracle_sql("correctness"),
     "mm_prep": _mm_prep_oracle_sql("correctness"),
+    "pagerank_dups": _pagerank_oracle_sql(3),
     "extract_summary": _extract_summary_oracle_sql("correctness"),
     "pack_sequences": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
