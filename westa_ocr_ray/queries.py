@@ -1135,6 +1135,18 @@ def q_bpe_train(sf_dir: str) -> pd.DataFrame:
     return text_analysis.bpe_train(rp(sf_dir, "documents", ["text"]))
 
 
+def q_bpe_encode(sf_dir: str) -> rd.Dataset:
+    """Tokenizer application: encode the corpus with the merge table
+    the distributed trainer produces (train once → encode everywhere).
+    VALUES oracle = the serial trainer + serial apply
+    (_bpe_encode_oracle_sql); trainer/serial equivalence is separately
+    test- and oracle-gated by bpe_train."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    mt = text_analysis.bpe_train(rp(sf_dir, "documents", ["text"]))
+    merges = list(zip(mt["lhs"], mt["rhs"]))
+    return text_analysis.bpe_encode(docs, merges)
+
+
 def q_token_count_bpe(sf_dir: str) -> rd.Dataset:
     return text_analysis.token_count_table(rp(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1313,6 +1325,26 @@ def q_decontaminate(sf_dir: str) -> rd.Dataset:
                                 cols=["doc_id", "text", "n_chars"])
     return clean.map_batches(lambda df: df[["doc_id", "n_chars"]],
                              batch_format="pandas")
+
+
+def q_export_jsonl(sf_dir: str) -> rd.Dataset:
+    """JSONL delivery sink exercised under the driver: export the
+    documents table as 16 md5 shards of JSONL under /tmp (marker-
+    resumed, keyed by the input's stat) and return the (shard, n_rows)
+    manifest — which the SQL oracle recomputes from the same shard
+    rule, proving the sink wrote everything exactly once."""
+    import os
+
+    from . import storage
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = dedup.md5_hex(f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}")[:12]
+    out = f"/tmp/westa_jsonl/{key}"
+    m = storage.export_jsonl_shards(
+        rp(sf_dir, "documents", ["doc_id", "text"]), out, num_shards=16)
+    return m.map_batches(
+        lambda df: df[["shard", "n_rows"]].astype("int64"),
+        batch_format="pandas")
 
 
 def q_shard_stats(sf_dir: str) -> rd.Dataset:
@@ -2707,6 +2739,61 @@ def _mm_transitions_oracle_sql(tier: str = "correctness") -> str:
         FROM (VALUES {vals}) AS t(kind_from, kind_to, n)"""
 
 
+def _bpe_encode_oracle_sql(tier: str = "correctness") -> str:
+    """Inline-VALUES oracle for q_bpe_encode: the serial BPE trainer's
+    merges applied per doc by the same greedy rule, independently of
+    the distributed path. Cached alongside the bpe_train oracle."""
+    import json
+    import os
+
+    sf = {"smoke": "sf0.001", "correctness": "sf0.01",
+          "bench": "sf0.1"}[tier]
+    path = f"/root/testdata/{sf}/documents.parquet"
+    st = os.stat(path)
+    key = dedup.md5_hex(
+        f"bpeenc1|{path}|{st.st_size}|{st.st_mtime_ns}|"
+        f"{text_analysis.BPE_TRAIN_MERGES}")[:16]
+    cache = f"/tmp/westa_oracle_cache/bpeenc_{key}.json"
+    rows = None
+    if os.path.exists(cache):
+        try:
+            with open(cache) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            rows = None
+    if rows is None:
+        import pyarrow.parquet as pq
+        t = pq.read_table(path, columns=["doc_id", "text"])
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_pylist()
+        merges = [(a, b) for a, b, _c in text_analysis.bpe_train_serial(
+            texts, text_analysis.BPE_TRAIN_MERGES)]
+        seg_cache: dict = {}
+
+        def seg_len(w: str) -> int:
+            n = seg_cache.get(w)
+            if n is None:
+                n = len(text_analysis.apply_bpe_merges(w, merges))
+                seg_cache[w] = n
+            return n
+
+        rows = []
+        for did, text in zip(ids, texts):
+            ws = [w for w in text.split(" ") if w]
+            rows.append([did, len(ws), sum(seg_len(w) for w in ws)])
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(rows, fh)
+        os.replace(tmp, cache)
+    vals = ", ".join(f"({d}, {w}, {b})" for d, w, b in rows)
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens
+        FROM (VALUES {vals}) AS t(doc_id, n_words, n_bpe_tokens)"""
+
+
 def _pagerank_oracle_sql(n_iter: int = 3) -> str:
     """Generated K-level CTE chain replaying graph.pagerank_int's
     all-integer iteration exactly (floor-division contributions, the
@@ -3177,6 +3264,8 @@ QUERIES = {
     "mm_span_transitions": q_mm_span_transitions,
     "events_window_dedup": events_window_dedup,
     "pagerank_dups": q_pagerank_dups,
+    "bpe_encode": q_bpe_encode,
+    "export_jsonl": q_export_jsonl,
     # round-3 fold #15 displaced this one (slot went to mm_prep);
     # checksum lives in combined_small_shapes
     "dedup_shared_chunks": q_dedup_shared_chunks,
@@ -3571,6 +3660,7 @@ ORACLE_SQL = {
     "quality_classifier": _quality_classifier_oracle_sql(),
     "cms_token_counts": _cms_oracle_sql(),
     "bpe_train": _bpe_train_oracle_sql("correctness"),
+    "bpe_encode": _bpe_encode_oracle_sql("correctness"),
     "media_usage": _media_usage_oracle_sql("correctness"),
     "mm_payload_dedup": _mm_payload_oracle_sql("correctness"),
     "mm_interleaved_pack": _mm_interleaved_oracle_sql("correctness"),
@@ -4399,6 +4489,11 @@ ORACLE_SQL = {
                      ORDER BY ts, event_id) AS gap
           FROM events)
         WHERE gap IS NULL OR gap > 60000000""",
+    "export_jsonl": """
+        SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                     1, 8)) AS UBIGINT) % 16 AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM documents GROUP BY 1""",
     "dedup_soft": """
         WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY h)
@@ -4655,6 +4750,7 @@ ORACLE_SQL = {
 TIER_ORACLE_BUILDERS = {
     "extract_summary": _extract_summary_oracle_sql,
     "bpe_train": _bpe_train_oracle_sql,
+    "bpe_encode": _bpe_encode_oracle_sql,
     "media_usage": _media_usage_oracle_sql,
     "mm_payload_dedup": _mm_payload_oracle_sql,
     "mm_interleaved_pack": _mm_interleaved_oracle_sql,

@@ -163,3 +163,58 @@ def write_partitioned(ds: rd.Dataset, path: str, by: list) -> None:
     shape the brief mandates: a failed run re-lists directories and
     skips finished partitions; never one giant file."""
     ds.write_parquet(path, partition_cols=list(by))
+
+
+def export_jsonl_shards(ds: rd.Dataset, out_dir: str,
+                        num_shards: int = 16,
+                        id_col: str = "doc_id") -> "rd.Dataset":
+    """JSONL delivery export — the interchange format LM training
+    stacks actually consume: deterministic md5 sharding (the same rule
+    as the parquet shard export, so the two layouts agree doc-for-doc)
+    into ``shard=<k>`` hive directories. Ray's JSON sink has no
+    partition_cols, so each shard GROUP writes its own file from
+    inside the task (the foreach-partition sink shape — rows stream
+    through workers, never the driver) and emits one manifest row;
+    a ``_SUCCESS`` marker gives whole-export resume. Round-trips
+    through read_jsonl_as_documents. Returns the (shard, n_rows, path)
+    manifest Dataset (already written when this returns)."""
+    import json
+    import os
+    import uuid
+
+    import pandas as pd
+
+    from .shards import shard_assign
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        shard = int(df["shard"].iloc[0])
+        d = os.path.join(out_dir, f"shard={shard}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"part-{uuid.uuid4().hex[:12]}.jsonl")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for rec in df.drop(columns="shard").to_dict("records"):
+                f.write(json.dumps(rec) + "\n")
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": [shard], "n_rows": [len(df)],
+                             "path": [path]})
+
+    if os.path.exists(marker):
+        import glob as _glob
+        rows = []
+        for d in sorted(_glob.glob(os.path.join(out_dir, "shard=*"))):
+            for p in sorted(_glob.glob(os.path.join(d, "*.jsonl"))):
+                rows.append({"shard": int(d.rsplit("=", 1)[1]),
+                             "n_rows": sum(1 for _ in open(p)),
+                             "path": p})
+        return rd.from_pandas(pd.DataFrame(rows))
+
+    manifest = (shard_assign(ds, num_shards, id_col)
+                .groupby("shard")
+                .map_groups(write_shard, batch_format="pandas")
+                .materialize())
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return manifest

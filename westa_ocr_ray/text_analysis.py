@@ -885,3 +885,53 @@ def bpe_train_serial(texts, n_merges: int = BPE_TRAIN_MERGES) -> list:
         for w, s in segs.items():
             segs[w] = apply_bpe_merges(s, [(a, b)])
     return merges
+
+
+def bpe_encode(ds: rd.Dataset, merges, id_col: str = "doc_id",
+               text_col: str = "text") -> rd.Dataset:
+    """Apply a trained BPE merge table to the corpus — the tokenizer-
+    APPLICATION step that closes the bpe_train loop (train once,
+    encode everywhere). The merge list is tiny and broadcast once per
+    actor; each batch segments its UNIQUE words once (per-actor word →
+    length cache persists across batches, the realistic tokenizer-
+    serving shape) and docs get vectorized sums. Returns
+    (id, n_words, n_bpe_tokens)."""
+    import ray
+
+    mref = ray.put([(a, b) for a, b in merges])
+
+    class Enc:
+        def __init__(self) -> None:
+            self.merges = ray.get(mref)
+            self.cache: dict = {}
+
+        def seg_len(self, w: str) -> int:
+            n = self.cache.get(w)
+            if n is None:
+                n = len(apply_bpe_merges(w, self.merges))
+                self.cache[w] = n
+            return n
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            nr = len(df)
+            n_words = np.zeros(nr, dtype=np.int64)
+            n_bpe = np.zeros(nr, dtype=np.int64)
+            if nr:
+                toks = df[text_col].str.split(" ")
+                lens = toks.map(len).to_numpy(dtype=np.int64)
+                if lens.sum():
+                    flat = np.concatenate(
+                        [np.asarray(t, dtype=object) for t in toks])
+                    rows = np.repeat(np.arange(nr, dtype=np.int64), lens)
+                    m = flat != ""
+                    flat, rows = flat[m], rows[m]
+                    uniq, inv = np.unique(flat, return_inverse=True)
+                    ulen = np.fromiter((self.seg_len(w) for w in uniq),
+                                       dtype=np.int64, count=len(uniq))
+                    np.add.at(n_bpe, rows, ulen[inv])
+                    np.add.at(n_words, rows, 1)
+            return pd.DataFrame({id_col: df[id_col],
+                                 "n_words": n_words,
+                                 "n_bpe_tokens": n_bpe})
+
+    return ds.map_batches(Enc, concurrency=4, batch_format="pandas")
