@@ -38,7 +38,7 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "dsir_weights",
                  # round-3 continuation #2 additions
                  "semantic_dedup", "quality_classifier", "bpe_train",
-                 "mm_interleaved_pack"]
+                 "mm_interleaved_pack", "mm_prep"]
 
 
 def _warm_workers(ncpu: int) -> None:

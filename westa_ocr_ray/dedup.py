@@ -1353,7 +1353,8 @@ def self_overlap(ds: rd.Dataset, n: int = 4, id_col: str = "doc_id",
 
 def semantic_dedup(emb: rd.Dataset, n_clusters: int = 8,
                    threshold: float = 0.4, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> rd.Dataset:
+                   vec_col: str = "embedding",
+                   max_cluster: int = 100_000) -> rd.Dataset:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then drop near-duplicates WITHIN each cluster —
     the pairwise work is bounded by the cluster population instead of
@@ -1408,6 +1409,14 @@ def semantic_dedup(emb: rd.Dataset, n_clusters: int = 8,
                                  "cluster": cl})
 
     def keep_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > max_cluster:
+            # explicit, never silent: one worker's pairwise budget is
+            # the stated bound — scale n_clusters up (paper: ~sqrt(n))
+            # or sub-block the cluster with embedding_near_dup_lsh
+            raise ValueError(
+                f"semantic_dedup cluster of {len(df)} rows exceeds "
+                f"max_cluster={max_cluster}; raise n_clusters or route "
+                "oversized clusters through embedding_near_dup_lsh")
         order = np.argsort(df[id_col].to_numpy(), kind="stable")
         ids = df[id_col].to_numpy()[order]
         m = np.stack(df[vec_col].to_numpy()[order]).astype(np.float64)
