@@ -466,3 +466,23 @@ def test_upsert_compact_latest_version_wins():
     assert list(out["doc_id"]) == [1, 2, 3]
     assert list(out["text"]) == ["v2", "only", "b"]
     assert list(out["version"]) == [2, 5, 1]
+
+
+def test_dedup_incremental_fuzzy_drops_near_copies_of_base():
+    base_rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 2, "text": "completely different base content about engines"},
+    ]
+    new_rows = [
+        # near-copy of base doc 1 (one token changed)
+        {"doc_id": 10, "text": "the quick brown fox jumps over the lazy cat today"},
+        # genuinely new
+        {"doc_id": 11, "text": "unrelated fresh document with novel words entirely"},
+        # exact copy of base doc 2
+        {"doc_id": 12, "text": "completely different base content about engines"},
+    ]
+    kept = dedup.dedup_incremental_fuzzy(
+        rd.from_pandas(pd.DataFrame(new_rows)),
+        rd.from_pandas(pd.DataFrame(base_rows)),
+        jaccard_threshold=0.5).to_pandas()
+    assert sorted(kept["doc_id"]) == [11]

@@ -1506,3 +1506,60 @@ def dedup_soft(ds: rd.Dataset, id_col: str = "doc_id",
     return hash_join(signed, counts, "h", "h",
                      left_cols=[id_col, "h"], right_cols=["h", "n"],
                      num_buckets=num_buckets, bucket_fn=weight)
+
+
+def dedup_incremental_fuzzy(new_ds: rd.Dataset, base_ds: rd.Dataset,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            jaccard_threshold: float = 0.8,
+                            num_perm: int = 64, bands: int = 16,
+                            shingle: int = 3,
+                            num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Fuzzy incremental dedup — the NEAR-duplicate companion of
+    dedup_incremental: drop from today's snapshot every doc whose
+    Jaccard against ANY already-ingested doc clears the threshold.
+    Both sides run through the same MinHash+LSH+verify machinery with
+    a side tag folded into the id (string namespace), pairs that stay
+    within one side are discarded, and the cross-side hits anti-join
+    the new snapshot. Documented-approximate (LSH recall < 1, like
+    dedup_minhash); precision exact (every drop is Jaccard-verified).
+    Base texts participate in signatures/joins but the base itself is
+    never rewritten. Returns the kept new docs (id, text)."""
+    from .relops import semi_anti_filter_scalable
+
+    def tag(prefix: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                id_col: prefix + df[id_col].astype(str),
+                text_col: df[text_col].to_numpy()})
+        return fn
+
+    union = (new_ds.map_batches(tag("n|"), batch_format="pandas")
+             .union(base_ds.map_batches(tag("b|"), batch_format="pandas")))
+    pairs = minhash_lsh_pairs(union, id_col=id_col, text_col=text_col,
+                              num_perm=num_perm, bands=bands,
+                              shingle=shingle,
+                              jaccard_threshold=jaccard_threshold)
+
+    def cross_new_ids(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].astype(str)
+        b = df["doc_b"].astype(str)
+        an, bn = a.str.startswith("n|"), b.str.startswith("n|")
+        cross = an ^ bn
+        hit = a.where(an, b)[cross].str[2:]
+        return pd.DataFrame({"__hit": hit.to_numpy()})
+
+    hits = pairs.map_batches(cross_new_ids, batch_format="pandas")
+
+    def key_str(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__k"] = df[id_col].astype(str)
+        return df
+
+    keyed = new_ds.map_batches(key_str, batch_format="pandas")
+    kept = semi_anti_filter_scalable(keyed, "__k", hits, anti=True,
+                                     key_col="__hit",
+                                     num_buckets=num_buckets,
+                                     cols=[id_col, text_col, "__k"])
+    return kept.map_batches(lambda df: df.drop(columns="__k"),
+                            batch_format="pandas")

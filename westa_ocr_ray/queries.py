@@ -1216,6 +1216,18 @@ def q_upsert_compact(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def q_dedup_incremental_fuzzy(sf_dir: str) -> rd.Dataset:
+    """Fuzzy incremental dedup (near-dup new-vs-base; rows-only by
+    design — LSH recall < 1, precision Jaccard-verified; planted-copy
+    behavior gated in tests/test_dedup.py). Base = docs with
+    doc_id % 3 == 0, new = the whole table."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    base = docs.map_batches(lambda df: df[df["doc_id"] % 3 == 0],
+                            batch_format="pandas")
+    return dedup.dedup_incremental_fuzzy(docs, base,
+                                         jaccard_threshold=0.8)
+
+
 def q_dedup_incremental(sf_dir: str) -> rd.Dataset:
     """Incremental-snapshot dedup: base corpus = docs with doc_id % 3
     == 0 (already ingested), new snapshot = the whole table — so the
@@ -3307,6 +3319,7 @@ QUERIES = {
     "pack_greedy": q_pack_greedy,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_keep": q_dedup_minhash_keep,
+    "dedup_incremental_fuzzy": q_dedup_incremental_fuzzy,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "clean_corpus_fuzzy": q_clean_corpus_fuzzy,
     "approx_distinct_users": approx_distinct_users,
