@@ -1549,7 +1549,11 @@ def dedup_incremental_fuzzy(new_ds: rd.Dataset, base_ds: rd.Dataset,
         hit = a.where(an, b)[cross].str[2:]
         return pd.DataFrame({"__hit": hit.to_numpy()})
 
-    hits = pairs.map_batches(cross_new_ids, batch_format="pandas")
+    # the anti-join consumes the hit set twice (bloom build + exact
+    # side); lazily that would re-run the ENTIRE LSH+verify pipeline —
+    # materialize the small hit-id table once
+    hits = pairs.map_batches(cross_new_ids,
+                             batch_format="pandas").materialize()
 
     def key_str(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

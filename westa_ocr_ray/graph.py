@@ -42,9 +42,11 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 3,
             "dst": np.concatenate([df[dst_col].to_numpy(),
                                    df[src_col].to_numpy()])})
 
-    e = edges.map_batches(sym, batch_format="pandas")
+    # symmetrized edges feed BOTH the degree aggregate and the edge
+    # join; materialize once so the upstream pair derivation runs once
+    e = edges.map_batches(sym, batch_format="pandas").materialize()
     deg = partial_aggregate(e, ["src"], {"deg": ("count", None)},
-                            num_buckets=num_buckets)
+                            num_buckets=num_buckets).materialize()
     # (src, dst, deg(src)) — static across iterations, materialize once
     ed = hash_join(e, deg, "src", "src",
                    left_cols=["src", "dst"], right_cols=["src", "deg"],

@@ -1856,21 +1856,27 @@ def lm_heldout_score(sf_dir: str) -> rd.Dataset:
     def doc_tf(df: pd.DataFrame) -> pd.DataFrame:
         from collections import Counter
 
-        ids, toks, tfs = [], [], []
-        for did, text in zip(df["doc_id"], df["text"]):
+        ids, toks, tfs, spl = [], [], [], []
+        for did, text, sp in zip(df["doc_id"], df["text"], df["split"]):
             c = Counter(t for t in text.split(" ") if t)
             ids.extend([did] * len(c))
             toks.extend(c.keys())
             tfs.extend(c.values())
+            spl.extend([sp] * len(c))
         return pd.DataFrame({"doc_id": ids, "token": toks,
-                             "tf": np.array(tfs, dtype=np.int64)})
+                             "tf": np.array(tfs, dtype=np.int64),
+                             "split": spl})
 
-    train_tf = (docs.map_batches(
-        lambda df: df[df["split"] == "train"][["doc_id", "text"]],
-        batch_format="pandas").map_batches(doc_tf, batch_format="pandas"))
-    val_tf = (docs.map_batches(
-        lambda df: df[df["split"] == "val"][["doc_id", "text"]],
-        batch_format="pandas").map_batches(doc_tf, batch_format="pandas"))
+    # ONE tokenization pass over the corpus, split tag carried through;
+    # materialized because both the train-count aggregate and the val
+    # scoring join consume it (lazy reuse = two corpus reads)
+    tf_all = docs.map_batches(doc_tf, batch_format="pandas").materialize()
+    train_tf = tf_all.map_batches(
+        lambda df: df[df["split"] == "train"][["doc_id", "token", "tf"]],
+        batch_format="pandas")
+    val_tf = tf_all.map_batches(
+        lambda df: df[df["split"] == "val"][["doc_id", "token", "tf"]],
+        batch_format="pandas")
 
     counts = partial_aggregate(train_tf, ["token"],
                                {"cnt": ("sum", "tf")}).materialize()

@@ -280,12 +280,16 @@ def contrastive_pairs(emb: rd.Dataset, anchor_ids: Sequence[int],
     list_cosine_similarity + a per-(anchor, role) window); the at-scale
     variant swaps the scan for the IVF/LSH candidate generation in
     this module. Returns tall (anchor_id, role, rk, cand_id)."""
-    qids, qmat = load_queries(emb, anchor_ids, id_col, vec_col)
+    # ONE streaming scan pulls the anchors' ids+vectors+labels together
+    # (two separate pulls would read the corpus twice)
     qset = set(int(q) for q in anchor_ids)
-    qlab = (emb.map_batches(
-        lambda df: df[df[id_col].isin(qset)][[id_col, label_col]],
+    qdf = (emb.map_batches(
+        lambda df: df[df[id_col].isin(qset)][[id_col, vec_col, label_col]],
         batch_format="pandas").to_pandas()
-        .sort_values(id_col, ignore_index=True))[label_col].to_numpy()
+        .sort_values(id_col, ignore_index=True))
+    qids = qdf[id_col].to_numpy()
+    qmat = _normalize(_stack(qdf[vec_col]))
+    qlab = qdf[label_col].to_numpy()
     refs = (ray.put(qids), ray.put(qmat), ray.put(qlab))
     kmax = k_neg + 1
 
