@@ -106,3 +106,40 @@ def test_extract_actor_crash_end_to_end(tmp_path):
         want = [(s["kind"], s["text"], s["media_ref"], s["order"])
                 for s in exp["spans"]]
         assert got == want
+
+
+def test_quality_classifier_actor_death_oracle_identical(tmp_path):
+    """An actor death upstream of the model-scoring stage: the killed
+    batch is retried and flows through the live classifier pool, and
+    the scores match a clean run exactly — the scoring stage inherits
+    the same exactly-once guarantee the extract actors are chaos-tested
+    for. The flaky shim takes num_cpus=0 so its pool fits NEXT TO the
+    4-actor classifier pool in the 4-CPU test session (two pipelined
+    actor pools that both demand whole CPUs would deadlock here — the
+    sizing rule 'concurrency × num_cpus per stage must co-fit' from
+    SCALE.md, demonstrated at test scale)."""
+    from westa_ocr_ray import text_analysis
+
+    rows = [{"doc_id": i, "text": f"alpha beta w{i} gamma delta"}
+            for i in range(800)]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(8).materialize()
+    clean = (text_analysis.quality_classifier(ds, concurrency=2)
+             .to_pandas().sort_values("doc_id", ignore_index=True))
+
+    marker = str(tmp_path / "qc_crashed")
+
+    class FlakyOnce:
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if not os.path.exists(marker):
+                with open(marker, "w"):
+                    pass
+                os._exit(1)
+            return b
+
+    flaky = ds.map_batches(FlakyOnce, batch_format="pandas",
+                           batch_size=128, concurrency=(1, 1), num_cpus=0,
+                           max_restarts=4, max_task_retries=4)
+    crashed = (text_analysis.quality_classifier(flaky, concurrency=2)
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert os.path.exists(marker)
+    pd.testing.assert_frame_equal(clean, crashed)

@@ -303,3 +303,37 @@ def test_pagerank_int_matches_serial_iteration():
     # bridge endpoints (3, 4) carry the most rank
     top2 = set(got.nlargest(2, "rank_mu")["node"])
     assert top2 == {3, 4}
+
+
+def test_grouped_quantile_thresholds_match_sort():
+    """Grouped two-pass order statistic == per-group sorted-rank value,
+    for several quantiles, bin widths and block layouts."""
+    import numpy as np
+
+    from westa_ocr_ray.relops import (grouped_percentile_filter,
+                                      grouped_quantile_thresholds)
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "fr", "de"], size=2000,
+                           p=[0.7, 0.2, 0.1]),  # skewed group sizes
+        "v": rng.randint(0, 5000, size=2000).astype(np.int64),
+    })
+
+    for q_num, q_den in ((1, 4), (1, 2), (9, 10)):
+        for bw in (1, 64, 1000):
+            ds = rd.from_pandas(df).repartition(7)
+            thr = grouped_quantile_thresholds(ds, "lang", "v", q_num,
+                                              q_den, bin_width=bw)
+            for g, sub in df.groupby("lang"):
+                k = (len(sub) * q_num + q_den - 1) // q_den
+                exp = int(np.sort(sub["v"].to_numpy())[k - 1])
+                assert thr[g] == exp, (q_num, q_den, bw, g)
+
+    kept = (grouped_percentile_filter(rd.from_pandas(df).repartition(5),
+                                      "lang", "v", 1, 4).to_pandas())
+    for g, sub in df.groupby("lang"):
+        k = (len(sub) + 3) // 4
+        t = int(np.sort(sub["v"].to_numpy())[k - 1])
+        exp_ids = set(sub[sub["v"] >= t].index)
+        assert len(kept[kept["lang"] == g]) == len(exp_ids)

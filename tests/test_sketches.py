@@ -117,3 +117,69 @@ def test_count_min_premerge_identical_to_flat():
     g2 = sketches.count_min_build(ds, "v", width=256, depth=3,
                                   premerge_buckets=64)
     assert np.array_equal(g1, g2)
+
+
+def test_heavy_hitters_exact_matches_truth_any_layout():
+    """heavy_hitters_exact output is the EXACT set {v: cnt(v)*k > n}
+    with exact counts, independent of block layout (the MG candidate
+    sweep only picks who gets counted; the exact filter decides)."""
+    from westa_ocr_ray.sketches import heavy_hitters_exact
+
+    rng = np.random.RandomState(3)
+    # zipf-ish: a few heavy values on a uniform tail
+    vals = np.concatenate([
+        np.repeat(["hh_a", "hh_b", "hh_c"], [900, 700, 500]),
+        np.array([f"t{i}" for i in rng.randint(0, 2000, size=3000)]),
+    ])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"token": vals})
+    n = len(df)
+    truth = df["token"].value_counts()
+    k = 20
+    expect = {t: int(c) for t, c in truth.items() if c * k > n}
+
+    outs = []
+    for parts in (1, 7, 32):
+        out = heavy_hitters_exact(rd.from_pandas(df).repartition(parts),
+                                  "token", k=k)
+        got = dict(zip(out["token"], out["cnt"].astype(int)))
+        assert got == expect, (parts, got, expect)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_heavy_hitters_exact_empty_when_uniform():
+    from westa_ocr_ray.sketches import heavy_hitters_exact
+
+    df = pd.DataFrame({"token": [f"u{i}" for i in range(5000)]})
+    out = heavy_hitters_exact(rd.from_pandas(df).repartition(8), "token",
+                              k=50)
+    assert len(out) == 0
+
+
+def test_hll_register_table_matches_serial_md5():
+    """Distributed md5-parity registers == a serial single-process
+    build, under any partitioning (register max is order-free)."""
+    import hashlib
+
+    from westa_ocr_ray.sketches import _md5_hll_parts, hll_register_table
+
+    p = 12
+    df = pd.DataFrame({"user_id": np.arange(3000) % 777})
+    idx, rho = _md5_hll_parts(df["user_id"].astype(str).to_numpy(), p)
+    serial = np.zeros(1 << p, dtype=np.int32)
+    np.maximum.at(serial, idx, rho)
+
+    for parts in (1, 16):
+        out = hll_register_table(rd.from_pandas(df).repartition(parts),
+                                 "user_id", p=p)
+        assert (out["register"].to_numpy() == serial).all()
+        assert (out["idx"].to_numpy() == np.arange(1 << p)).all()
+
+    # the md5 hash definition itself: first 8 digest bytes, big-endian
+    h = int.from_bytes(hashlib.md5(b"42").digest()[:8], "big")
+    i1, r1 = _md5_hll_parts(np.array(["42"], dtype=object), p)
+    assert i1[0] == h >> 52
+    tail = h & ((1 << 52) - 1)
+    assert r1[0] == (53 if tail == 0 else 53 - tail.bit_length())

@@ -116,6 +116,39 @@ def test_pack_sequences_greedy_budget_respected():
     assert ((tot["sum"] <= 30) | (tot["count"] == 1)).all()
 
 
+def test_pack_sequences_greedy_md5_bucket_matches_python_oracle():
+    """The SQL-parity bucket variant: bucket = md5('pg|'||id) % buckets,
+    identical greedy fold — layout-independent and equal to a python
+    replay (the recursive-CTE oracle in queries.ORACLE_SQL replays the
+    same rule in DuckDB)."""
+    import hashlib
+
+    import numpy as np
+
+    rows = [{"doc_id": i, "text": " ".join(["w"] * (5 + 7 * (i % 4)))}
+            for i in range(40)]
+    out = (text_analysis.pack_sequences_greedy(
+        _ds(rows).repartition(6), budget=30, buckets=4, bucket_hash="md5")
+        .to_pandas())
+    df = pd.DataFrame(rows)
+    df["n"] = df["text"].str.split(" ").map(len)
+    df["bucket"] = df["doc_id"].map(
+        lambda i: int.from_bytes(
+            hashlib.md5(f"pg|{i}".encode()).digest()[:8], "big") % 4)
+    assert (out.sort_values("doc_id")["bucket"].to_numpy()
+            == df.sort_values("doc_id")["bucket"].to_numpy()).all()
+    for b, g in df.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        cur, filled, exp = 0, 0, {}
+        for did, n in zip(g["doc_id"], g["n"]):
+            if filled and filled + n > 30:
+                cur, filled = cur + 1, 0
+            exp[did] = cur
+            filled += n
+        sub = out[out["bucket"] == b].set_index("doc_id")["pack_idx"]
+        assert {k: int(v) for k, v in sub.items()} == exp
+
+
 def test_repetition_stats_matches_python_oracle():
     rows = [{"doc_id": 1, "text": "a b a b a b a b"},      # heavy bigram rep
             {"doc_id": 2, "text": "w x y z q r s t u v n o"},  # all distinct

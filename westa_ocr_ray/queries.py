@@ -28,6 +28,7 @@ Beyond the reference: dedup_* incl. planted-oracle minhash, SQL-exact
 
 from __future__ import annotations
 
+import hashlib
 import re
 import threading
 from typing import List, Optional
@@ -425,11 +426,55 @@ def heavy_hitter_tokens(sf_dir: str) -> pd.DataFrame:
 
 def approx_distinct_users(sf_dir: str) -> pa.Table:
     """HLL approximate distinct user count (sketches.py) — approximate,
-    so no SQL oracle; tests assert the error bound vs exact."""
+    so no SQL oracle; tests assert the error bound vs exact. The
+    driver-visible VALUE check of the same machinery is
+    hll_user_registers below (md5-parity registers, exact SQL)."""
     from .sketches import approx_distinct
 
     n = approx_distinct(rp(sf_dir, "events", ["user_id"]), "user_id", p=12)
     return pa.table({"n_distinct_users_est": pa.array([n], type=pa.int64())})
+
+
+HHX_K = 100  # exact-heavy-hitter threshold: tokens with freq > n/100
+
+
+def heavy_hitters_exact_tokens(sf_dir: str) -> pd.DataFrame:
+    """EXACT heavy hitters with exact counts (sketch-then-verify: the
+    Misra-Gries candidate sweep, then an exact count of the ≤k-1
+    broadcast candidates — sketches.heavy_hitters_exact). Unlike
+    heavy_hitter_tokens the output is partition-independent and carries
+    a full SQL oracle (GROUP BY HAVING cnt*k > n)."""
+    from . import sketches
+
+    docs = rp(sf_dir, "documents", ["text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.assign(token=df["text"].str.split(" "))[["token"]]
+        return out.explode("token", ignore_index=True).dropna()
+
+    toks = docs.map_batches(explode, batch_format="pandas")
+    return sketches.heavy_hitters_exact(toks, "token", k=HHX_K)
+
+
+def length_percentile_filter(sf_dir: str) -> rd.Dataset:
+    """Per-language exact-quantile cutoff: drop each language's shortest
+    quartile (keep n_chars >= the lang's exact P25 value) — the grouped
+    two-bounded-pass order statistic (relops.grouped_percentile_filter),
+    no global sort, nothing group-sized on a worker."""
+    from .relops import grouped_percentile_filter
+
+    docs = rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return grouped_percentile_filter(docs, "lang", "n_chars", 1, 4)
+
+
+def hll_user_registers(sf_dir: str) -> pd.DataFrame:
+    """The HLL register table over events.user_id, md5-parity variant —
+    every register value-checked bit-for-bit by DuckDB (the exact twin
+    of approx_distinct_users' estimate; sketches.hll_register_table)."""
+    from .sketches import hll_register_table
+
+    return hll_register_table(rp(sf_dir, "events", ["user_id"]),
+                              "user_id", p=12)
 
 
 def range_join_balance_band(sf_dir: str) -> rd.Dataset:
@@ -1283,11 +1328,14 @@ def q_pack_sequences(sf_dir: str) -> rd.Dataset:
 
 
 def q_pack_greedy(sf_dir: str) -> rd.Dataset:
-    """Cross-doc greedy token-budget packing (rows-only: the greedy fold
-    is inherently sequential per bucket and not SQL-expressible; the
-    python oracle lives in tests/test_text_analysis.py)."""
+    """Cross-doc greedy token-budget packing, md5-bucketed so the whole
+    sequential fold has an EXACT SQL oracle: DuckDB replays the greedy
+    scan with a recursive CTE stepping one doc per bucket per level
+    (buckets pinned at 32 — the bucket count changes the packing, so it
+    can't auto-size here; the library default still auto-sizes)."""
     return text_analysis.pack_sequences_greedy(
-        rp(sf_dir, "documents", ["doc_id", "text"]), budget=256)
+        rp(sf_dir, "documents", ["doc_id", "text"]), budget=256,
+        buckets=32, bucket_hash="md5")
 
 
 def q_semi_anti_bloom(sf_dir: str) -> rd.Dataset:
@@ -2151,7 +2199,7 @@ def parse_detail_rows(sf_dir: str) -> rd.Dataset:
 # ------------------------------------------- combined trivial-shape check
 
 def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
-    """Twenty-two trivial/redundant operator shapes re-verified as ONE
+    """Trivial/redundant operator shapes (39 folds) re-verified as ONE
     query inside the driver's ~50-query correctness window (VERDICT r2
     #5: the individually-registered versions sit past the window by
     design; this tall (metric, k, v) checksum table keeps each SHAPE
@@ -2481,14 +2529,51 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
             batch_format="pandas")
         return checksum(sc, ["chk"], "shc")
 
+    # round-4 fold #16: exact two-pass heavy hitters (the registered
+    # twin heavy_hitters_exact sits past the window)
+    def t_hhx() -> List[tuple]:
+        hh = heavy_hitters_exact_tokens(sf_dir)  # ≤ HHX_K-1 driver rows
+        chk = int(sum(
+            int(hashlib.md5(f"{t}|{c}".encode("utf-8")).hexdigest()[:8], 16)
+            for t, c in zip(hh["token"], hh["cnt"])))
+        return [("hhx_n", "", len(hh)), ("hhx_sum_chk", "", chk)]
+
+    # round-4 fold #17: md5-parity HLL register table (registered twin
+    # hll_user_registers past the window)
+    def t_hllr() -> List[tuple]:
+        rg = hll_user_registers(sf_dir)  # 4096 driver rows by design
+        ixr = rg["idx"].to_numpy(dtype=np.int64)
+        rv = rg["register"].to_numpy(dtype=np.int64)
+        return [("hllr_sum_reg", "", int(rv.sum())),
+                ("hllr_sum_ixr", "", int((ixr * rv).sum())),
+                ("hllr_nonzero", "", int((rv > 0).sum()))]
+
+    # round-4 fold #18: md5-bucketed greedy packer (registered twin
+    # pack_greedy past the window; its oracle is the recursive CTE)
+    def t_pg() -> List[tuple]:
+        pg = q_pack_greedy(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"chk": df["bucket"].to_numpy(dtype=np.int64) * 1_000_003
+                 + df["doc_id"].to_numpy(dtype=np.int64) * 31
+                 + df["pack_idx"].to_numpy(dtype=np.int64) * 7
+                 + df["n_tokens"].to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        return checksum(pg, ["chk"], "pg")
+
+    # round-4 fold #19: per-lang exact quantile cutoff (registered twin
+    # length_percentile_filter past the window)
+    def t_pf() -> List[tuple]:
+        return checksum(length_percentile_filter(sf_dir),
+                        ["doc_id", "n_chars"], "pf")
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
              t_regexfw, t_priocode, t_mask, t_propsjson,
              t_shpairs, t_toklang, t_bigrams, t_daily,
              t_m9, t_jnat, t_o3, t_bpe, t_strat, t_asof, t_median,
              t_range, t_sess, t_m1, t_tpd, t_pack, t_shard, t_ngram,
-             t_fprint, t_zs, t_shc]
-    with ThreadPoolExecutor(max_workers=6) as ex:
+             t_fprint, t_zs, t_shc, t_hhx, t_hllr, t_pg, t_pf]
+    with ThreadPoolExecutor(max_workers=8) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
     return pd.DataFrame({"metric": [r[0] for r in rows],
@@ -3287,6 +3372,15 @@ QUERIES = {
     # round-3 fold #15 displaced this one (slot went to mm_prep);
     # checksum lives in combined_small_shapes
     "dedup_shared_chunks": q_dedup_shared_chunks,
+    # round-4 sketch-family exact twins (past-window; checksums live in
+    # combined_small_shapes folds #16/#17/#18): exact two-pass heavy
+    # hitters, md5-parity HLL registers, and the md5-bucketed greedy
+    # packer with its recursive-CTE oracle
+    "heavy_hitters_exact": heavy_hitters_exact_tokens,
+    "hll_user_registers": hll_user_registers,
+    "pack_greedy": q_pack_greedy,
+    # round-4: grouped exact order statistic (fold #19 in-window)
+    "length_percentile_filter": length_percentile_filter,
     # displaced by the in-window multimodal value checks: chunking is
     # re-verified inside rag_prep, the funnel inside training_prep
     "chunk_documents": q_chunk_documents,
@@ -3321,8 +3415,8 @@ QUERIES = {
     "extract_then_clean": q_extract_then_clean,
     # documented-approximate / stub (rows-only by design): LSH recall<1
     # (dedup_minhash* at threshold<1, clean_corpus_fuzzy, sim_ann_lsh),
-    # sketches (approx_distinct_users), codec stubs
-    "pack_greedy": q_pack_greedy,
+    # sketches (approx_distinct_users — its exact twin is
+    # hll_user_registers above), codec stubs
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_keep": q_dedup_minhash_keep,
     "dedup_incremental_fuzzy": q_dedup_incremental_fuzzy,
@@ -4061,7 +4155,57 @@ ORACLE_SQL = {
                CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
         FROM f GROUP BY 1""",
     "combined_small_shapes": f"""
-        WITH {_SIMHASH_CORE_SQL},
+        WITH RECURSIVE {_SIMHASH_CORE_SQL},
+        hx_tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+        hx_n AS (SELECT COUNT(*) AS c FROM hx_tok),
+        hx_hh AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM hx_tok GROUP BY token
+                  HAVING COUNT(*) * {HHX_K} > (SELECT c FROM hx_n)),
+        hll_h AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                               1, 16)) AS UBIGINT) AS hv FROM events),
+        hll_r AS (SELECT CAST(hv >> 52 AS INTEGER) AS idx,
+                         hv & ((CAST(1 AS UBIGINT) << 52) - 1) AS tail
+                  FROM hll_h),
+        hll_mx AS (SELECT idx,
+                          MAX(CASE WHEN tail = 0 THEN 53
+                                   ELSE CAST(53 - length(bin(tail))
+                                             AS INTEGER) END) AS reg
+                   FROM hll_r GROUP BY idx),
+        pg_nt AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(CAST(('0x' || substr(md5('pg|' ||
+                      CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 32
+                   AS INTEGER) AS bucket
+          FROM documents),
+        pg_rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                                               ORDER BY doc_id) AS r
+                  FROM pg_nt),
+        pg_s AS (
+          SELECT bucket, r, doc_id, n_tokens,
+                 0 AS pack_idx, n_tokens AS filled
+          FROM pg_rn WHERE r = 1
+          UNION ALL
+          SELECT pg_rn.bucket, pg_rn.r, pg_rn.doc_id, pg_rn.n_tokens,
+                 CASE WHEN pg_s.filled + pg_rn.n_tokens > 256
+                      THEN pg_s.pack_idx + 1 ELSE pg_s.pack_idx END,
+                 CASE WHEN pg_s.filled + pg_rn.n_tokens > 256
+                      THEN pg_rn.n_tokens
+                      ELSE pg_s.filled + pg_rn.n_tokens END
+          FROM pg_s JOIN pg_rn ON pg_rn.bucket = pg_s.bucket
+                              AND pg_rn.r = pg_s.r + 1),
+        pf_cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        pf_rk AS (SELECT lang, n_chars, doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                                            ORDER BY n_chars, doc_id) AS rn
+                  FROM documents),
+        pf_thr AS (SELECT pf_rk.lang, pf_rk.n_chars AS t
+                   FROM pf_rk JOIN pf_cnt USING (lang)
+                   WHERE pf_rk.rn = (pf_cnt.n + 3) // 4),
+        pf_kept AS (SELECT d.doc_id, d.lang, d.n_chars
+                    FROM documents d JOIN pf_thr ON d.lang = pf_thr.lang
+                    WHERE d.n_chars >= pf_thr.t),
         shp AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
@@ -4455,7 +4599,107 @@ ORACLE_SQL = {
         SELECT 'shc_sum_chk', '',
                CAST(COALESCE(SUM(doc_a * 31 + doc_b * 7 + n), 0)
                     AS BIGINT)
-        FROM shc_p""",
+        FROM shc_p
+        UNION ALL
+        SELECT 'hhx_n', '', COUNT(*) FROM hx_hh
+        UNION ALL
+        SELECT 'hhx_sum_chk', '',
+               CAST(COALESCE(SUM(CAST(('0x' || substr(md5(token || '|' ||
+                    CAST(cnt AS VARCHAR)), 1, 8)) AS UBIGINT)), 0)
+                    AS BIGINT)
+        FROM hx_hh
+        UNION ALL
+        SELECT 'hllr_sum_reg', '',
+               CAST(COALESCE(SUM(reg), 0) AS BIGINT) FROM hll_mx
+        UNION ALL
+        SELECT 'hllr_sum_ixr', '',
+               CAST(COALESCE(SUM(idx * reg), 0) AS BIGINT) FROM hll_mx
+        UNION ALL
+        SELECT 'hllr_nonzero', '', COUNT(*) FROM hll_mx
+        UNION ALL
+        SELECT 'pg_count', '', COUNT(*) FROM pg_s
+        UNION ALL
+        SELECT 'pg_sum_chk', '',
+               CAST(SUM(bucket * 1000003 + doc_id * 31 + pack_idx * 7
+                        + n_tokens) AS BIGINT)
+        FROM pg_s
+        UNION ALL
+        SELECT 'pf_count', '', COUNT(*) FROM pf_kept
+        UNION ALL
+        SELECT 'pf_sum_doc_id', '',
+               CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM pf_kept
+        UNION ALL
+        SELECT 'pf_sum_n_chars', '',
+               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM pf_kept""",
+    # exact two-pass heavy hitters: the MG candidate sweep only
+    # determines WHICH values get exact-counted; the final filter is
+    # the pure frequency rule, so the oracle is a plain GROUP BY HAVING
+    "heavy_hitters_exact": f"""
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        n AS (SELECT COUNT(*) AS c FROM tok)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY token
+        HAVING COUNT(*) * {HHX_K} > (SELECT c FROM n)""",
+    # md5-parity HLL registers: idx = top 12 bits of the first 8 md5
+    # bytes, rho = 1 + leading zeros of the remaining 52 (bin() gives
+    # the exact bit length — no float log2), zeros included via the
+    # LEFT JOIN against range(4096)
+    "hll_user_registers": """
+        WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                1, 16)) AS UBIGINT) AS hv FROM events),
+        r AS (SELECT CAST(hv >> 52 AS INTEGER) AS idx,
+                     hv & ((CAST(1 AS UBIGINT) << 52) - 1) AS tail FROM h),
+        mx AS (SELECT idx,
+                      MAX(CASE WHEN tail = 0 THEN 53
+                               ELSE CAST(53 - length(bin(tail)) AS INTEGER)
+                          END) AS reg
+               FROM r GROUP BY idx)
+        SELECT CAST(g.range AS INTEGER) AS idx,
+               CAST(COALESCE(mx.reg, 0) AS INTEGER) AS register
+        FROM range(0, 4096) g LEFT JOIN mx ON g.range = mx.idx""",
+    # per-group exact quantile: the threshold is the VALUE at ascending
+    # rank ceil(n/4) within the group, so any tie-break order gives the
+    # same threshold; engine keeps value >= threshold
+    "length_percentile_filter": """
+        WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        rk AS (SELECT lang, n_chars,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY n_chars, doc_id) AS rn
+               FROM documents),
+        thr AS (SELECT rk.lang, rk.n_chars AS t
+                FROM rk JOIN cnt USING (lang)
+                WHERE rk.rn = (cnt.n + 3) // 4)
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN thr ON d.lang = thr.lang
+        WHERE d.n_chars >= thr.t""",
+    # greedy packing fold replayed exactly: one recursive-CTE level
+    # consumes the next doc of EVERY bucket, carrying (pack_idx, filled)
+    "pack_greedy": """
+        WITH RECURSIVE nt AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(CAST(('0x' || substr(md5('pg|' ||
+                      CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 32
+                   AS INTEGER) AS bucket
+          FROM documents),
+        rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                                            ORDER BY doc_id) AS r
+               FROM nt),
+        s AS (
+          SELECT bucket, r, doc_id, n_tokens,
+                 0 AS pack_idx, n_tokens AS filled
+          FROM rn WHERE r = 1
+          UNION ALL
+          SELECT rn.bucket, rn.r, rn.doc_id, rn.n_tokens,
+                 CASE WHEN s.filled + rn.n_tokens > 256 THEN s.pack_idx + 1
+                      ELSE s.pack_idx END,
+                 CASE WHEN s.filled + rn.n_tokens > 256 THEN rn.n_tokens
+                      ELSE s.filled + rn.n_tokens END
+          FROM s JOIN rn ON rn.bucket = s.bucket AND rn.r = s.r + 1)
+        SELECT bucket, doc_id, CAST(pack_idx AS INTEGER) AS pack_idx,
+               n_tokens
+        FROM s""",
     "parse_detail_rows": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         base AS (SELECT doc_id, toks,

@@ -495,3 +495,91 @@ def exact_order_statistic(ds: rd.Dataset, value_col: str, k: int,
             .to_pandas().sort_values("v", ignore_index=True))
     j = int(np.searchsorted(vals["cnt"].cumsum().to_numpy(), k - below))
     return int(vals["v"][j])
+
+
+def grouped_quantile_thresholds(ds: rd.Dataset, group_col: str,
+                                value_col: str, q_num: int, q_den: int,
+                                bin_width: int = 64,
+                                num_buckets: Optional[int] = None) -> dict:
+    """EXACT per-group q-quantile value (the value at ascending rank
+    ceil(q * n_g) within each group) of an integer column — the grouped
+    generalization of exact_order_statistic, same two bounded passes:
+
+    1. grouped histogram: (group, value // bin_width) counts — the
+       driver sees #groups × bins rows, independent of row count;
+    2. exact pass inside each group's single rank-holding bin (the
+       per-group bin map broadcasts via ray.put): (group, value) counts
+       for ≤ bin_width values per group cross the wire.
+
+    Group count must be driver-small (languages, sources, event types —
+    the per-group QUANTILE table is the output); per-group row counts
+    are unbounded and never materialize anywhere. Returns
+    {group: threshold}."""
+    import ray
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": df[group_col].to_numpy(),
+            "bin": df[value_col].to_numpy(dtype=np.int64) // bin_width})
+
+    hist = (partial_aggregate(ds.map_batches(binned, batch_format="pandas"),
+                              ["g", "bin"], {"cnt": ("count", None)},
+                              num_buckets=num_buckets)
+            .to_pandas().sort_values(["g", "bin"], ignore_index=True))
+
+    rank_bin, residual = {}, {}
+    for g, sub in hist.groupby("g", sort=False):
+        cum = sub["cnt"].cumsum().to_numpy()
+        n_g = int(cum[-1])
+        k = (n_g * q_num + q_den - 1) // q_den  # ceil(q * n), 1-based
+        i = int(np.searchsorted(cum, max(k, 1)))
+        rank_bin[g] = int(sub["bin"].iloc[i])
+        residual[g] = max(k, 1) - (int(cum[i - 1]) if i else 0)
+    bin_ref = ray.put(rank_bin)
+
+    def in_bin(df: pd.DataFrame) -> pd.DataFrame:
+        bins = ray.get(bin_ref)
+        g = df[group_col].to_numpy()
+        v = df[value_col].to_numpy(dtype=np.int64)
+        want = np.fromiter((bins.get(x, -1) for x in g), dtype=np.int64,
+                           count=len(g))
+        m = v // bin_width == want
+        return pd.DataFrame({"g": g[m], "v": v[m]})
+
+    vals = (partial_aggregate(ds.map_batches(in_bin, batch_format="pandas"),
+                              ["g", "v"], {"cnt": ("count", None)},
+                              num_buckets=num_buckets)
+            .to_pandas().sort_values(["g", "v"], ignore_index=True))
+    out = {}
+    for g, sub in vals.groupby("g", sort=False):
+        j = int(np.searchsorted(sub["cnt"].cumsum().to_numpy(), residual[g]))
+        out[g] = int(sub["v"].iloc[j])
+    return out
+
+
+def grouped_percentile_filter(ds: rd.Dataset, group_col: str,
+                              value_col: str, q_num: int, q_den: int,
+                              bin_width: int = 64,
+                              num_buckets: Optional[int] = None,
+                              keep: str = "ge") -> rd.Dataset:
+    """Keep each group's rows at or above (``keep='ge'``; ``'le'`` for
+    at-or-below) the group's exact q-quantile value — the per-language
+    quality-cutoff shape of corpus curation ("drop the shortest quartile
+    of every language", CCNet-style perplexity tails), with no global
+    sort and nothing group-sized on any worker. One streaming filter
+    pass after the two bounded threshold passes above."""
+    import ray
+
+    thr = grouped_quantile_thresholds(ds, group_col, value_col, q_num,
+                                      q_den, bin_width, num_buckets)
+    thr_ref = ray.put(thr)
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        g = df[group_col].to_numpy()
+        v = df[value_col].to_numpy(dtype=np.int64)
+        cut = np.fromiter((t[x] for x in g), dtype=np.int64, count=len(g))
+        m = v >= cut if keep == "ge" else v <= cut
+        return df[m]
+
+    return ds.map_batches(flt, batch_format="pandas")

@@ -148,11 +148,11 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
     from collections import Counter
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
-        counts = Counter(df[col])
-        if len(counts) >= k:
-            cut = sorted(counts.values(), reverse=True)[k - 1]
-            counts = Counter({key: c - cut for key, c in counts.items()
-                              if c - cut > 0})
+        vc = df[col].value_counts()  # vectorized per-batch count
+        if len(vc) >= k:
+            cut = int(vc.iloc[k - 1])  # value_counts is descending
+            vc = (vc - cut)[vc - cut > 0]
+        counts = {str(key): int(c) for key, c in vc.items()}
         return pd.DataFrame({"summary": [json.dumps(dict(counts))]})
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -300,3 +300,144 @@ def count_min_query(grid: np.ndarray, values: pd.Series) -> np.ndarray:
     cells = _cms_cells(values, width, depth)
     return np.min(np.stack([grid[d][cells[d]] for d in range(depth)]),
                   axis=0)
+
+
+# ------------------------------------------- exact two-pass heavy hitters
+
+def heavy_hitters_exact(ds: rd.Dataset, col: str, k: int = 20,
+                        premerge_buckets: int = 64) -> pd.DataFrame:
+    """EXACT heavy hitters (every value with frequency strictly greater
+    than n/k, with its exact count) in two bounded passes — the classic
+    sketch-then-verify upgrade of ``heavy_hitters``:
+
+    1. the Misra-Gries candidate sweep above (one ≤(k-1)-entry summary
+       per batch crosses the wire; the MG guarantee says every true
+       heavy hitter survives the tree merge), which also yields the
+       exact total row count n from the same pass's partials;
+    2. an exact count restricted to the ≤k-1 broadcast candidates — a
+       per-batch combiner emits ≤k-1 partial rows per block, so the
+       second pass is another sketch-sized exchange, never a full
+       token-frequency shuffle.
+
+    Unlike ``heavy_hitters`` the output is partition-layout independent
+    and SQL-exact (GROUP BY HAVING cnt*k > n): the MG decrement order
+    only affects which NON-hitters appear as candidates, and those are
+    removed by the exact filter. Returns (col, cnt) sorted by
+    (-cnt, col)."""
+    import json
+    from collections import Counter
+
+    # pass 1: MG candidates + exact n, fused into one scan (summary and
+    # row-count partials ride the same per-batch emit)
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts()  # vectorized per-batch count
+        if len(vc) >= k:
+            cut = int(vc.iloc[k - 1])  # value_counts is descending
+            vc = (vc - cut)[vc - cut > 0]
+        counts = {str(key): int(c) for key, c in vc.items()}
+        return pd.DataFrame({"summary": [json.dumps(dict(counts))],
+                             "n_rows": [len(df)]})
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        merged = misra_gries_merge([json.loads(s) for s in df["summary"]], k)
+        return pd.DataFrame({"summary": [json.dumps(merged)],
+                             "n_rows": [int(df["n_rows"].sum())]})
+
+    parts_ds = (ds.map_batches(sketch, batch_format="pandas")
+                .map_batches(_premerge_buckets("summary", premerge_buckets),
+                             batch_format="pandas")
+                .groupby("__b")
+                .map_groups(lambda df: merge_bucket(df.drop(columns="__b")),
+                            batch_format="pandas"))
+    rows = parts_ds.take_all()  # ≤ premerge_buckets rows
+    n_total = int(sum(r["n_rows"] for r in rows))
+    cand = set(misra_gries_merge([json.loads(r["summary"]) for r in rows],
+                                 k).keys())
+    if not cand:
+        return pd.DataFrame({col: pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype=np.int64)})
+
+    # pass 2: exact counts of the candidates only (broadcast set — ≤k-1
+    # entries, read once per task via ray.put)
+    import ray
+    cand_ref = ray.put(cand)
+
+    def count_cands(df: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cand_ref)
+        sub = df[df[col].isin(cs)]
+        g = sub.groupby(col, sort=False).size()
+        return pd.DataFrame({col: g.index.to_numpy(),
+                             "cnt": g.to_numpy(dtype=np.int64)})
+
+    from .relops import partial_aggregate
+    exact = partial_aggregate(
+        ds.map_batches(count_cands, batch_format="pandas"),
+        [col], {"cnt": ("sum", "cnt")}).to_pandas()
+    out = exact[exact["cnt"].to_numpy(dtype=np.int64) * k > n_total]
+    return (out.astype({"cnt": np.int64})
+            .sort_values(["cnt", col], ascending=[False, True],
+                         ignore_index=True))
+
+
+# ------------------------------------------- SQL-parity HLL registers
+
+HLL_MD5_TAIL_BITS = 64  # first 16 md5 hex chars = big-endian 64-bit hash
+
+
+def _md5_hll_parts(values, p: int) -> tuple:
+    """(idx, rho) arrays for the md5-variant HLL: h = first 8 md5 bytes
+    of str(v) (big-endian — identical to SQL's
+    CAST('0x'||substr(md5(v),1,16) AS UBIGINT)); idx = top p bits,
+    rho = 1 + leading zeros of the remaining (64-p) bits (tail=0 → 65-p).
+    Exact integer math: tails < 2^52 are exactly representable, and
+    np.frexp's exponent IS the bit length (no log2 rounding risk)."""
+    import hashlib
+
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(v).encode("utf-8")).digest()[:8],
+                        "big") for v in values),
+        dtype=np.uint64, count=len(values))
+    idx = (h >> np.uint64(64 - p)).astype(np.int32)
+    tail = h & np.uint64((1 << (64 - p)) - 1)
+    # bit length via frexp on exact float64 (tail < 2^52 when p >= 12)
+    assert p >= 12, "tail must stay under 2^52 for exact float64 bit length"
+    _, exp = np.frexp(tail.astype(np.float64))
+    rho = np.where(tail == 0, 64 - p + 1, 64 - p + 1 - exp).astype(np.int32)
+    return idx, rho
+
+
+def hll_register_table(ds: rd.Dataset, col: str, p: int = 12,
+                       premerge_buckets: int = 64) -> pd.DataFrame:
+    """The HLL register table itself, made driver-visible and SQL-exact:
+    same distributed shape as ``approx_distinct`` (one m-byte register
+    row per batch, bucketed pre-merge, driver merges ≤premerge_buckets
+    rows) but with an md5-derived hash so DuckDB can recompute every
+    register bit-for-bit (queries.ORACLE_SQL['hll_user_registers']) —
+    the value check the estimate-only query can't have. Returns all
+    2^p rows (idx, register), zeros included."""
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        if len(df):
+            idx, rho = _md5_hll_parts(df[col].astype(str).to_numpy(), p)
+            np.maximum.at(regs, idx, rho.astype(np.uint8))
+        return pd.DataFrame({"registers": [regs.tobytes()]})
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for raw in df["registers"]:
+            np.maximum(regs, np.frombuffer(raw, dtype=np.uint8), out=regs)
+        return pd.DataFrame({"registers": [regs.tobytes()]})
+
+    parts = (ds.map_batches(sketch, batch_format="pandas")
+             .map_batches(_premerge_buckets("registers", premerge_buckets),
+                          batch_format="pandas")
+             .groupby("__b")
+             .map_groups(lambda df: merge_bucket(df.drop(columns="__b")),
+                         batch_format="pandas"))
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    for row in parts.take_all():  # ≤ premerge_buckets rows
+        np.maximum(regs, np.frombuffer(row["registers"], dtype=np.uint8),
+                   out=regs)
+    return pd.DataFrame({"idx": np.arange(1 << p, dtype=np.int32),
+                         "register": regs.astype(np.int32)})

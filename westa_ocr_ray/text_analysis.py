@@ -5,6 +5,7 @@ actor `__init__`."""
 
 from __future__ import annotations
 
+import hashlib
 import re
 from typing import Dict
 
@@ -362,7 +363,8 @@ def pack_sequences(ds: rd.Dataset, id_col: str = "doc_id",
 
 def pack_sequences_greedy(ds: rd.Dataset, id_col: str = "doc_id",
                           text_col: str = "text", budget: int = 256,
-                          buckets: int = None) -> rd.Dataset:
+                          buckets: int = None,
+                          bucket_hash: str = "pandas") -> rd.Dataset:
     """Cross-doc greedy token-budget packing — the stateful half of
     sequence preparation (pack_sequences chunks within docs; this packs
     consecutive docs into ≤ ``budget``-token bins). Docs are hashed into
@@ -371,20 +373,35 @@ def pack_sequences_greedy(ds: rd.Dataset, id_col: str = "doc_id",
     budget gets its own pack (chunk it first with pack_sequences).
     Returns (bucket, doc_id, pack_idx, n_tokens). The greedy scan is an
     inherently sequential fold, so it runs per-bucket (one bounded
-    map_groups task each) rather than per-corpus."""
+    map_groups task each) rather than per-corpus.
+
+    ``bucket_hash='md5'`` assigns buckets via md5('pg|'||id) instead of
+    pandas' siphash — slower per row but SQL-reproducible, so the whole
+    greedy fold gets an exact recursive-CTE oracle
+    (queries.ORACLE_SQL['pack_greedy']). Pin ``buckets`` when using it:
+    the bucket count changes the packing, so an auto-sized default
+    would make the output depend on cluster shape."""
     from .relops import auto_buckets
 
     if buckets is None:
         buckets = auto_buckets(floor=32)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].astype(str)
+        if bucket_hash == "md5":
+            bk = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(("pg|" + v).encode("utf-8")).digest()[:8],
+                    "big") % buckets for v in ids),
+                dtype=np.int64, count=len(ids)).astype("int32")
+        else:
+            bk = (pd.util.hash_pandas_object(ids, index=False).to_numpy()
+                  % buckets).astype("int32")
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(),
             "n_tokens": df[text_col].str.split(" ").map(len)
             .astype(np.int64),
-            "bucket": (pd.util.hash_pandas_object(df[id_col].astype(str),
-                                                  index=False).to_numpy()
-                       % buckets).astype("int32"),
+            "bucket": bk,
         })
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
@@ -694,7 +711,8 @@ def classifier_weights(num_buckets: int = QC_BUCKETS,
 def quality_classifier(ds: rd.Dataset, id_col: str = "doc_id",
                        text_col: str = "text",
                        num_buckets: int = QC_BUCKETS,
-                       seed: str = QC_SEED) -> rd.Dataset:
+                       seed: str = QC_SEED,
+                       concurrency: int = 4) -> rd.Dataset:
     """fastText-style linear quality classifier (the model-scoring
     stage of CCNet / LLaMA-style quality filtering, public method):
     score every document as the sum over its token-BIGRAM occurrences
@@ -744,7 +762,13 @@ def quality_classifier(ds: rd.Dataset, id_col: str = "doc_id",
                                  "n_bigrams": nbg, "score_mu": sc,
                                  "keep": (sc > 0).astype(np.int64)})
 
-    return ds.map_batches(Score, concurrency=4, batch_format="pandas")
+    # NOTE: a FIXED-size actor pool holds its CPUs for the whole run —
+    # size it to co-fit with the pipeline's other stages (a 4-actor
+    # pool next to an in-flight repartition on a 4-CPU cluster
+    # deadlocks the streaming executor; chaos-tested in
+    # tests/test_chaos.py::test_quality_classifier_actor_death_*)
+    return ds.map_batches(Score, concurrency=concurrency,
+                          batch_format="pandas")
 
 
 # ------------------------------------------------- BPE tokenizer training
