@@ -859,6 +859,37 @@ def q_pagerank_dups(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def q_dup_clusters(sf_dir: str) -> rd.Dataset:
+    """Connected components over the shared-chunk duplication graph —
+    the fully partitioned no-broadcast CC (per-round label joins +
+    pointer jumping, dedup.connected_components_partitioned) made
+    driver-visible: the SQL oracle replays it as a recursive-CTE
+    transitive closure and cluster_id = the component's minimum doc_id
+    on both sides. This is the at-scale routing target of
+    dedup_by_minhash, previously unit-tested only."""
+    pairs = dedup.shared_chunk_pairs(
+        rp(sf_dir, "documents", ["doc_id", "text"]),
+        size_hint_bytes=_doc_size_hint(sf_dir))
+    labels = dedup.connected_components_partitioned(
+        pairs, a_col="doc_a", b_col="doc_b", num_buckets=8)
+    return labels.map_batches(
+        lambda df: df.astype({"doc_id": "int64", "cluster_id": "int64"}),
+        batch_format="pandas")
+
+
+def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
+    """EXACT grouped COUNT(DISTINCT): two bounded partial-aggregate
+    stages — (type, user) pairs dedupe in a per-batch combiner first
+    (the all-to-all moves one row per distinct pair per block, never
+    events), then the distinct pairs count per type. The exact
+    complement of approx_distinct_users' HLL estimate."""
+    ev = rp(sf_dir, "events", ["event_type", "user_id"])
+    pairs = partial_aggregate(ev, ["event_type", "user_id"],
+                              {"n": ("count", None)})
+    return partial_aggregate(pairs, ["event_type"],
+                             {"n_users": ("count", None)})
+
+
 def q_dedup_passage(sf_dir: str) -> rd.Dataset:
     """Duplicate-passage REMOVAL with doc reassembly (Lee et al.
     ExactSubstr / CCNet shared-line stripping): passages shared by >=2
@@ -2566,13 +2597,31 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
         return checksum(length_percentile_filter(sf_dir),
                         ["doc_id", "n_chars"], "pf")
 
+    # round-4 fold #20: partitioned connected components (registered
+    # twin dup_clusters past the window; oracle = transitive closure)
+    def t_cc() -> List[tuple]:
+        cc = q_dup_clusters(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"chk": df["doc_id"].to_numpy(dtype=np.int64) * 31
+                 + df["cluster_id"].to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        return checksum(cc, ["chk"], "cc")
+
+    # round-4 fold #21: exact grouped count-distinct (registered twin
+    # distinct_users_per_type past the window)
+    def t_dut() -> List[tuple]:
+        d = distinct_users_per_type(sf_dir).to_pandas()
+        return [("dut_n_users", str(r["event_type"]), int(r["n_users"]))
+                for _, r in d.sort_values("event_type").iterrows()]
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
              t_regexfw, t_priocode, t_mask, t_propsjson,
              t_shpairs, t_toklang, t_bigrams, t_daily,
              t_m9, t_jnat, t_o3, t_bpe, t_strat, t_asof, t_median,
              t_range, t_sess, t_m1, t_tpd, t_pack, t_shard, t_ngram,
-             t_fprint, t_zs, t_shc, t_hhx, t_hllr, t_pg, t_pf]
+             t_fprint, t_zs, t_shc, t_hhx, t_hllr, t_pg, t_pf,
+             t_cc, t_dut]
     with ThreadPoolExecutor(max_workers=8) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
@@ -3381,6 +3430,10 @@ QUERIES = {
     "pack_greedy": q_pack_greedy,
     # round-4: grouped exact order statistic (fold #19 in-window)
     "length_percentile_filter": length_percentile_filter,
+    # round-4: partitioned CC made oracle-visible + exact grouped
+    # count-distinct (folds #20/#21 in-window)
+    "dup_clusters": q_dup_clusters,
+    "distinct_users_per_type": distinct_users_per_type,
     # displaced by the in-window multimodal value checks: chunking is
     # re-verified inside rag_prep, the funnel inside training_prep
     "chunk_documents": q_chunk_documents,
@@ -4279,7 +4332,20 @@ ORACLE_SQL = {
                  CAST(COUNT(*) AS BIGINT) AS n
           FROM shc_d a JOIN shc_d b
             ON a.ch = b.ch AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+          GROUP BY 1, 2),
+        cc_e AS (SELECT doc_a AS a, doc_b AS b FROM shc_p
+                 UNION SELECT doc_b, doc_a FROM shc_p),
+        cc_reach AS (
+          SELECT a, b FROM cc_e
+          UNION
+          SELECT r.a, cc_e.b FROM cc_reach r JOIN cc_e ON r.b = cc_e.a
+          WHERE cc_e.b <> r.a),
+        cc_lab AS (
+          SELECT n.a AS doc_id,
+                 CAST(LEAST(n.a, MIN(r.b)) AS BIGINT) AS cluster_id
+          FROM (SELECT DISTINCT a FROM cc_e) n
+          LEFT JOIN cc_reach r ON r.a = n.a
+          GROUP BY n.a)
         SELECT 'count_orders' AS metric, '' AS k, COUNT(*) AS v FROM orders
         UNION ALL
         SELECT 'event_type', event_type, CAST(1 AS BIGINT)
@@ -4630,7 +4696,17 @@ ORACLE_SQL = {
                CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM pf_kept
         UNION ALL
         SELECT 'pf_sum_n_chars', '',
-               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM pf_kept""",
+               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM pf_kept
+        UNION ALL
+        SELECT 'cc_count', '', COUNT(*) FROM cc_lab
+        UNION ALL
+        SELECT 'cc_sum_chk', '',
+               CAST(COALESCE(SUM(doc_id * 31 + cluster_id), 0) AS BIGINT)
+        FROM cc_lab
+        UNION ALL
+        SELECT 'dut_n_users', event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        FROM events GROUP BY event_type""",
     # exact two-pass heavy hitters: the MG candidate sweep only
     # determines WHICH values get exact-counted; the final filter is
     # the pure frequency rule, so the oracle is a plain GROUP BY HAVING
@@ -4658,6 +4734,37 @@ ORACLE_SQL = {
         SELECT CAST(g.range AS INTEGER) AS idx,
                CAST(COALESCE(mx.reg, 0) AS INTEGER) AS register
         FROM range(0, 4096) g LEFT JOIN mx ON g.range = mx.idx""",
+    # connected components replayed as a recursive-CTE transitive
+    # closure (exact for the pair graph the engine builds; cluster_id =
+    # min doc_id in the component on both sides)
+    "dup_clusters": """
+        WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                             FROM documents),
+        c AS (
+          SELECT doc_id, md5(array_to_string(toks[10*i+1:10*i+10], ' ')) AS ch
+          FROM (SELECT doc_id, toks,
+                       unnest(range(0, len(toks) // 10)) AS i
+                FROM t)),
+        d AS (SELECT DISTINCT doc_id, ch FROM c),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM d a JOIN d b ON a.ch = b.ch AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        reach AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+          WHERE e.b <> r.a),
+        nodes AS (SELECT DISTINCT a FROM e)
+        SELECT n.a AS doc_id,
+               CAST(LEAST(n.a, MIN(r.b)) AS BIGINT) AS cluster_id
+        FROM nodes n LEFT JOIN reach r ON r.a = n.a
+        GROUP BY n.a""",
+    "distinct_users_per_type": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type""",
     # per-group exact quantile: the threshold is the VALUE at ascending
     # rank ceil(n/4) within the group, so any tie-break order gives the
     # same threshold; engine keeps value >= threshold
