@@ -64,3 +64,44 @@ def test_bm25_absent_term_and_small_k():
     exp = _py_bm25(docs, ["beta", "zzz"])
     order = sorted(exp, key=lambda d: (-exp[d], d))
     assert list(got["doc_id"]) == order
+
+
+def test_text_index_build_lookup_roundtrip(tmp_path):
+    """Persisted inverted index: lookup through the bucket partitions
+    equals a direct pandas tf count; _SUCCESS makes re-builds no-ops;
+    only the probed buckets' files are touched."""
+    import glob
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from westa_ocr_ray.search import build_text_index, text_index_lookup
+
+    rows = [{"doc_id": i,
+             "text": " ".join(["alpha", "beta"] * (i % 3 + 1)
+                              + [f"rare{i}"])}
+            for i in range(60)]
+    df = pd.DataFrame(rows)
+    out = str(tmp_path / "tix")
+    build_text_index(rd.from_pandas(df).repartition(5), out, num_buckets=8)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    got = text_index_lookup(out, ["alpha", "rare7", "nosuch"],
+                            num_buckets=8)
+    exp = (df.assign(token=df["text"].str.split(" "))
+           .explode("token").groupby(["token", "doc_id"]).size()
+           .reset_index(name="tf"))
+    exp = (exp[exp["token"].isin(["alpha", "rare7"])]
+           .sort_values(["token", "doc_id"], ignore_index=True))
+    assert list(got["token"]) == list(exp["token"])
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["tf"]) == list(exp["tf"].astype(np.int64))
+
+    # resume: marker short-circuits (mutate the postings dir; the
+    # build must NOT touch it again)
+    probe = os.path.join(out, "postings", "bucket=0")
+    before = sorted(glob.glob(os.path.join(out, "postings", "*", "*")))
+    build_text_index(rd.from_pandas(df), out, num_buckets=8)
+    assert sorted(glob.glob(os.path.join(out, "postings", "*", "*"))) == before
+    del probe

@@ -981,6 +981,24 @@ def q_sim_ann_ivf_index(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_topk_from_index(out, qmat, qids, k=5, n_probe=4)
 
 
+def q_text_index_search(sf_dir: str) -> pd.DataFrame:
+    """Term lookup through a PERSISTED inverted index (build once under
+    /tmp — hive-partitioned postings + _SUCCESS resume marker, the
+    build-once/query-many twin of sim_ann_ivf_index for text): the
+    probe terms' postings come from ONLY their bucket partitions.
+    Exact SQL oracle (tf = whitespace-token occurrences per doc)."""
+    import os
+
+    from . import search
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = dedup.md5_hex(f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}")[:12]
+    out = f"/tmp/westa_text_index/{key}"
+    search.build_text_index(docs, out, num_buckets=64)
+    return search.text_index_lookup(out, CMS_QUERY_TOKENS, num_buckets=64)
+
+
 def q_contrastive_pairs(sf_dir: str) -> pd.DataFrame:
     """Hard-negative contrastive pair mining at the probe anchors:
     per anchor, top same-label positive + top-2 different-label
@@ -2614,6 +2632,17 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
         return [("dut_n_users", str(r["event_type"]), int(r["n_users"]))
                 for _, r in d.sort_values("event_type").iterrows()]
 
+    # round-4 fold #22: persisted-index term lookup (registered twin
+    # text_index_search past the window)
+    def t_tix() -> List[tuple]:
+        ti = q_text_index_search(sf_dir)  # small: probe-term postings
+        chk = int((np.fromiter(
+            (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+             for t in ti["token"]), dtype=np.int64, count=len(ti))
+            + ti["doc_id"].to_numpy(dtype=np.int64) * 31
+            + ti["tf"].to_numpy(dtype=np.int64) * 7).sum()) if len(ti) else 0
+        return [("tix_n", "", len(ti)), ("tix_sum_chk", "", chk)]
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
              t_regexfw, t_priocode, t_mask, t_propsjson,
@@ -2621,7 +2650,7 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
              t_m9, t_jnat, t_o3, t_bpe, t_strat, t_asof, t_median,
              t_range, t_sess, t_m1, t_tpd, t_pack, t_shard, t_ngram,
              t_fprint, t_zs, t_shc, t_hhx, t_hllr, t_pg, t_pf,
-             t_cc, t_dut]
+             t_cc, t_dut, t_tix]
     with ThreadPoolExecutor(max_workers=8) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
@@ -3434,6 +3463,8 @@ QUERIES = {
     # count-distinct (folds #20/#21 in-window)
     "dup_clusters": q_dup_clusters,
     "distinct_users_per_type": distinct_users_per_type,
+    # round-4: persisted inverted index (pruned-bucket lookup; fold #22)
+    "text_index_search": q_text_index_search,
     # displaced by the in-window multimodal value checks: chunking is
     # re-verified inside rag_prep, the funnel inside training_prep
     "chunk_documents": q_chunk_documents,
@@ -4345,7 +4376,13 @@ ORACLE_SQL = {
                  CAST(LEAST(n.a, MIN(r.b)) AS BIGINT) AS cluster_id
           FROM (SELECT DISTINCT a FROM cc_e) n
           LEFT JOIN cc_reach r ON r.a = n.a
-          GROUP BY n.a)
+          GROUP BY n.a),
+        tix AS (
+          SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents)
+          WHERE token IN ({', '.join(repr(t) for t in CMS_QUERY_TOKENS)})
+          GROUP BY token, doc_id)
         SELECT 'count_orders' AS metric, '' AS k, COUNT(*) AS v FROM orders
         UNION ALL
         SELECT 'event_type', event_type, CAST(1 AS BIGINT)
@@ -4706,7 +4743,15 @@ ORACLE_SQL = {
         UNION ALL
         SELECT 'dut_n_users', event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT)
-        FROM events GROUP BY event_type""",
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'tix_n', '', COUNT(*) FROM tix
+        UNION ALL
+        SELECT 'tix_sum_chk', '',
+               CAST(COALESCE(SUM(CAST(('0x' || substr(md5(token), 1, 8))
+                                      AS UBIGINT)
+                                 + doc_id * 31 + tf * 7), 0) AS BIGINT)
+        FROM tix""",
     # exact two-pass heavy hitters: the MG candidate sweep only
     # determines WHICH values get exact-counted; the final filter is
     # the pure frequency rule, so the oracle is a plain GROUP BY HAVING
@@ -4765,6 +4810,12 @@ ORACLE_SQL = {
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type""",
+    "text_index_search": f"""
+        SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token IN ({', '.join(repr(t) for t in CMS_QUERY_TOKENS)})
+        GROUP BY token, doc_id""",
     # per-group exact quantile: the threshold is the VALUE at ascending
     # rank ceil(n/4) within the group, so any tie-break order gives the
     # same threshold; engine keeps value >= threshold

@@ -146,3 +146,80 @@ def bm25_oracle_sql(terms: Sequence[str], k: int = 50,
               FROM sc)
         SELECT doc_id, score_micro, CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= {k}"""
+
+
+# ------------------------------------------- persisted inverted index
+
+def build_text_index(ds: rd.Dataset, out_dir: str, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     num_buckets: int = 64) -> str:
+    """Persist an inverted index over a text corpus: one vectorized
+    explode+combine pass builds the (token, doc, tf) posting table —
+    per-batch tf combiner first, so the exchange moves one row per
+    distinct (token, doc) per block, never token occurrences — written
+    HIVE-PARTITIONED by md5(token) % num_buckets
+    (``out_dir/postings/bucket=<b>/``) with a ``_SUCCESS`` marker.
+    The build-once / query-many twin of similarity.build_ivf_index: a
+    term lookup reads ONLY its bucket's files (1/num_buckets of the
+    index), and a re-run that finds the marker skips the build.
+    Returns out_dir."""
+    import hashlib
+    import os
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df.assign(token=df[text_col].str.split(" "))[[id_col, "token"]]
+              .explode("token", ignore_index=True).dropna())
+        g = ex.groupby(["token", id_col], sort=False).size().reset_index()
+        g.columns = ["token", id_col, "tf"]
+        return g.astype({"tf": np.int64})
+
+    table = partial_aggregate(
+        ds.map_batches(postings, batch_format="pandas"),
+        ["token", id_col], {"tf": ("sum", "tf")})
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.fromiter(
+            (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+             % num_buckets for t in df["token"]),
+            dtype=np.int64, count=len(df))
+        return df.assign(bucket=b)
+
+    (table.map_batches(bucketed, batch_format="pandas")
+     .write_parquet(os.path.join(out_dir, "postings"),
+                    partition_cols=["bucket"]))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def text_index_lookup(index_dir: str, terms: Sequence[str],
+                      num_buckets: int = 64,
+                      id_col: str = "doc_id") -> pd.DataFrame:
+    """Query the persisted index: list and read ONLY the probed terms'
+    bucket partitions (the pruning the hive layout buys — at 100 TB a
+    5-term lookup touches 5/num_buckets of the files), filter to the
+    terms, return (token, doc_id, tf)."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    want = sorted({int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                   % num_buckets for t in terms})
+    paths = [f for b in want for f in sorted(_glob.glob(
+        os.path.join(index_dir, "postings", f"bucket={b}", "*.parquet")))]
+    if not paths:
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "tf": pd.Series([], dtype=np.int64)})
+    tset = set(terms)
+    out = (rd.read_parquet(paths)
+           .map_batches(lambda df: df[df["token"].isin(tset)]
+                        [["token", id_col, "tf"]],
+                        batch_format="pandas")
+           .to_pandas())
+    return (out.astype({"tf": np.int64})
+            .sort_values(["token", id_col], ignore_index=True))
