@@ -486,3 +486,46 @@ def test_dedup_incremental_fuzzy_drops_near_copies_of_base():
         rd.from_pandas(pd.DataFrame(base_rows)),
         jaccard_threshold=0.5).to_pandas()
     assert sorted(kept["doc_id"]) == [11]
+
+
+def test_cdc_chunk_pairs_resynchronize_after_insertion():
+    """The CDC property the op exists for: inserting one token near the
+    start of a copied doc still leaves most chunks shared (boundaries
+    re-synchronize), where fixed-width chunks would all shift."""
+    import numpy as np
+
+    from westa_ocr_ray import dedup
+
+    rng = np.random.RandomState(5)
+    base = " ".join(f"w{rng.randint(0, 5000)}" for _ in range(400))
+    edited = "INSERTED " + base
+    ds = rd.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": edited},
+        {"doc_id": 3, "text": " ".join(
+            f"q{rng.randint(0, 5000)}" for _ in range(400))},
+    ]).repartition(3)
+
+    pairs = dedup.cdc_chunk_pairs(ds).to_pandas()
+    assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(1, 2)}
+    n_shared = int(pairs["n_shared_chunks"].iloc[0])
+
+    # fixed-width chunks on the same edit share (almost) nothing
+    fixed = dedup.shared_chunk_pairs(ds).to_pandas()
+    n_fixed = (int(fixed["n_shared_chunks"].iloc[0])
+               if len(fixed) else 0)
+    assert n_shared >= 5
+    assert n_shared > n_fixed
+
+
+def test_cdc_chunk_pairs_layout_independent():
+    from westa_ocr_ray import dedup
+
+    rows = [{"doc_id": i,
+             "text": " ".join(f"t{(i * 7 + j) % 40}" for j in range(120))}
+            for i in range(30)]
+    a = (dedup.cdc_chunk_pairs(rd.from_items(rows).repartition(1))
+         .to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True))
+    b = (dedup.cdc_chunk_pairs(rd.from_items(rows).repartition(9))
+         .to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)

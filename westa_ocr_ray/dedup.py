@@ -854,6 +854,67 @@ def shared_chunk_pairs(ds: rd.Dataset, id_col: str = "doc_id",
     return out
 
 
+def cdc_chunk_pairs(ds: rd.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text", modulus: int = 16,
+                    min_tokens: int = 8, with_stats: bool = False,
+                    size_hint_bytes: Optional[int] = None):
+    """CONTENT-DEFINED chunking dedup (the Rabin-boundary variant of
+    shared_chunk_pairs, at token granularity): a chunk boundary falls
+    after any token whose md5 low-32 bits % ``modulus`` == 0, so an
+    insertion or deletion only perturbs the one chunk it lands in —
+    fixed-width chunks shift at every later position, content-defined
+    boundaries re-synchronize (the property backup dedup and
+    suffix-array-style corpus dedup rely on). Expected chunk length ≈
+    ``modulus`` tokens; chunks shorter than ``min_tokens`` are not
+    hashed (a stateless emit filter — trivial chunks like a single
+    stop-word would otherwise pair unrelated docs and overflow the
+    candidate cap). Only (id, hash) rows shuffle; pair expansion
+    reuses the coarse-bucket path. Exact and SQL-expressible
+    (queries.ORACLE_SQL['dedup_cdc']); ``with_stats=True`` returns the
+    dropped-pair counter alongside. Returns
+    (doc_a, doc_b, n_shared_chunks)."""
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        flag_cache: dict = {}  # per-batch: md5 once per distinct token
+        for did, text in zip(df[id_col], df[text_col]):
+            toks = text.split(" ")
+            segs, cur = [], []
+            for t in toks:
+                cur.append(t)
+                f = flag_cache.get(t)
+                if f is None:
+                    f = int(md5_hex(t)[:8], 16) % modulus == 0
+                    flag_cache[t] = f
+                if f:
+                    segs.append(cur)
+                    cur = []
+            if cur:
+                segs.append(cur)
+            seen = set()
+            for s in segs:
+                if len(s) < min_tokens:
+                    continue
+                h = md5_hex(" ".join(s))
+                if h not in seen:       # distinct (doc, chunk)
+                    seen.add(h)
+                    ids.append(did)
+                    hashes.append(h)
+        return pd.DataFrame({id_col: ids, "ch": hashes})
+
+    chunks = ds.map_batches(chunk, batch_format="pandas")
+    if with_stats:
+        chunks = chunks.materialize()  # reused by the size counter
+    cand = _within_bucket_pairs(chunks, ["ch"], id_col,
+                                size_hint_bytes=size_hint_bytes)
+    out = partial_aggregate(cand, ["doc_a", "doc_b"],
+                            {"n_shared_chunks": ("count", None)})
+    if with_stats:
+        dropped = _capped_dropped_pairs(chunks, ["ch"])
+        return out, {"dropped_candidate_pairs": dropped}
+    return out
+
+
 def remove_duplicate_chunks(ds: rd.Dataset, id_col: str = "doc_id",
                             text_col: str = "text",
                             chunk_tokens: int = 10, min_docs: int = 2,

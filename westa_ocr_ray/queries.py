@@ -45,13 +45,10 @@ from .relops import broadcast_join, hash_join, partial_aggregate
 
 
 #: serializes Dataset CONSTRUCTION (not execution) across driver
-#: threads: ray's path resolution probes `from
-#: fsspec.implementations.http import HTTPFileSystem` on every
-#: read_parquet and only catches ModuleNotFoundError — with aiohttp
-#: absent the import always fails, and two threads importing the same
-#: failing module race Python's partial-module state into a bare
-#: ImportError (observed in the threaded combined_small_shapes).
-_READ_LOCK = threading.Lock()
+#: threads — see relops.DATASET_CONSTRUCTION_LOCK (shared with
+#: search.text_index_lookup, which also constructs Datasets from the
+#: threaded combined_small_shapes)
+_READ_LOCK = relops.DATASET_CONSTRUCTION_LOCK
 
 
 def rp(sf_dir: str, name: str, columns: Optional[List[str]] = None) -> rd.Dataset:
@@ -888,6 +885,16 @@ def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
                               {"n": ("count", None)})
     return partial_aggregate(pairs, ["event_type"],
                              {"n_users": ("count", None)})
+
+
+def q_dedup_cdc(sf_dir: str) -> rd.Dataset:
+    """Content-defined-chunking dedup pairs: Rabin-style token-hash
+    boundaries (insertion-robust where fixed-width chunks shift), exact
+    SQL oracle replaying the boundary rule with a windowed prefix sum
+    (dedup.cdc_chunk_pairs)."""
+    return dedup.cdc_chunk_pairs(
+        rp(sf_dir, "documents", ["doc_id", "text"]),
+        size_hint_bytes=_doc_size_hint(sf_dir))
 
 
 def q_dedup_passage(sf_dir: str) -> rd.Dataset:
@@ -2643,6 +2650,17 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
             + ti["tf"].to_numpy(dtype=np.int64) * 7).sum()) if len(ti) else 0
         return [("tix_n", "", len(ti)), ("tix_sum_chk", "", chk)]
 
+    # round-4 fold #23: content-defined chunking pairs (registered twin
+    # dedup_cdc past the window)
+    def t_cdc() -> List[tuple]:
+        cd = q_dedup_cdc(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"chk": df["doc_a"].to_numpy(dtype=np.int64) * 31
+                 + df["doc_b"].to_numpy(dtype=np.int64) * 7
+                 + df["n_shared_chunks"].to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        return checksum(cd, ["chk"], "cdc")
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
              t_regexfw, t_priocode, t_mask, t_propsjson,
@@ -2650,7 +2668,7 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
              t_m9, t_jnat, t_o3, t_bpe, t_strat, t_asof, t_median,
              t_range, t_sess, t_m1, t_tpd, t_pack, t_shard, t_ngram,
              t_fprint, t_zs, t_shc, t_hhx, t_hllr, t_pg, t_pf,
-             t_cc, t_dut, t_tix]
+             t_cc, t_dut, t_tix, t_cdc]
     with ThreadPoolExecutor(max_workers=8) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
@@ -3465,6 +3483,8 @@ QUERIES = {
     "distinct_users_per_type": distinct_users_per_type,
     # round-4: persisted inverted index (pruned-bucket lookup; fold #22)
     "text_index_search": q_text_index_search,
+    # round-4: content-defined chunking dedup (fold #23 in-window)
+    "dedup_cdc": q_dedup_cdc,
     # displaced by the in-window multimodal value checks: chunking is
     # re-verified inside rag_prep, the funnel inside training_prep
     "chunk_documents": q_chunk_documents,
@@ -4382,7 +4402,26 @@ ORACLE_SQL = {
           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                 FROM documents)
           WHERE token IN ({', '.join(repr(t) for t in CMS_QUERY_TOKENS)})
-          GROUP BY token, doc_id)
+          GROUP BY token, doc_id),
+        cdc_fl AS (SELECT doc_id, tok AS tk, i,
+                          CASE WHEN CAST(('0x' || substr(md5(tok), 1, 8))
+                                         AS UBIGINT) % 16 = 0
+                               THEN 1 ELSE 0 END AS f
+                   FROM tt),
+        cdc_cid AS (SELECT doc_id, tk, i,
+                           COALESCE(SUM(f) OVER (PARTITION BY doc_id
+                                     ORDER BY i
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS c
+                    FROM cdc_fl),
+        cdc_ch AS (SELECT doc_id, md5(string_agg(tk, ' ' ORDER BY i)) AS h
+                   FROM cdc_cid GROUP BY doc_id, c HAVING COUNT(*) >= 8),
+        cdc_d AS (SELECT DISTINCT doc_id, h FROM cdc_ch),
+        cdc_pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM cdc_d a JOIN cdc_d b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
         SELECT 'count_orders' AS metric, '' AS k, COUNT(*) AS v FROM orders
         UNION ALL
         SELECT 'event_type', event_type, CAST(1 AS BIGINT)
@@ -4751,7 +4790,13 @@ ORACLE_SQL = {
                CAST(COALESCE(SUM(CAST(('0x' || substr(md5(token), 1, 8))
                                       AS UBIGINT)
                                  + doc_id * 31 + tf * 7), 0) AS BIGINT)
-        FROM tix""",
+        FROM tix
+        UNION ALL
+        SELECT 'cdc_count', '', COUNT(*) FROM cdc_pairs
+        UNION ALL
+        SELECT 'cdc_sum_chk', '',
+               CAST(COALESCE(SUM(doc_a * 31 + doc_b * 7 + n), 0) AS BIGINT)
+        FROM cdc_pairs""",
     # exact two-pass heavy hitters: the MG candidate sweep only
     # determines WHICH values get exact-counted; the final filter is
     # the pure frequency rule, so the oracle is a plain GROUP BY HAVING
@@ -4810,6 +4855,32 @@ ORACLE_SQL = {
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type""",
+    # content-defined chunk boundaries: flag tokens by md5 % modulus,
+    # chunk id = windowed prefix sum of flags over PRECEDING tokens,
+    # chunks shorter than 8 tokens are not hashed (same rule engine-side)
+    "dedup_cdc": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tk,
+                       generate_subscripts(toks, 1) AS i
+                FROM t),
+        fl AS (SELECT doc_id, tk, i,
+                      CASE WHEN CAST(('0x' || substr(md5(tk), 1, 8))
+                                     AS UBIGINT) % 16 = 0
+                           THEN 1 ELSE 0 END AS f
+               FROM tok),
+        cid AS (SELECT doc_id, tk, i,
+                       COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS c
+                FROM fl),
+        ch AS (SELECT doc_id, md5(string_agg(tk, ' ' ORDER BY i)) AS h
+               FROM cid GROUP BY doc_id, c HAVING COUNT(*) >= 8),
+        d AS (SELECT DISTINCT doc_id, h FROM ch)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+        FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2""",
     "text_index_search": f"""
         SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token

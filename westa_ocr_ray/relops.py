@@ -27,6 +27,19 @@ import ray.data as rd
 TARGET_BUCKET_BYTES = 256 << 20
 
 
+#: serializes driver-side Dataset CONSTRUCTION across threads: ray's
+#: path resolution probes `from fsspec.implementations.http import
+#: HTTPFileSystem` on every read_parquet and only catches
+#: ModuleNotFoundError — with aiohttp absent the import always fails,
+#: and two threads importing the same failing module race Python's
+#: partial-module state into a bare ImportError (observed in the
+#: threaded combined_small_shapes). Shared here so every module that
+#: constructs Datasets from driver threads takes the same lock.
+import threading as _threading
+
+DATASET_CONSTRUCTION_LOCK = _threading.Lock()
+
+
 def auto_buckets(floor: int = 64, size_bytes: Optional[int] = None,
                  per_cpu: int = 4,
                  target_bytes: int = TARGET_BUCKET_BYTES) -> int:

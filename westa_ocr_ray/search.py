@@ -188,9 +188,14 @@ def build_text_index(ds: rd.Dataset, out_dir: str, id_col: str = "doc_id",
             dtype=np.int64, count=len(df))
         return df.assign(bucket=b)
 
-    (table.map_batches(bucketed, batch_format="pandas")
-     .write_parquet(os.path.join(out_dir, "postings"),
-                    partition_cols=["bucket"]))
+    from .relops import DATASET_CONSTRUCTION_LOCK
+    sink = table.map_batches(bucketed, batch_format="pandas")
+    # the fsspec probe fires at write_parquet's PATH RESOLUTION; the
+    # lock is held for the (blocking) write — only the first build per
+    # corpus pays it, re-runs short-circuit on the marker above
+    with DATASET_CONSTRUCTION_LOCK:
+        sink.write_parquet(os.path.join(out_dir, "postings"),
+                           partition_cols=["bucket"])
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
@@ -216,7 +221,10 @@ def text_index_lookup(index_dir: str, terms: Sequence[str],
                              id_col: pd.Series([], dtype=np.int64),
                              "tf": pd.Series([], dtype=np.int64)})
     tset = set(terms)
-    out = (rd.read_parquet(paths)
+    from .relops import DATASET_CONSTRUCTION_LOCK
+    with DATASET_CONSTRUCTION_LOCK:  # threaded-driver fsspec probe race
+        postings = rd.read_parquet(paths)
+    out = (postings
            .map_batches(lambda df: df[df["token"].isin(tset)]
                         [["token", id_col, "tf"]],
                         batch_format="pandas")
