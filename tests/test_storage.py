@@ -143,3 +143,21 @@ def test_export_jsonl_shards_roundtrip_and_resume(tmp_path):
                                      num_shards=4).to_pandas()
     assert sorted(glob.glob(out + "/shard=*/*.jsonl")) == before
     assert int(m2["n_rows"].sum()) == 60
+
+
+def test_snapshot_diff_statuses():
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray.storage import snapshot_diff
+
+    base = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                         "text": ["a", "b", "c", "d"]})
+    new = pd.DataFrame({"doc_id": [2, 3, 5],
+                        "text": ["b", "c2", "e"]})
+    out = (snapshot_diff(rd.from_pandas(base).repartition(3),
+                         rd.from_pandas(new).repartition(2))
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    got = dict(zip(out["doc_id"].astype(int), out["status"]))
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "removed", 5: "added"}

@@ -1339,6 +1339,33 @@ def q_dedup_incremental(sf_dir: str) -> rd.Dataset:
     return dedup.dedup_incremental(docs, base)
 
 
+def q_corpus_diff(sf_dir: str) -> rd.Dataset:
+    """Snapshot-versioning audit: base = the documents table; new =
+    the planted next snapshot (doc_id %% 17 == 0 dropped, %% 10 == 0
+    edited with a ' v2' suffix, %% 25 == 0 re-added under doc_id +
+    10^7). Per-doc added/removed/changed/unchanged status — only
+    (id, md5) rows shuffle (storage.snapshot_diff)."""
+    from .storage import snapshot_diff
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_new(df: pd.DataFrame) -> pd.DataFrame:
+        kept = df[df["doc_id"] % 17 != 0]
+        edited = np.where(kept["doc_id"] % 10 == 0,
+                          kept["text"] + " v2", kept["text"])
+        out = pd.DataFrame({"doc_id": kept["doc_id"].to_numpy(),
+                            "text": edited})
+        add = df[df["doc_id"] % 25 == 0]
+        return pd.concat(
+            [out, pd.DataFrame({"doc_id": add["doc_id"].to_numpy()
+                                + 10_000_000,
+                                "text": add["text"].to_numpy()})],
+            ignore_index=True)
+
+    new = docs.map_batches(make_new, batch_format="pandas")
+    return snapshot_diff(docs, new)
+
+
 def q_corpus_report(sf_dir: str) -> rd.Dataset:
     """Per-language corpus datasheet over the documents table."""
     return text_analysis.corpus_report(
@@ -2661,6 +2688,21 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
             batch_format="pandas")
         return checksum(cd, ["chk"], "cdc")
 
+    # round-4 fold #24: snapshot-versioning diff (registered twin
+    # corpus_diff past the window)
+    def t_cdiff() -> List[tuple]:
+        cd = q_corpus_diff(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"status": df["status"].to_numpy(),
+                 "doc_id": df["doc_id"].to_numpy(dtype=np.int64)}),
+            batch_format="pandas")
+        agg = partial_aggregate(cd, ["status"],
+                                {"n": ("count", None),
+                                 "s": ("sum", "doc_id")}).to_pandas()
+        return [(f"cdiff_{r['status']}", "", int(r["n"]))
+                for _, r in agg.sort_values("status").iterrows()] +                [(f"cdiff_sum_{r['status']}", "", int(r["s"]))
+                for _, r in agg.sort_values("status").iterrows()]
+
     tasks = [t_count_orders, t_event_types, t_sample, t_union, t_brand,
              t_topk2, t_rolling, t_tumbling, t_prevgap, t_concat, t_hist,
              t_regexfw, t_priocode, t_mask, t_propsjson,
@@ -2668,7 +2710,7 @@ def combined_small_shapes(sf_dir: str) -> pd.DataFrame:
              t_m9, t_jnat, t_o3, t_bpe, t_strat, t_asof, t_median,
              t_range, t_sess, t_m1, t_tpd, t_pack, t_shard, t_ngram,
              t_fprint, t_zs, t_shc, t_hhx, t_hllr, t_pg, t_pf,
-             t_cc, t_dut, t_tix, t_cdc]
+             t_cc, t_dut, t_tix, t_cdc, t_cdiff]
     with ThreadPoolExecutor(max_workers=8) as ex:
         results = list(ex.map(lambda f: f(), tasks))
     rows = [r for res in results for r in res]
@@ -3485,6 +3527,8 @@ QUERIES = {
     "text_index_search": q_text_index_search,
     # round-4: content-defined chunking dedup (fold #23 in-window)
     "dedup_cdc": q_dedup_cdc,
+    # round-4: snapshot-versioning diff (fold #24 in-window)
+    "corpus_diff": q_corpus_diff,
     # displaced by the in-window multimodal value checks: chunking is
     # re-verified inside rag_prep, the funnel inside training_prep
     "chunk_documents": q_chunk_documents,
@@ -4421,7 +4465,23 @@ ORACLE_SQL = {
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(COUNT(*) AS BIGINT) AS n
           FROM cdc_d a JOIN cdc_d b ON a.h = b.h AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+          GROUP BY 1, 2),
+        cdiff_new AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 17 <> 0
+          UNION ALL
+          SELECT doc_id + 10000000 AS doc_id, text
+          FROM documents WHERE doc_id % 25 = 0),
+        cdiff AS (
+          SELECT COALESCE(b.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN b.text IS NULL THEN 'added'
+                      WHEN n.text IS NULL THEN 'removed'
+                      WHEN b.text = n.text THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM documents b FULL OUTER JOIN cdiff_new n
+            ON b.doc_id = n.doc_id)
         SELECT 'count_orders' AS metric, '' AS k, COUNT(*) AS v FROM orders
         UNION ALL
         SELECT 'event_type', event_type, CAST(1 AS BIGINT)
@@ -4796,7 +4856,12 @@ ORACLE_SQL = {
         UNION ALL
         SELECT 'cdc_sum_chk', '',
                CAST(COALESCE(SUM(doc_a * 31 + doc_b * 7 + n), 0) AS BIGINT)
-        FROM cdc_pairs""",
+        FROM cdc_pairs
+        UNION ALL
+        SELECT 'cdiff_' || status, '', COUNT(*) FROM cdiff GROUP BY status
+        UNION ALL
+        SELECT 'cdiff_sum_' || status, '', CAST(SUM(doc_id) AS BIGINT)
+        FROM cdiff GROUP BY status""",
     # exact two-pass heavy hitters: the MG candidate sweep only
     # determines WHICH values get exact-counted; the final filter is
     # the pure frequency rule, so the oracle is a plain GROUP BY HAVING
@@ -4855,6 +4920,23 @@ ORACLE_SQL = {
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type""",
+    # snapshot diff: FULL OUTER JOIN replay of the planted next
+    # snapshot; the engine compares md5s, equal iff the texts are equal
+    "corpus_diff": """
+        WITH newt AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 17 <> 0
+          UNION ALL
+          SELECT doc_id + 10000000 AS doc_id, text
+          FROM documents WHERE doc_id % 25 = 0)
+        SELECT COALESCE(b.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN b.text IS NULL THEN 'added'
+                    WHEN n.text IS NULL THEN 'removed'
+                    WHEN b.text = n.text THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM documents b FULL OUTER JOIN newt n ON b.doc_id = n.doc_id""",
     # content-defined chunk boundaries: flag tokens by md5 % modulus,
     # chunk id = windowed prefix sum of flags over PRECEDING tokens,
     # chunks shorter than 8 tokens are not hashed (same rule engine-side)

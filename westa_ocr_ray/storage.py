@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 import ray.data as rd
 
 try:  # pragma: no cover - lance absent in this environment
@@ -218,3 +220,48 @@ def export_jsonl_shards(ds: rd.Dataset, out_dir: str,
     with open(marker, "w") as f:
         f.write("ok\n")
     return manifest
+
+
+def snapshot_diff(base: rd.Dataset, new: rd.Dataset,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Corpus-version diff (the dataset-versioning audit between two
+    snapshots): per doc, 'added' (new only), 'removed' (base only),
+    'changed' (both, text differs) or 'unchanged'. The full-outer-join
+    shape without a join: both sides reduce to (id, content-md5) rows
+    tagged by side, one bucketed partial aggregate folds the two hashes
+    per id, and a streaming map classifies — text never shuffles, only
+    (id, 32-byte hash) rows cross the wire, so a 100 TB snapshot pair
+    diffs at metadata cost. Exact and SQL-expressible
+    (queries.ORACLE_SQL['corpus_diff']). Returns (doc_id, status)."""
+    import hashlib
+
+    from .relops import partial_aggregate
+
+    def tagger(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            h = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                 for t in df[text_col]]
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                "ha": h if side == "a" else [""] * len(df),
+                "hb": h if side == "b" else [""] * len(df),
+            })
+        return fn
+
+    both = (base.map_batches(tagger("a"), batch_format="pandas")
+            .union(new.map_batches(tagger("b"), batch_format="pandas")))
+    folded = partial_aggregate(both, [id_col],
+                               {"ha": ("max", "ha"), "hb": ("max", "hb")},
+                               num_buckets=num_buckets)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        ha, hb = df["ha"].to_numpy(), df["hb"].to_numpy()
+        status = np.where(ha == "", "added",
+                          np.where(hb == "", "removed",
+                                   np.where(ha == hb, "unchanged",
+                                            "changed")))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "status": status})
+
+    return folded.map_batches(classify, batch_format="pandas")
