@@ -1034,6 +1034,30 @@ def q_sim_ann_ivf(sf_dir: str) -> pd.DataFrame:
         n_centroids=16, n_probe=4, rounds=2)
 
 
+def q_ann_recall_report(sf_dir: str) -> pd.DataFrame:
+    """Recall@5 audit of BOTH approximate ANN paths (LSH buckets, IVF
+    probes) against the exact brute-force top-k at the probe queries —
+    the quantitative health metric the documented-approximate family
+    ships with, as a first-class query instead of a test-only gate.
+    All three pipelines are deterministic, so the report is stable;
+    rows-only by design (the LSH/IVF sides hash with non-SQL kernels).
+    Returns (method, query_id, recall_pct)."""
+    brute = q_sim_topk(sf_dir)
+    rows = []
+    for method, ann in (("lsh", q_sim_ann_lsh(sf_dir)),
+                        ("ivf", q_sim_ann_ivf(sf_dir))):
+        for qid, sub in brute.groupby("query_id"):
+            truth = set(sub["neighbor_id"])
+            got = set(ann[ann["query_id"] == qid]["neighbor_id"])
+            rows.append((method, int(qid),
+                         int(100 * len(truth & got) // max(len(truth), 1))))
+    return pd.DataFrame({"method": [r[0] for r in rows],
+                         "query_id": np.array([r[1] for r in rows],
+                                              dtype=np.int64),
+                         "recall_pct": np.array([r[2] for r in rows],
+                                                dtype=np.int64)})
+
+
 #: fixed BM25 probe terms (sorted; vocab words so df > 0 at every sf)
 BM25_TERMS = ("hash", "merge", "vector", "window")
 
@@ -1736,6 +1760,36 @@ def q_extract_flat(sf_dir: str) -> rd.Dataset:
         })
 
     return res.map_batches(flat, batch_format="pyarrow")
+
+
+def extract_span_checksum(sf_dir: str) -> rd.Dataset:
+    """EVERY extracted span value-checked by the driver, compactly: the
+    flat span rows fold per kind into (n_spans, sum of a per-span
+    md5(doc_id|order|kind|text|media_ref) checksum) — a change to any
+    span's text, position or ref anywhere in the corpus moves the sum.
+    Value oracle = the independent single-process reference extraction
+    through the same fold (_extract_span_checksum_oracle_sql VALUES,
+    the extract_summary pattern) — this closes the extract_flat family
+    to driver-visible VALUE checks beyond the summary counters."""
+    flat = q_extract_flat(sf_dir)
+
+    def chk(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        c = np.fromiter(
+            (int(_h.md5(f"{d}|{o}|{k}|{t}|{m}".encode("utf-8"))
+                 .hexdigest()[:8], 16)
+             for d, o, k, t, m in zip(df["doc_id"], df["order"],
+                                      df["kind"], df["text"],
+                                      df["media_ref"])),
+            dtype=np.int64, count=len(df))
+        return pd.DataFrame({"kind": df["kind"].to_numpy(), "chk": c})
+
+    agg = partial_aggregate(flat.map_batches(chk, batch_format="pandas"),
+                            ["kind"], {"n_spans": ("count", None),
+                                       "sum_chk": ("sum", "chk")})
+    return agg.map_batches(
+        lambda df: df.astype({"n_spans": "int64", "sum_chk": "int64"}),
+        batch_format="pandas")
 
 
 def q_extract_summary(sf_dir: str) -> rd.Dataset:
@@ -3193,6 +3247,50 @@ def _extract_summary_oracle_sql(tier: str = "correctness") -> str:
                master_hits)"""
 
 
+def _extract_span_checksum_oracle_sql(tier: str = "correctness") -> str:
+    """Inline-VALUES oracle for extract_span_checksum: the serial
+    reference extraction (oracle.extract_corpus) folded through the
+    SAME per-span md5 checksum — disk-cached per source fingerprint
+    like _extract_summary_oracle_sql."""
+    import hashlib as _h
+    import json
+    import os
+
+    from . import oracle as oracle_mod
+
+    fp = fixtures.source_fingerprint(fixtures, extractors, oracle_mod)
+    cache = f"/tmp/westa_oracle_cache/{fp}_{tier}_spanchk.json"
+    rows = None
+    if os.path.exists(cache):
+        try:
+            with open(cache) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            rows = None
+    if rows is None:
+        per_doc = oracle_mod.extract_corpus(fixtures.DEFAULT_SEED,
+                                            fixtures.TIERS[tier])
+        acc: dict = {}
+        for r in per_doc:
+            for s in r["spans"]:
+                a = acc.setdefault(s["kind"], [0, 0])
+                a[0] += 1
+                a[1] += int(_h.md5(
+                    f"{r['doc_id']}|{s['order']}|{s['kind']}|{s['text']}|"
+                    f"{s['media_ref']}".encode("utf-8")).hexdigest()[:8], 16)
+        rows = [[k] + v for k, v in sorted(acc.items())]
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(rows, fh)
+        os.replace(tmp, cache)
+    vals = ", ".join("('{}', {}, {})".format(*r) for r in rows)
+    return f"""
+        SELECT kind, CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(sum_chk AS BIGINT) AS sum_chk
+        FROM (VALUES {vals}) AS t(kind, n_spans, sum_chk)"""
+
+
 # ----------------------------------------------------------- multimodal
 
 def q_mm_payload_dedup(sf_dir: str) -> rd.Dataset:
@@ -3381,6 +3479,11 @@ def _langid_oracle_sql() -> str:
 # `combined_small_shapes`;
 # scripts/check_queries.py covers EVERY ORACLE_SQL entry locally
 # regardless of the window.
+#
+# As of round 4 every one of the 50 in-window queries is
+# oracle-bearing (extract_pipeline's raw-rows slot went to its value
+# twin extract_span_checksum; the round-4 operators live past-window
+# with their checksums folded into combined_small_shapes #16-#24).
 QUERIES = {
     # flagship extraction family: SQL-checkable twins first
     # (ingest_flat_documents = full pipeline on the flat corpus;
@@ -3388,7 +3491,13 @@ QUERIES = {
     # pipeline rows (value oracle = the pytest span-sequence gate)
     "ingest_flat_documents": ingest_flat_documents,
     "parse_detail_rows": parse_detail_rows,
-    "extract_pipeline": q_extract_pipeline,
+    # extract_span_checksum value-checks EVERY span of the flagship
+    # extraction (per-kind md5 fold vs the serial reference VALUES);
+    # it runs the same marker-cached extraction extract_pipeline
+    # returns raw, so the pipeline itself still executes under the
+    # driver (and again via entry()); the raw row view moved
+    # past-window next to extract_flat
+    "extract_span_checksum": extract_span_checksum,
     "extract_summary": q_extract_summary,
     # dedup / cleaning (oracle-bearing)
     "dedup_exact": q_dedup_exact,
@@ -3529,6 +3638,9 @@ QUERIES = {
     "dedup_cdc": q_dedup_cdc,
     # round-4: snapshot-versioning diff (fold #24 in-window)
     "corpus_diff": q_corpus_diff,
+    # round-4: the flagship's raw row view (rows-only; its VALUE check
+    # is extract_span_checksum in-window + the pytest span gate)
+    "extract_pipeline": q_extract_pipeline,
     # displaced by the in-window multimodal value checks: chunking is
     # re-verified inside rag_prep, the funnel inside training_prep
     "chunk_documents": q_chunk_documents,
@@ -3573,6 +3685,7 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "ann_recall_report": q_ann_recall_report,
     "sim_ann_ivf": q_sim_ann_ivf,
     "sim_ann_ivf_index": q_sim_ann_ivf_index,
     "mm_featurize": q_mm_featurize,
@@ -3929,6 +4042,7 @@ ORACLE_SQL = {
     "mm_prep": _mm_prep_oracle_sql("correctness"),
     "pagerank_dups": _pagerank_oracle_sql(3),
     "extract_summary": _extract_summary_oracle_sql("correctness"),
+    "extract_span_checksum": _extract_span_checksum_oracle_sql("correctness"),
     "pack_sequences": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         SELECT doc_id, CAST(i AS INTEGER) AS seq_idx,
@@ -5323,6 +5437,7 @@ ORACLE_SQL = {
 # through this hook when checking other sf dirs.
 TIER_ORACLE_BUILDERS = {
     "extract_summary": _extract_summary_oracle_sql,
+    "extract_span_checksum": _extract_span_checksum_oracle_sql,
     "bpe_train": _bpe_train_oracle_sql,
     "bpe_encode": _bpe_encode_oracle_sql,
     "media_usage": _media_usage_oracle_sql,
