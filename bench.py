@@ -38,7 +38,11 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "dsir_weights",
                  # round-3 continuation #2 additions
                  "semantic_dedup", "quality_classifier", "bpe_train",
-                 "mm_interleaved_pack", "mm_prep"]
+                 "mm_interleaved_pack", "mm_prep",
+                 # round-4 additions
+                 "heavy_hitters_exact", "distinct_users_per_type",
+                 "length_percentile_filter", "dedup_cdc", "corpus_diff",
+                 "text_index_search", "extract_span_checksum"]
 
 
 def _warm_workers(ncpu: int) -> None:
