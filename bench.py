@@ -42,7 +42,8 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 additions
                  "heavy_hitters_exact", "distinct_users_per_type",
                  "length_percentile_filter", "dedup_cdc", "corpus_diff",
-                 "text_index_search", "extract_span_checksum"]
+                 "text_index_search", "bm25_index_search",
+                 "extract_span_checksum"]
 
 
 def _warm_workers(ncpu: int) -> None:

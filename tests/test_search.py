@@ -105,3 +105,33 @@ def test_text_index_build_lookup_roundtrip(tmp_path):
     build_text_index(rd.from_pandas(df), out, num_buckets=8)
     assert sorted(glob.glob(os.path.join(out, "postings", "*", "*"))) == before
     del probe
+
+
+def test_bm25_from_index_bit_identical_to_full_scan(tmp_path):
+    """The index-served BM25 must reproduce the full-corpus-scan BM25
+    exactly (same floats, same floor-micro, same ranks) — including
+    zero-hit docs entering the tail of the ranking via doclen."""
+    import numpy as np
+    import ray.data as rd
+
+    from westa_ocr_ray.search import (bm25_from_index, bm25_topk,
+                                      build_text_index)
+
+    rng = np.random.RandomState(2)
+    vocab = [f"w{i}" for i in range(30)] + ["merge", "hash"]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab,
+                                          size=rng.randint(5, 40)))}
+            for i in range(120)]
+    ds = rd.from_items(rows).repartition(6)
+    terms = ["merge", "hash", "nosuchterm"]
+
+    full = (bm25_topk(ds, terms, k=30).to_pandas()
+            .sort_values("rank", ignore_index=True))
+    out = str(tmp_path / "ix")
+    build_text_index(ds, out, num_buckets=8)
+    fromix = (bm25_from_index(out, terms, k=30, num_buckets=8).to_pandas()
+              .sort_values("rank", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        full[["doc_id", "score_micro", "rank"]],
+        fromix[["doc_id", "score_micro", "rank"]])

@@ -988,6 +988,20 @@ def q_sim_ann_ivf_index(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_topk_from_index(out, qmat, qids, k=5, n_probe=4)
 
 
+def _text_index_dir(sf_dir: str) -> str:
+    """Cache dir for the persisted inverted index: keyed by the corpus
+    file stat AND the on-disk format version, so a layout change never
+    reads a stale /tmp index."""
+    import os
+
+    from .search import TEXT_INDEX_FORMAT
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = dedup.md5_hex(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v{TEXT_INDEX_FORMAT}")[:12]
+    return f"/tmp/westa_text_index/{key}"
+
+
 def q_text_index_search(sf_dir: str) -> pd.DataFrame:
     """Term lookup through a PERSISTED inverted index (build once under
     /tmp — hive-partitioned postings + _SUCCESS resume marker, the
@@ -999,9 +1013,7 @@ def q_text_index_search(sf_dir: str) -> pd.DataFrame:
     from . import search
 
     docs = rp(sf_dir, "documents", ["doc_id", "text"])
-    st = os.stat(f"{sf_dir}/documents.parquet")
-    key = dedup.md5_hex(f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}")[:12]
-    out = f"/tmp/westa_text_index/{key}"
+    out = _text_index_dir(sf_dir)
     search.build_text_index(docs, out, num_buckets=64)
     return search.text_index_lookup(out, CMS_QUERY_TOKENS, num_buckets=64)
 
@@ -1069,6 +1081,22 @@ def q_bm25_search(sf_dir: str) -> rd.Dataset:
     sort (search.bm25_topk; oracle generated from the same constants)."""
     return search.bm25_topk(rp(sf_dir, "documents", ["doc_id", "text"]),
                             BM25_TERMS, k=50)
+
+
+def q_bm25_index_search(sf_dir: str) -> rd.Dataset:
+    """The SAME BM25 top-50 answered from the PERSISTED inverted index
+    (search.bm25_from_index): term postings from only their bucket
+    partitions, doc lengths from the index-time doclen table — nothing
+    re-tokenizes the corpus at query time. Bit-identical to
+    bm25_search, so it shares the generated SQL oracle (the strongest
+    possible index-correctness check: the index-served scores hash-
+    match a full-corpus-scan derivation)."""
+    from . import search
+
+    out = _text_index_dir(sf_dir)
+    search.build_text_index(rp(sf_dir, "documents", ["doc_id", "text"]),
+                            out, num_buckets=64)
+    return search.bm25_from_index(out, BM25_TERMS, k=50, num_buckets=64)
 
 
 # ------------------------------------------------------- text analysis
@@ -3634,6 +3662,9 @@ QUERIES = {
     "distinct_users_per_type": distinct_users_per_type,
     # round-4: persisted inverted index (pruned-bucket lookup; fold #22)
     "text_index_search": q_text_index_search,
+    # round-4: BM25 served FROM the index, hash-matched against the
+    # full-scan oracle (past-window; check_queries gates it)
+    "bm25_index_search": q_bm25_index_search,
     # round-4: content-defined chunking dedup (fold #23 in-window)
     "dedup_cdc": q_dedup_cdc,
     # round-4: snapshot-versioning diff (fold #24 in-window)
@@ -5429,6 +5460,7 @@ ORACLE_SQL = {
                     ELSE 0 END AS BIGINT) AS z_milli
         FROM sized s JOIN m USING (lang)""",
     "bm25_search": search.bm25_oracle_sql(BM25_TERMS, k=50),
+    "bm25_index_search": search.bm25_oracle_sql(BM25_TERMS, k=50),
 }
 
 # Oracles whose expected values depend on the fixture-corpus TIER. The

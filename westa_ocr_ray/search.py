@@ -150,6 +150,11 @@ def bm25_oracle_sql(terms: Sequence[str], k: int = 50,
 
 # ------------------------------------------- persisted inverted index
 
+#: bump when the on-disk index layout changes (cache keys include it,
+#: so stale /tmp indexes from an older code version are never read)
+TEXT_INDEX_FORMAT = 2
+
+
 def build_text_index(ds: rd.Dataset, out_dir: str, id_col: str = "doc_id",
                      text_col: str = "text",
                      num_buckets: int = 64) -> str:
@@ -196,6 +201,23 @@ def build_text_index(ds: rd.Dataset, out_dir: str, id_col: str = "doc_id",
     with DATASET_CONSTRUCTION_LOCK:
         sink.write_parquet(os.path.join(out_dir, "postings"),
                            partition_cols=["bucket"])
+
+    # index-time corpus statistics for query-time BM25: per-doc length
+    # (= Σ tf over the doc's posting rows — whitespace token count) and
+    # the global (n_docs, sum_dl) pair. doclen is doc-count-sized and
+    # narrow; stats.json is two integers.
+    doclen = partial_aggregate(table, [id_col], {"dl": ("sum", "tf")})
+    with DATASET_CONSTRUCTION_LOCK:
+        doclen.write_parquet(os.path.join(out_dir, "doclen"))
+    tot = partial_aggregate(
+        doclen.map_batches(lambda df: df.assign(__g=0),
+                           batch_format="pandas"),
+        ["__g"], {"n_docs": ("count", None), "sum_dl": ("sum", "dl")}
+    ).to_pandas()
+    import json as _json
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        _json.dump({"n_docs": int(tot["n_docs"][0]),
+                    "sum_dl": int(tot["sum_dl"][0])}, f)
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
@@ -231,3 +253,128 @@ def text_index_lookup(index_dir: str, terms: Sequence[str],
            .to_pandas())
     return (out.astype({"tf": np.int64})
             .sort_values(["token", id_col], ignore_index=True))
+
+
+def text_index_postings(index_dir: str, terms: Sequence[str],
+                        num_buckets: int = 64,
+                        id_col: str = "doc_id") -> Optional[rd.Dataset]:
+    """Dataset variant of text_index_lookup (postings stay distributed —
+    the input shape bm25_from_index's joins need). None when no bucket
+    files exist."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    from .relops import DATASET_CONSTRUCTION_LOCK
+
+    want = sorted({int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                   % num_buckets for t in terms})
+    paths = [f for b in want for f in sorted(_glob.glob(
+        os.path.join(index_dir, "postings", f"bucket={b}", "*.parquet")))]
+    if not paths:
+        return None
+    tset = set(terms)
+    with DATASET_CONSTRUCTION_LOCK:
+        ds = rd.read_parquet(paths)
+    return ds.map_batches(lambda df: df[df["token"].isin(tset)]
+                          [["token", id_col, "tf"]],
+                          batch_format="pandas")
+
+
+def bm25_from_index(index_dir: str, terms: Sequence[str], k: int = 50,
+                    k1: float = BM25_K1, b: float = BM25_B,
+                    id_col: str = "doc_id",
+                    num_buckets: int = 64,
+                    agg_buckets: Optional[int] = None) -> rd.Dataset:
+    """BM25 top-k answered FROM the persisted index — the build-once /
+    query-many retrieval path: term postings come from only their
+    bucket partitions, document lengths from the index-time doclen
+    table, (n_docs, sum_dl) from stats.json; nothing re-tokenizes the
+    corpus. Bit-identical to bm25_topk on the same corpus/terms (same
+    sorted-term left-to-right float accumulation, same floor-micro) —
+    so it shares bm25_oracle_sql. Scale shape: probed postings pivot
+    per doc through one bucketed aggregate, then LEFT-join onto doclen
+    (zero-hit docs score 0, preserving full-corpus rank semantics); a
+    stop-word-sized posting list never lands on the driver."""
+    import json
+    import os
+
+    from .relops import hash_join, partial_aggregate
+
+    terms = sorted(terms)
+    nt = len(terms)
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        st = json.load(f)
+    n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
+    avgdl = sum_dl / n_docs
+
+    post = text_index_postings(index_dir, terms, num_buckets=num_buckets,
+                               id_col=id_col)
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        out = {id_col: df[id_col].to_numpy()}
+        tf = df["tf"].to_numpy(dtype=np.int64)
+        tok = df["token"].to_numpy()
+        for i, t in enumerate(terms):
+            out[f"tf{i}"] = np.where(tok == t, tf, 0)
+        return pd.DataFrame(out)
+
+    if post is None:
+        tfdoc = None
+        dfs = [0] * nt
+    else:
+        aggs = {f"tf{i}": ("sum", f"tf{i}") for i in range(nt)}
+        tfdoc = partial_aggregate(post.map_batches(pivot,
+                                                   batch_format="pandas"),
+                                  [id_col], aggs,
+                                  num_buckets=agg_buckets).materialize()
+        g = partial_aggregate(
+            tfdoc.map_batches(
+                lambda df: pd.DataFrame(
+                    {"__g": np.zeros(len(df), dtype=np.int32),
+                     **{f"h{i}": (df[f"tf{i}"].to_numpy() > 0)
+                        .astype(np.int64) for i in range(nt)}}),
+                batch_format="pandas"),
+            ["__g"], {f"df{i}": ("sum", f"h{i}") for i in range(nt)},
+            num_buckets=agg_buckets).to_pandas()
+        dfs = [int(g[f"df{i}"][0]) if len(g) else 0 for i in range(nt)]
+
+    import math as _math
+    idf = [_math.log((n_docs - dfs[i] + 0.5) / (dfs[i] + 0.5))
+           for i in range(nt)]
+    k1p1 = k1 + 1.0
+
+    from .relops import DATASET_CONSTRUCTION_LOCK, grouped_topk
+    with DATASET_CONSTRUCTION_LOCK:
+        doclen = rd.read_parquet(os.path.join(index_dir, "doclen"))
+    if tfdoc is not None:
+        scored_in = hash_join(doclen, tfdoc, id_col, id_col, how="left",
+                              num_buckets=agg_buckets,
+                              left_cols=[id_col, "dl"],
+                              right_cols=[id_col] + [f"tf{i}"
+                                                     for i in range(nt)])
+    else:
+        scored_in = doclen.map_batches(
+            lambda df: df.assign(**{f"tf{i}": np.int64(0)
+                                    for i in range(nt)}),
+            batch_format="pandas")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["dl"].to_numpy(dtype=np.float64)
+        s = np.zeros(len(df), dtype=np.float64)
+        for i in range(nt):  # fixed order — bit-identical to bm25_topk
+            tf = np.nan_to_num(df[f"tf{i}"].to_numpy(dtype=np.float64))
+            s = s + idf[i] * (tf * k1p1) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "score_micro": np.floor(s * 1000000.0).astype(np.int64),
+            "__g": np.zeros(len(df), dtype=np.int32),
+        })
+
+    top = grouped_topk(scored_in.map_batches(score, batch_format="pandas"),
+                       ["__g"], ["score_micro", id_col], k,
+                       ascending=[False, True], num_buckets=agg_buckets)
+    return top.map_batches(
+        lambda df: df[[id_col, "score_micro", "rk"]]
+                     .rename(columns={"rk": "rank"}),
+        batch_format="pandas")
