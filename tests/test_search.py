@@ -135,3 +135,44 @@ def test_bm25_from_index_bit_identical_to_full_scan(tmp_path):
     pd.testing.assert_frame_equal(
         full[["doc_id", "score_micro", "rank"]],
         fromix[["doc_id", "score_micro", "rank"]])
+
+
+def test_add_to_text_index_equals_full_rebuild(tmp_path):
+    """Incremental add: postings/doclen/stats extend in place, and both
+    term lookups and index-served BM25 equal a full rebuild over the
+    union corpus."""
+    import numpy as np
+    import ray.data as rd
+
+    from westa_ocr_ray.search import (add_to_text_index, bm25_from_index,
+                                      build_text_index, text_index_lookup)
+
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(20)] + ["merge", "hash"]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab,
+                                          size=rng.randint(5, 30)))}
+            for i in range(90)]
+    base = [r for r in rows if r["doc_id"] % 3 != 0]
+    inc = [r for r in rows if r["doc_id"] % 3 == 0]
+
+    ix_inc = str(tmp_path / "inc")
+    build_text_index(rd.from_items(base).repartition(4), ix_inc,
+                     num_buckets=8)
+    add_to_text_index(rd.from_items(inc).repartition(3), ix_inc,
+                      num_buckets=8)
+
+    ix_full = str(tmp_path / "full")
+    build_text_index(rd.from_items(rows).repartition(5), ix_full,
+                     num_buckets=8)
+
+    terms = ["merge", "hash", "w3"]
+    a = text_index_lookup(ix_inc, terms, num_buckets=8)
+    b = text_index_lookup(ix_full, terms, num_buckets=8)
+    pd.testing.assert_frame_equal(a, b)
+
+    fa = (bm25_from_index(ix_inc, terms, k=25, num_buckets=8).to_pandas()
+          .sort_values("rank", ignore_index=True))
+    fb = (bm25_from_index(ix_full, terms, k=25, num_buckets=8).to_pandas()
+          .sort_values("rank", ignore_index=True))
+    pd.testing.assert_frame_equal(fa, fb)

@@ -1083,6 +1083,31 @@ def q_bm25_search(sf_dir: str) -> rd.Dataset:
                             BM25_TERMS, k=50)
 
 
+def q_text_index_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental index maintenance: build the index from the base
+    snapshot (doc_id %% 3 != 0), ADD the remaining docs in place
+    (search.add_to_text_index — postings append, doclen extends,
+    stats merge), then look up the probe terms. Hash-matches the SAME
+    SQL oracle as text_index_search (the full-corpus derivation) —
+    proving incremental == rebuild."""
+    import os
+    import shutil
+
+    from . import search
+
+    out = _text_index_dir(sf_dir) + "_incr"
+    if not os.path.exists(os.path.join(out, "_SUCCESS.2")):
+        shutil.rmtree(out, ignore_errors=True)  # wipe a half-done add
+        docs = rp(sf_dir, "documents", ["doc_id", "text"])
+        base = docs.map_batches(lambda df: df[df["doc_id"] % 3 != 0],
+                                batch_format="pandas")
+        inc = docs.map_batches(lambda df: df[df["doc_id"] % 3 == 0],
+                               batch_format="pandas")
+        search.build_text_index(base, out, num_buckets=64)
+        search.add_to_text_index(inc, out, num_buckets=64)
+    return search.text_index_lookup(out, CMS_QUERY_TOKENS, num_buckets=64)
+
+
 def q_bm25_index_search(sf_dir: str) -> rd.Dataset:
     """The SAME BM25 top-50 answered from the PERSISTED inverted index
     (search.bm25_from_index): term postings from only their bucket
@@ -3665,6 +3690,9 @@ QUERIES = {
     # round-4: BM25 served FROM the index, hash-matched against the
     # full-scan oracle (past-window; check_queries gates it)
     "bm25_index_search": q_bm25_index_search,
+    # round-4: incremental index add == full rebuild (same oracle as
+    # text_index_search)
+    "text_index_incremental": q_text_index_incremental,
     # round-4: content-defined chunking dedup (fold #23 in-window)
     "dedup_cdc": q_dedup_cdc,
     # round-4: snapshot-versioning diff (fold #24 in-window)
@@ -5461,6 +5489,12 @@ ORACLE_SQL = {
         FROM sized s JOIN m USING (lang)""",
     "bm25_search": search.bm25_oracle_sql(BM25_TERMS, k=50),
     "bm25_index_search": search.bm25_oracle_sql(BM25_TERMS, k=50),
+    "text_index_incremental": f"""
+        SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token IN ({', '.join(repr(t) for t in CMS_QUERY_TOKENS)})
+        GROUP BY token, doc_id""",
 }
 
 # Oracles whose expected values depend on the fixture-corpus TIER. The

@@ -378,3 +378,73 @@ def bm25_from_index(index_dir: str, terms: Sequence[str], k: int = 50,
         lambda df: df[[id_col, "score_micro", "rk"]]
                      .rename(columns={"rk": "rank"}),
         batch_format="pandas")
+
+
+def add_to_text_index(ds: rd.Dataset, index_dir: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_buckets: int = 64) -> str:
+    """INCREMENTAL index update: append a new snapshot's postings into
+    the existing bucket partitions (the posting layout is additive —
+    one row per (token, doc), so disjoint doc sets just append files;
+    lookups and BM25 aggregate per (token, doc) regardless of which
+    file a row lives in), extend doclen, and rewrite stats.json.
+    After the add, every query is IDENTICAL to a full rebuild over the
+    union corpus (equality-tested; the planted-increment query
+    text_index_incremental hash-checks it against SQL). The caller
+    owns doc-id disjointness (re-adding an existing doc double-counts;
+    dedup_incremental is the dedup step for that). Each add stamps
+    _SUCCESS.<n>; a crashed add leaves no marker and is re-run whole."""
+    import glob as _glob
+    import hashlib
+    import json
+    import os
+
+    from .relops import DATASET_CONSTRUCTION_LOCK, partial_aggregate
+
+    gen = len(_glob.glob(os.path.join(index_dir, "_SUCCESS*"))) + 1
+    marker = os.path.join(index_dir, f"_SUCCESS.{gen}")
+    if os.path.exists(marker):  # pragma: no cover - racing adds
+        return index_dir
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df.assign(token=df[text_col].str.split(" "))[[id_col, "token"]]
+              .explode("token", ignore_index=True).dropna())
+        g = ex.groupby(["token", id_col], sort=False).size().reset_index()
+        g.columns = ["token", id_col, "tf"]
+        return g.astype({"tf": np.int64})
+
+    table = partial_aggregate(
+        ds.map_batches(postings, batch_format="pandas"),
+        ["token", id_col], {"tf": ("sum", "tf")})
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.fromiter(
+            (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+             % num_buckets for t in df["token"]),
+            dtype=np.int64, count=len(df))
+        return df.assign(bucket=b)
+
+    sink = table.map_batches(bucketed, batch_format="pandas")
+    with DATASET_CONSTRUCTION_LOCK:
+        sink.write_parquet(os.path.join(index_dir, "postings"),
+                           partition_cols=["bucket"])
+
+    doclen = partial_aggregate(table, [id_col], {"dl": ("sum", "tf")})
+    with DATASET_CONSTRUCTION_LOCK:
+        doclen.write_parquet(os.path.join(index_dir, "doclen"))
+    tot = partial_aggregate(
+        doclen.map_batches(lambda df: df.assign(__g=0),
+                           batch_format="pandas"),
+        ["__g"], {"n_docs": ("count", None), "sum_dl": ("sum", "dl")}
+    ).to_pandas()
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        st = json.load(f)
+    st = {"n_docs": int(st["n_docs"]) + int(tot["n_docs"][0]),
+          "sum_dl": int(st["sum_dl"]) + int(tot["sum_dl"][0])}
+    tmp = os.path.join(index_dir, f"stats.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(st, f)
+    os.replace(tmp, os.path.join(index_dir, "stats.json"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return index_dir
