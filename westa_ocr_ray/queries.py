@@ -614,14 +614,19 @@ def events_rolling_sum3(sf_dir: str) -> rd.Dataset:
     return _bucketed_by_user(ev, fn)
 
 
-def _bucketed_by_user(ev: rd.Dataset, fn, buckets: Optional[int] = None) -> rd.Dataset:
+def _bucketed_by_user(ev: rd.Dataset, fn, buckets: Optional[int] = None,
+                      sort_cols: Optional[List[str]] = None) -> rd.Dataset:
     """Partition events by user hash-bucket, apply fn per bucket with
-    rows sorted by (user_id, ts, event_id) — the ordered-log contract
-    for per-key windowed/stateful semantics. Bucket count follows the
+    rows sorted by ``sort_cols`` (default (user_id, ts, event_id) —
+    EVENT-time order; pass (user_id, event_id) for ARRIVAL order, the
+    watermark/late-data contract) — the ordered-log pattern for
+    per-key windowed/stateful semantics. Bucket count follows the
     auto_buckets sizing rule (floor 32 = the round-2 constant)."""
     if buckets is None:
         from .relops import auto_buckets
         buckets = auto_buckets(floor=32)
+    if sort_cols is None:
+        sort_cols = ["user_id", "ts", "event_id"]
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -629,12 +634,39 @@ def _bucketed_by_user(ev: rd.Dataset, fn, buckets: Optional[int] = None) -> rd.D
         return df
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns="__b").sort_values(
-            ["user_id", "ts", "event_id"], ignore_index=True)
+        df = df.drop(columns="__b").sort_values(sort_cols,
+                                                ignore_index=True)
         return fn(df)
 
     return (ev.map_batches(tag, batch_format="pandas")
             .groupby("__b").map_groups(run, batch_format="pandas"))
+
+
+LATE_WATERMARK_US = 120 * 10**6  # 2-minute allowed lateness
+
+
+def events_late_flags(sf_dir: str) -> rd.Dataset:
+    """Watermark / late-data handling — the out-of-order half of the
+    streaming semantics (§2.9): in ARRIVAL order (event_id is the
+    ingestion sequence), each event compares its EVENT time against
+    the per-user running max seen so far; disorder_us is how far
+    behind the frontier it arrived, is_late flags arrivals beyond the
+    2-minute watermark (a real stream would route those to a
+    correction path instead of the live window). Same ordered-log
+    bucket shape as sessionize, just arrival-sorted."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("int64")
+        cm = t.groupby(df["user_id"]).cummax()
+        prev = cm.groupby(df["user_id"]).shift()
+        behind = (prev - t).fillna(0).astype("int64").clip(lower=0)
+        late = (behind > LATE_WATERMARK_US).astype("int64")
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "is_late": late,
+                             "disorder_us": behind})
+
+    return _bucketed_by_user(ev, fn, sort_cols=["user_id", "event_id"])
 
 
 def events_prev_gap(sf_dir: str) -> rd.Dataset:
@@ -3693,6 +3725,9 @@ QUERIES = {
     # round-4: incremental index add == full rebuild (same oracle as
     # text_index_search)
     "text_index_incremental": q_text_index_incremental,
+    # round-4: watermark / late-data flags (the out-of-order streaming
+    # shape; past-window, check_queries gates it)
+    "events_late_flags": events_late_flags,
     # round-4: content-defined chunking dedup (fold #23 in-window)
     "dedup_cdc": q_dedup_cdc,
     # round-4: snapshot-versioning diff (fold #24 in-window)
@@ -5495,6 +5530,21 @@ ORACLE_SQL = {
               FROM documents)
         WHERE token IN ({', '.join(repr(t) for t in CMS_QUERY_TOKENS)})
         GROUP BY token, doc_id""",
+    "events_late_flags": f"""
+        WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                   FROM events),
+        w AS (SELECT event_id, t,
+                     MAX(t) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pm
+              FROM o)
+        SELECT event_id,
+               CAST(CASE WHEN pm IS NOT NULL
+                          AND pm - t > {LATE_WATERMARK_US}
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_late,
+               CAST(CASE WHEN pm IS NOT NULL AND pm - t > 0
+                         THEN pm - t ELSE 0 END AS BIGINT) AS disorder_us
+        FROM w""",
 }
 
 # Oracles whose expected values depend on the fixture-corpus TIER. The
