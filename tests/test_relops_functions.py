@@ -337,3 +337,36 @@ def test_grouped_quantile_thresholds_match_sort():
         t = int(np.sort(sub["v"].to_numpy())[k - 1])
         exp_ids = set(sub[sub["v"] >= t].index)
         assert len(kept[kept["lang"] == g]) == len(exp_ids)
+
+
+def test_events_late_flags_invariants():
+    """In-order users carry all zeros; a planted out-of-order arrival
+    gets the exact disorder distance and the watermark flag."""
+    base = 1_700_000_000_000_000  # µs epoch
+    rows = [
+        # user 1: strictly in order
+        {"event_id": 1, "user_id": 1, "ts": base + 0},
+        {"event_id": 2, "user_id": 1, "ts": base + 10**6},
+        # user 2: event 12 arrives 3 minutes behind the frontier
+        {"event_id": 11, "user_id": 2, "ts": base + 300 * 10**6},
+        {"event_id": 12, "user_id": 2, "ts": base + 120 * 10**6},
+        # user 2: event 13 only 1s behind -> disordered but NOT late
+        {"event_id": 13, "user_id": 2, "ts": base + 299 * 10**6},
+    ]
+    df = pd.DataFrame(rows)
+    # the events table schema is timestamp[us] (TESTDATA.md); the
+    # ordered-log ops derive integer MICROseconds from it
+    df["ts"] = pd.to_datetime(df["ts"], unit="us").astype("datetime64[us]")
+
+    import westa_ocr_ray.queries as q
+    # drive through the real query against a temp parquet dir
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        df.to_parquet(os.path.join(td, "events.parquet"))
+        got = (q.events_late_flags(td).to_pandas()
+               .set_index("event_id").sort_index())
+    assert list(got.loc[[1, 2], "disorder_us"]) == [0, 0]
+    assert int(got.loc[12, "disorder_us"]) == 180 * 10**6
+    assert int(got.loc[12, "is_late"]) == 1
+    assert int(got.loc[13, "disorder_us"]) == 1 * 10**6
+    assert int(got.loc[13, "is_late"]) == 0
