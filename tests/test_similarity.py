@@ -163,3 +163,31 @@ def test_ivf_index_build_query_and_resume(tmp_path):
     mt = os.path.getmtime(f"{out}/centroids.parquet")
     similarity.build_ivf_index(ds, out, n_centroids=4, rounds=2)
     assert os.path.getmtime(f"{out}/centroids.parquet") == mt
+
+
+def test_embedding_moments_match_numpy_any_layout():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray.similarity import embedding_moments
+
+    rng = np.random.RandomState(4)
+    X = rng.randn(200, 8).astype(np.float32) * 0.3
+    df = pd.DataFrame({"vec_id": np.arange(200),
+                       "embedding": [row for row in X]})
+    Q = np.round(X.astype(np.float64) * 1000).astype(np.int64)
+    M = Q.T @ Q
+
+    for parts in (1, 9):
+        out = (embedding_moments(rd.from_pandas(df).repartition(parts))
+               .to_pandas())
+        cnt = out[(out["i"] == -1) & (out["j"] == -1)]["v"].iloc[0]
+        assert int(cnt) == 200
+        sums = (out[(out["j"] == -1) & (out["i"] >= 0)]
+                .sort_values("i")["v"].to_numpy())
+        assert (sums == Q.sum(axis=0)).all()
+        tri = out[(out["i"] >= 0) & (out["j"] >= 0)]
+        for _, r in tri.iterrows():
+            assert int(r["v"]) == int(M[int(r["i"]), int(r["j"])])
+        assert len(tri) == 8 * 9 // 2

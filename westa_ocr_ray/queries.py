@@ -1078,6 +1078,15 @@ def q_sim_ann_ivf(sf_dir: str) -> pd.DataFrame:
         n_centroids=16, n_probe=4, rounds=2)
 
 
+def q_embedding_moments(sf_dir: str) -> rd.Dataset:
+    """One-pass distributed covariance/PCA input statistics over the
+    embeddings table (similarity.embedding_moments): integer-milli
+    second moments + per-dim sums + count — all-integer, hash-exact,
+    d(d+3)/2+1 rows per block on the wire."""
+    return similarity.embedding_moments(
+        rp(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
 def q_ann_recall_report(sf_dir: str) -> pd.DataFrame:
     """Recall@5 audit of BOTH approximate ANN paths (LSH buckets, IVF
     probes) against the exact brute-force top-k at the probe queries —
@@ -3728,6 +3737,8 @@ QUERIES = {
     # round-4: watermark / late-data flags (the out-of-order streaming
     # shape; past-window, check_queries gates it)
     "events_late_flags": events_late_flags,
+    # round-4: one-pass covariance/PCA statistics (integer-exact)
+    "embedding_moments": q_embedding_moments,
     # round-4: content-defined chunking dedup (fold #23 in-window)
     "dedup_cdc": q_dedup_cdc,
     # round-4: snapshot-versioning diff (fold #24 in-window)
@@ -5530,6 +5541,26 @@ ORACLE_SQL = {
               FROM documents)
         WHERE token IN ({', '.join(repr(t) for t in CMS_QUERY_TOKENS)})
         GROUP BY token, doc_id""",
+    "embedding_moments": """
+        WITH e AS (SELECT vec_id,
+                          CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                            AS xi,
+                          CAST(i - 1 AS INTEGER) AS i
+                   FROM (SELECT vec_id, unnest(embedding) AS x,
+                                generate_subscripts(embedding, 1) AS i
+                         FROM embeddings)),
+        m AS (SELECT a.i AS i, b.i AS j,
+                     CAST(SUM(a.xi * b.xi) AS BIGINT) AS v
+              FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY 1, 2),
+        s AS (SELECT i, CAST(-1 AS INTEGER) AS j,
+                     CAST(SUM(xi) AS BIGINT) AS v
+              FROM e GROUP BY 1),
+        n AS (SELECT CAST(-1 AS INTEGER) AS i, CAST(-1 AS INTEGER) AS j,
+                     COUNT(*) AS v
+              FROM embeddings)
+        SELECT * FROM m UNION ALL SELECT * FROM s
+        UNION ALL SELECT * FROM n""",
     "events_late_flags": f"""
         WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS t
                    FROM events),

@@ -434,3 +434,42 @@ def ann_topk_from_index(index_dir: str, query_vecs: np.ndarray,
     out = df[df["rank"] <= k][["query_id", "neighbor_id", "rank"]]
     out["rank"] = out["rank"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def embedding_moments(emb: rd.Dataset, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      scale: int = 1000) -> rd.Dataset:
+    """Distributed second-moment statistics of an embedding column —
+    the one-pass input to PCA / whitening / covariance conditioning:
+    per batch, quantize to integer millis (exact: float32 → float64 is
+    lossless, then one double multiply+round shared with the SQL
+    oracle) and emit the d×d upper-triangle of Qᵀ Q plus per-dim sums
+    and the row count; a bucketed partial aggregate folds the per-batch
+    moment matrices. The exchange carries d(d+3)/2 + 1 integer rows
+    per block — independent of corpus size (the classic "covariance is
+    a sum of outer products" factorization). All-integer, so the
+    result is block-layout independent and hash-exact
+    (queries.ORACLE_SQL['embedding_moments']).
+
+    Returns (i, j, v): j == -1 rows are per-dim sums, (-1, -1) is the
+    row count; driver-side, cov = (M/n) - outer(s/n, s/n) in whatever
+    float precision the consumer wants."""
+    from .relops import partial_aggregate
+
+    def batch_stats(df: pd.DataFrame) -> pd.DataFrame:
+        X = _stack(df[vec_col]).astype(np.float64)
+        Q = np.round(X * float(scale)).astype(np.int64)
+        d = Q.shape[1]
+        iu, ju = np.triu_indices(d)
+        rows_i = np.concatenate([iu, np.arange(d), [-1]]).astype(np.int32)
+        rows_j = np.concatenate([ju, np.full(d, -1), [-1]]).astype(np.int32)
+        vals = np.concatenate([(Q.T @ Q)[iu, ju], Q.sum(axis=0),
+                               [len(df)]]).astype(np.int64)
+        return pd.DataFrame({"i": rows_i, "j": rows_j, "v": vals})
+
+    return partial_aggregate(
+        emb.map_batches(batch_stats, batch_format="pandas"),
+        ["i", "j"], {"v": ("sum", "v")}).map_batches(
+            lambda df: df.astype({"i": "int32", "j": "int32",
+                                  "v": "int64"}),
+            batch_format="pandas")
