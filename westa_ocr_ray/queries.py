@@ -3341,6 +3341,48 @@ def _extract_summary_oracle_sql(tier: str = "correctness") -> str:
                master_hits)"""
 
 
+def _extract_then_clean_oracle_sql(tier: str = "correctness") -> str:
+    """Inline-VALUES oracle for extract_then_clean: the serial reference
+    extraction joined to doc texts, run through the SAME clean rule
+    (word/char thresholds + exact first-wins dedup on content, min-id
+    keeper) — the last extract-family query without a driver-visible
+    value check. Disk-cached per source fingerprint."""
+    import json
+    import os
+
+    from . import oracle as oracle_mod
+    from .text_analysis import _WORD_RE
+
+    fp = fixtures.source_fingerprint(fixtures, extractors, oracle_mod)
+    cache = f"/tmp/westa_oracle_cache/{fp}_{tier}_thenclean.json"
+    kept = None
+    if os.path.exists(cache):
+        try:
+            with open(cache) as fh:
+                kept = json.load(fh)
+        except (OSError, ValueError):
+            kept = None
+    if kept is None:
+        per_doc = oracle_mod.extract_corpus(fixtures.DEFAULT_SEED,
+                                            fixtures.TIERS[tier])
+        best: dict = {}  # text -> min doc_id (first-wins keeper)
+        for r in per_doc:
+            text = "\n".join(s["text"] for s in r["spans"])
+            if len(_WORD_RE.findall(text)) < 10 or len(text) < 50:
+                continue
+            if text not in best or r["doc_id"] < best[text]:
+                best[text] = r["doc_id"]
+        kept = sorted(best.values())
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(kept, fh)
+        os.replace(tmp, cache)
+    vals = ", ".join(f"('{d}')" for d in kept)
+    return f"""
+        SELECT doc_id FROM (VALUES {vals}) AS t(doc_id)"""
+
+
 def _extract_span_checksum_oracle_sql(tier: str = "correctness") -> str:
     """Inline-VALUES oracle for extract_span_checksum: the serial
     reference extraction (oracle.extract_corpus) folded through the
@@ -3773,11 +3815,13 @@ QUERIES = {
     # training_prep's composed oracle still value-checks the md5 shard
     # manifest shape in-window)
     "shard_stats": q_shard_stats,
-    # flagship-family row views (rows-only by design: raw span rows /
-    # cleaned ids; the family's VALUE checks are extract_summary,
-    # ingest_flat_documents and the pytest span-sequence gate)
-    "extract_flat": q_extract_flat,
+    # extract → clean composition, value-checked by a serial-reference
+    # VALUES oracle (same clean rule replayed single-process)
     "extract_then_clean": q_extract_then_clean,
+    # flagship-family raw row view (rows-only by design; the family's
+    # VALUE checks are extract_span_checksum + extract_summary +
+    # ingest_flat_documents + the pytest span-sequence gate)
+    "extract_flat": q_extract_flat,
     # documented-approximate / stub (rows-only by design): LSH recall<1
     # (dedup_minhash* at threshold<1, clean_corpus_fuzzy, sim_ann_lsh),
     # sketches (approx_distinct_users — its exact twin is
@@ -4148,6 +4192,7 @@ ORACLE_SQL = {
     "pagerank_dups": _pagerank_oracle_sql(3),
     "extract_summary": _extract_summary_oracle_sql("correctness"),
     "extract_span_checksum": _extract_span_checksum_oracle_sql("correctness"),
+    "extract_then_clean": _extract_then_clean_oracle_sql("correctness"),
     "pack_sequences": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         SELECT doc_id, CAST(i AS INTEGER) AS seq_idx,
@@ -5585,6 +5630,7 @@ ORACLE_SQL = {
 TIER_ORACLE_BUILDERS = {
     "extract_summary": _extract_summary_oracle_sql,
     "extract_span_checksum": _extract_span_checksum_oracle_sql,
+    "extract_then_clean": _extract_then_clean_oracle_sql,
     "bpe_train": _bpe_train_oracle_sql,
     "bpe_encode": _bpe_encode_oracle_sql,
     "media_usage": _media_usage_oracle_sql,
