@@ -100,11 +100,10 @@ def test_text_index_build_lookup_roundtrip(tmp_path):
 
     # resume: marker short-circuits (mutate the postings dir; the
     # build must NOT touch it again)
-    probe = os.path.join(out, "postings", "bucket=0")
-    before = sorted(glob.glob(os.path.join(out, "postings", "*", "*")))
+    before = sorted(glob.glob(os.path.join(out, "postings", "*", "*", "*")))
     build_text_index(rd.from_pandas(df), out, num_buckets=8)
-    assert sorted(glob.glob(os.path.join(out, "postings", "*", "*"))) == before
-    del probe
+    assert sorted(glob.glob(
+        os.path.join(out, "postings", "*", "*", "*"))) == before
 
 
 def test_bm25_from_index_bit_identical_to_full_scan(tmp_path):
@@ -176,3 +175,49 @@ def test_add_to_text_index_equals_full_rebuild(tmp_path):
     fb = (bm25_from_index(ix_full, terms, k=25, num_buckets=8).to_pandas()
           .sort_values("rank", ignore_index=True))
     pd.testing.assert_frame_equal(fa, fb)
+
+
+def test_index_crash_safety(tmp_path):
+    """The round-3 advisory scenario: a build or add that dies after
+    partially writing postings must not double-count on the re-run.
+    Crashed BUILD = marker-less dir → wiped and rebuilt; crashed ADD =
+    uncommitted gen subtree → invisible to readers and wiped by the
+    re-add. Either way the final lookups equal a clean full rebuild."""
+    import os
+
+    import ray.data as rd
+
+    from westa_ocr_ray.search import (add_to_text_index, build_text_index,
+                                      text_index_lookup)
+
+    rows = [{"doc_id": i, "text": "alpha beta " + f"rare{i}"}
+            for i in range(40)]
+    base = [r for r in rows if r["doc_id"] % 2 == 0]
+    inc = [r for r in rows if r["doc_id"] % 2 == 1]
+    terms = ["alpha", "rare3"]
+
+    # clean reference index over the union corpus
+    ix_ref = str(tmp_path / "ref")
+    build_text_index(rd.from_items(rows), ix_ref, num_buckets=4)
+    want = text_index_lookup(ix_ref, terms, num_buckets=4)
+
+    # crashed BUILD: partial postings exist, no _SUCCESS
+    ix = str(tmp_path / "ix")
+    os.makedirs(os.path.join(ix, "postings", "gen=0", "bucket=1"))
+    junk = os.path.join(ix, "postings", "gen=0", "bucket=1", "junk.parquet")
+    pd.DataFrame({"token": ["alpha"], "doc_id": [0], "tf": [99]}
+                 ).to_parquet(junk)
+    build_text_index(rd.from_items(base), ix, num_buckets=4)
+    assert not os.path.exists(junk)  # partial build wiped
+
+    # crashed ADD: an uncommitted gen=1 subtree with bogus counts
+    os.makedirs(os.path.join(ix, "postings", "gen=1", "bucket=1"))
+    pd.DataFrame({"token": ["alpha"], "doc_id": [1], "tf": [77]}).to_parquet(
+        os.path.join(ix, "postings", "gen=1", "bucket=1", "part.parquet"))
+    # readers never see the uncommitted generation
+    mid = text_index_lookup(ix, ["alpha"], num_buckets=4)
+    assert 77 not in set(mid["tf"])
+    # the re-run of the add wipes the leftovers and commits whole
+    add_to_text_index(rd.from_items(inc), ix, num_buckets=4)
+    got = text_index_lookup(ix, terms, num_buckets=4)
+    pd.testing.assert_frame_equal(got, want)

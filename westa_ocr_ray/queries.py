@@ -1127,8 +1127,8 @@ def q_bm25_search(sf_dir: str) -> rd.Dataset:
 def q_text_index_incremental(sf_dir: str) -> pd.DataFrame:
     """Incremental index maintenance: build the index from the base
     snapshot (doc_id %% 3 != 0), ADD the remaining docs in place
-    (search.add_to_text_index — postings append, doclen extends,
-    stats merge), then look up the probe terms. Hash-matches the SAME
+    (search.add_to_text_index — a fresh committed generation subtree),
+    then look up the probe terms. Hash-matches the SAME
     SQL oracle as text_index_search (the full-corpus derivation) —
     proving incremental == rebuild."""
     import os
@@ -1137,7 +1137,7 @@ def q_text_index_incremental(sf_dir: str) -> pd.DataFrame:
     from . import search
 
     out = _text_index_dir(sf_dir) + "_incr"
-    if not os.path.exists(os.path.join(out, "_SUCCESS.2")):
+    if not os.path.exists(os.path.join(out, "_SUCCESS.1")):
         shutil.rmtree(out, ignore_errors=True)  # wipe a half-done add
         docs = rp(sf_dir, "documents", ["doc_id", "text"])
         base = docs.map_batches(lambda df: df[df["doc_id"] % 3 != 0],

@@ -152,28 +152,79 @@ def bm25_oracle_sql(terms: Sequence[str], k: int = 50,
 
 #: bump when the on-disk index layout changes (cache keys include it,
 #: so stale /tmp indexes from an older code version are never read)
-TEXT_INDEX_FORMAT = 2
+TEXT_INDEX_FORMAT = 3
 
 
-def build_text_index(ds: rd.Dataset, out_dir: str, id_col: str = "doc_id",
-                     text_col: str = "text",
-                     num_buckets: int = 64) -> str:
-    """Persist an inverted index over a text corpus: one vectorized
-    explode+combine pass builds the (token, doc, tf) posting table —
-    per-batch tf combiner first, so the exchange moves one row per
-    distinct (token, doc) per block, never token occurrences — written
-    HIVE-PARTITIONED by md5(token) % num_buckets
-    (``out_dir/postings/bucket=<b>/``) with a ``_SUCCESS`` marker.
-    The build-once / query-many twin of similarity.build_ivf_index: a
-    term lookup reads ONLY its bucket's files (1/num_buckets of the
-    index), and a re-run that finds the marker skips the build.
-    Returns out_dir."""
-    import hashlib
+def _committed_gens(index_dir: str) -> list:
+    """Generations of the index whose writes fully committed: the base
+    build stamps ``_SUCCESS`` (generation 0) and each incremental add
+    stamps ``_SUCCESS.<g>``. Readers only ever see committed
+    generations, so a crashed build/add is invisible until its re-run
+    commits — the crash-safety contract of the whole index family."""
+    import glob as _glob
     import os
 
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if os.path.exists(marker):
-        return out_dir
+    gens = []
+    if os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        gens.append(0)
+    for m in _glob.glob(os.path.join(index_dir, "_SUCCESS.*")):
+        s = m.rsplit(".", 1)[1]
+        if s.isdigit():
+            gens.append(int(s))
+    return sorted(gens)
+
+
+def _wipe_uncommitted(index_dir: str, committed) -> None:
+    """Remove generation subtrees (and per-gen stats files) that have
+    no commit marker — the leftovers of a crashed add. Safe because a
+    generation's data lives ONLY under its own ``gen=<g>`` dirs."""
+    import glob as _glob
+    import os
+    import shutil
+
+    keep = set(committed)
+    for sub in ("postings", "doclen"):
+        for d in _glob.glob(os.path.join(index_dir, sub, "gen=*")):
+            s = d.rsplit("=", 1)[1]
+            if s.isdigit() and int(s) not in keep:
+                shutil.rmtree(d)
+    for p in _glob.glob(os.path.join(index_dir, "stats.*.json")):
+        s = os.path.basename(p).split(".")[1]
+        if s.isdigit() and int(s) not in keep:
+            os.remove(p)
+
+
+def _gen_paths(index_dir: str, sub: str, buckets=None) -> list:
+    """Parquet files of committed generations only, optionally pruned
+    to specific token buckets (the 1/num_buckets lookup pruning)."""
+    import glob as _glob
+    import os
+
+    paths = []
+    for g in _committed_gens(index_dir):
+        if buckets is None:
+            paths.extend(sorted(_glob.glob(os.path.join(
+                index_dir, sub, f"gen={g}", "*.parquet"))))
+        else:
+            for b in buckets:
+                paths.extend(sorted(_glob.glob(os.path.join(
+                    index_dir, sub, f"gen={g}", f"bucket={b}",
+                    "*.parquet"))))
+    return paths
+
+
+def _write_index_gen(ds: rd.Dataset, index_dir: str, gen: int,
+                     id_col: str, text_col: str,
+                     num_buckets: int) -> None:
+    """Write one generation's postings/doclen/stats under its own
+    ``gen=<g>`` subtree. The caller stamps the commit marker AFTER
+    this returns, so a crash anywhere in here leaves only an
+    uncommitted (invisible, wipeable) subtree."""
+    import hashlib
+    import json as _json
+    import os
+
+    from .relops import DATASET_CONSTRUCTION_LOCK
 
     def postings(df: pd.DataFrame) -> pd.DataFrame:
         ex = (df.assign(token=df[text_col].str.split(" "))[[id_col, "token"]]
@@ -191,33 +242,61 @@ def build_text_index(ds: rd.Dataset, out_dir: str, id_col: str = "doc_id",
             (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
              % num_buckets for t in df["token"]),
             dtype=np.int64, count=len(df))
-        return df.assign(bucket=b)
+        return df.assign(bucket=b, gen=np.int64(gen))
 
-    from .relops import DATASET_CONSTRUCTION_LOCK
     sink = table.map_batches(bucketed, batch_format="pandas")
     # the fsspec probe fires at write_parquet's PATH RESOLUTION; the
     # lock is held for the (blocking) write — only the first build per
-    # corpus pays it, re-runs short-circuit on the marker above
+    # corpus pays it, re-runs short-circuit on the caller's marker
     with DATASET_CONSTRUCTION_LOCK:
-        sink.write_parquet(os.path.join(out_dir, "postings"),
-                           partition_cols=["bucket"])
+        sink.write_parquet(os.path.join(index_dir, "postings"),
+                           partition_cols=["gen", "bucket"])
 
     # index-time corpus statistics for query-time BM25: per-doc length
     # (= Σ tf over the doc's posting rows — whitespace token count) and
-    # the global (n_docs, sum_dl) pair. doclen is doc-count-sized and
-    # narrow; stats.json is two integers.
+    # the per-gen (n_docs, sum_dl) pair. doclen is doc-count-sized and
+    # narrow; stats.<g>.json is two integers summed at query time.
     doclen = partial_aggregate(table, [id_col], {"dl": ("sum", "tf")})
     with DATASET_CONSTRUCTION_LOCK:
-        doclen.write_parquet(os.path.join(out_dir, "doclen"))
+        (doclen.map_batches(lambda df: df.assign(gen=np.int64(gen)),
+                            batch_format="pandas")
+               .write_parquet(os.path.join(index_dir, "doclen"),
+                              partition_cols=["gen"]))
     tot = partial_aggregate(
         doclen.map_batches(lambda df: df.assign(__g=0),
                            batch_format="pandas"),
         ["__g"], {"n_docs": ("count", None), "sum_dl": ("sum", "dl")}
     ).to_pandas()
-    import json as _json
-    with open(os.path.join(out_dir, "stats.json"), "w") as f:
-        _json.dump({"n_docs": int(tot["n_docs"][0]),
-                    "sum_dl": int(tot["sum_dl"][0])}, f)
+    with open(os.path.join(index_dir, f"stats.{gen}.json"), "w") as f:
+        _json.dump({"n_docs": int(tot["n_docs"][0]) if len(tot) else 0,
+                    "sum_dl": int(tot["sum_dl"][0]) if len(tot) else 0},
+                   f)
+
+
+def build_text_index(ds: rd.Dataset, out_dir: str, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     num_buckets: int = 64) -> str:
+    """Persist an inverted index over a text corpus: one vectorized
+    explode+combine pass builds the (token, doc, tf) posting table —
+    per-batch tf combiner first, so the exchange moves one row per
+    distinct (token, doc) per block, never token occurrences — written
+    HIVE-PARTITIONED by md5(token) % num_buckets under the base
+    generation (``out_dir/postings/gen=0/bucket=<b>/``) with a
+    ``_SUCCESS`` marker stamped LAST. Crash-safe: a marker-less
+    out_dir (a build that died mid-write) is wiped and rebuilt whole —
+    partial postings can never be double-counted. The build-once /
+    query-many twin of similarity.build_ivf_index: a term lookup reads
+    ONLY its bucket's files (1/num_buckets of the index), and a re-run
+    that finds the marker skips the build. Returns out_dir."""
+    import os
+    import shutil
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    if os.path.isdir(out_dir):  # crashed earlier build: start clean
+        shutil.rmtree(out_dir)
+    _write_index_gen(ds, out_dir, 0, id_col, text_col, num_buckets)
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
@@ -230,14 +309,11 @@ def text_index_lookup(index_dir: str, terms: Sequence[str],
     bucket partitions (the pruning the hive layout buys — at 100 TB a
     5-term lookup touches 5/num_buckets of the files), filter to the
     terms, return (token, doc_id, tf)."""
-    import glob as _glob
     import hashlib
-    import os
 
     want = sorted({int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
                    % num_buckets for t in terms})
-    paths = [f for b in want for f in sorted(_glob.glob(
-        os.path.join(index_dir, "postings", f"bucket={b}", "*.parquet")))]
+    paths = _gen_paths(index_dir, "postings", buckets=want)
     if not paths:
         return pd.DataFrame({"token": pd.Series([], dtype=object),
                              id_col: pd.Series([], dtype=np.int64),
@@ -260,17 +336,14 @@ def text_index_postings(index_dir: str, terms: Sequence[str],
                         id_col: str = "doc_id") -> Optional[rd.Dataset]:
     """Dataset variant of text_index_lookup (postings stay distributed —
     the input shape bm25_from_index's joins need). None when no bucket
-    files exist."""
-    import glob as _glob
+    files exist. Reads committed generations only."""
     import hashlib
-    import os
 
     from .relops import DATASET_CONSTRUCTION_LOCK
 
     want = sorted({int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
                    % num_buckets for t in terms})
-    paths = [f for b in want for f in sorted(_glob.glob(
-        os.path.join(index_dir, "postings", f"bucket={b}", "*.parquet")))]
+    paths = _gen_paths(index_dir, "postings", buckets=want)
     if not paths:
         return None
     tset = set(terms)
@@ -295,7 +368,8 @@ def bm25_from_index(index_dir: str, terms: Sequence[str], k: int = 50,
     so it shares bm25_oracle_sql. Scale shape: probed postings pivot
     per doc through one bucketed aggregate, then LEFT-join onto doclen
     (zero-hit docs score 0, preserving full-corpus rank semantics); a
-    stop-word-sized posting list never lands on the driver."""
+    stop-word-sized posting list never lands on the driver. Reads
+    committed generations only (global stats = Σ per-gen stats)."""
     import json
     import os
 
@@ -303,9 +377,12 @@ def bm25_from_index(index_dir: str, terms: Sequence[str], k: int = 50,
 
     terms = sorted(terms)
     nt = len(terms)
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        st = json.load(f)
-    n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
+    n_docs = sum_dl = 0
+    for g in _committed_gens(index_dir):
+        with open(os.path.join(index_dir, f"stats.{g}.json")) as f:
+            st = json.load(f)
+        n_docs += int(st["n_docs"])
+        sum_dl += int(st["sum_dl"])
     avgdl = sum_dl / n_docs
 
     post = text_index_postings(index_dir, terms, num_buckets=num_buckets,
@@ -346,7 +423,7 @@ def bm25_from_index(index_dir: str, terms: Sequence[str], k: int = 50,
 
     from .relops import DATASET_CONSTRUCTION_LOCK, grouped_topk
     with DATASET_CONSTRUCTION_LOCK:
-        doclen = rd.read_parquet(os.path.join(index_dir, "doclen"))
+        doclen = rd.read_parquet(_gen_paths(index_dir, "doclen"))
     if tfdoc is not None:
         scored_in = hash_join(doclen, tfdoc, id_col, id_col, how="left",
                               num_buckets=agg_buckets,
@@ -383,68 +460,29 @@ def bm25_from_index(index_dir: str, terms: Sequence[str], k: int = 50,
 def add_to_text_index(ds: rd.Dataset, index_dir: str,
                       id_col: str = "doc_id", text_col: str = "text",
                       num_buckets: int = 64) -> str:
-    """INCREMENTAL index update: append a new snapshot's postings into
-    the existing bucket partitions (the posting layout is additive —
-    one row per (token, doc), so disjoint doc sets just append files;
-    lookups and BM25 aggregate per (token, doc) regardless of which
-    file a row lives in), extend doclen, and rewrite stats.json.
-    After the add, every query is IDENTICAL to a full rebuild over the
-    union corpus (equality-tested; the planted-increment query
+    """INCREMENTAL index update: write a new snapshot's postings as a
+    fresh GENERATION subtree (``postings/gen=<g>/bucket=<b>/``, its own
+    doclen partition and stats.<g>.json), then stamp ``_SUCCESS.<g>``
+    LAST. The posting layout is additive — one row per (token, doc),
+    so disjoint doc sets union cleanly; lookups and BM25 aggregate per
+    (token, doc) across committed generations. After the add, every
+    query is IDENTICAL to a full rebuild over the union corpus
+    (equality-tested; the planted-increment query
     text_index_incremental hash-checks it against SQL). The caller
     owns doc-id disjointness (re-adding an existing doc double-counts;
-    dedup_incremental is the dedup step for that). Each add stamps
-    _SUCCESS.<n>; a crashed add leaves no marker and is re-run whole."""
-    import glob as _glob
-    import hashlib
-    import json
+    dedup_incremental is the dedup step for that). Crash-safe: a
+    crashed add leaves only an uncommitted gen subtree that readers
+    never see and the re-run wipes before redoing the add whole —
+    nothing can be double-counted (the round-3 advisory's fix)."""
     import os
 
-    from .relops import DATASET_CONSTRUCTION_LOCK, partial_aggregate
-
-    gen = len(_glob.glob(os.path.join(index_dir, "_SUCCESS*"))) + 1
-    marker = os.path.join(index_dir, f"_SUCCESS.{gen}")
-    if os.path.exists(marker):  # pragma: no cover - racing adds
-        return index_dir
-
-    def postings(df: pd.DataFrame) -> pd.DataFrame:
-        ex = (df.assign(token=df[text_col].str.split(" "))[[id_col, "token"]]
-              .explode("token", ignore_index=True).dropna())
-        g = ex.groupby(["token", id_col], sort=False).size().reset_index()
-        g.columns = ["token", id_col, "tf"]
-        return g.astype({"tf": np.int64})
-
-    table = partial_aggregate(
-        ds.map_batches(postings, batch_format="pandas"),
-        ["token", id_col], {"tf": ("sum", "tf")})
-
-    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
-        b = np.fromiter(
-            (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
-             % num_buckets for t in df["token"]),
-            dtype=np.int64, count=len(df))
-        return df.assign(bucket=b)
-
-    sink = table.map_batches(bucketed, batch_format="pandas")
-    with DATASET_CONSTRUCTION_LOCK:
-        sink.write_parquet(os.path.join(index_dir, "postings"),
-                           partition_cols=["bucket"])
-
-    doclen = partial_aggregate(table, [id_col], {"dl": ("sum", "tf")})
-    with DATASET_CONSTRUCTION_LOCK:
-        doclen.write_parquet(os.path.join(index_dir, "doclen"))
-    tot = partial_aggregate(
-        doclen.map_batches(lambda df: df.assign(__g=0),
-                           batch_format="pandas"),
-        ["__g"], {"n_docs": ("count", None), "sum_dl": ("sum", "dl")}
-    ).to_pandas()
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        st = json.load(f)
-    st = {"n_docs": int(st["n_docs"]) + int(tot["n_docs"][0]),
-          "sum_dl": int(st["sum_dl"]) + int(tot["sum_dl"][0])}
-    tmp = os.path.join(index_dir, f"stats.json.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(st, f)
-    os.replace(tmp, os.path.join(index_dir, "stats.json"))
-    with open(marker, "w") as f:
+    gens = _committed_gens(index_dir)
+    if not gens:
+        raise FileNotFoundError(
+            f"no committed index at {index_dir}; build_text_index first")
+    _wipe_uncommitted(index_dir, gens)  # crashed-add leftovers
+    gen = gens[-1] + 1
+    _write_index_gen(ds, index_dir, gen, id_col, text_col, num_buckets)
+    with open(os.path.join(index_dir, f"_SUCCESS.{gen}"), "w") as f:
         f.write("ok")
     return index_dir

@@ -354,15 +354,20 @@ def build_ivf_index(emb: rd.Dataset, out_dir: str, n_centroids: int = 16,
     build-once / query-many layout ann_topk_ivf's docstring points to:
     a probe then reads ONLY its cells' files instead of streaming the
     whole corpus. Re-runs that find the marker skip the build
-    (same whole-export resume granularity as export_training_shards).
-    Returns out_dir."""
+    (same whole-export resume granularity as export_training_shards);
+    a marker-LESS out_dir is a crashed build and is wiped before the
+    rebuild so partial cell files are never double-read. Returns
+    out_dir."""
     import os
+    import shutil
 
     import pyarrow.parquet as pq
 
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
+    if os.path.isdir(out_dir):  # crashed earlier build: start clean
+        shutil.rmtree(out_dir)
     centroids = ivf_train_centroids(emb, n_centroids=n_centroids,
                                     rounds=rounds, id_col=id_col,
                                     vec_col=vec_col)

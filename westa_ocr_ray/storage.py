@@ -213,6 +213,9 @@ def export_jsonl_shards(ds: rd.Dataset, out_dir: str,
                              "path": p})
         return rd.from_pandas(pd.DataFrame(rows))
 
+    if os.path.isdir(out_dir):  # crashed earlier export: start clean
+        import shutil
+        shutil.rmtree(out_dir)
     manifest = (shard_assign(ds, num_shards, id_col)
                 .groupby("shard")
                 .map_groups(write_shard, batch_format="pandas")
