@@ -54,6 +54,34 @@ def test_resume_skips_completed_partitions(tmp_path):
     assert 1 in attempts and 0 in attempts
 
 
+def test_assign_version_mismatch_restarts(tmp_path):
+    """Markers written under a DIFFERENT doc→partition assignment
+    version must not be trusted: the resume wipes the stale outputs
+    and recomputes everything (mixing two partition meanings would
+    silently drop or double docs)."""
+    corpus = fixtures.ensure_corpus("smoke")
+    out = str(tmp_path / "v")
+    run_extract(corpus, out, CFG)
+    full = _result_key(read_extracted(out))
+
+    # forge an older-version partial run: rewrite the stamp and drop one
+    # partition's marker + parquet
+    with open(os.path.join(out, "_markers", "ASSIGN_VERSION"), "w") as fh:
+        fh.write("1")
+    m = sorted(glob.glob(os.path.join(out, "_markers", "*.done")))[0]
+    part = os.path.basename(m)[len("part-"):-len(".done")]
+    os.remove(m)
+    os.remove(os.path.join(out, "extracted", f"part-{part}.parquet"))
+
+    metrics = run_extract(corpus, out, CFG)
+    assert metrics["parts_skipped"] == 0  # nothing trusted
+    assert metrics["parts_written"] == CFG.num_parts
+    assert _result_key(read_extracted(out)) == full
+    with open(os.path.join(out, "_markers", "ASSIGN_VERSION")) as fh:
+        from westa_ocr_ray.stages.explode import ASSIGN_VERSION
+        assert fh.read().strip() == str(ASSIGN_VERSION)
+
+
 def test_real_sigkill_resume(tmp_path):
     """Kill -9 an actual run mid-flight (its own Ray cluster, own process
     group), then resume in this session: the final output must equal an

@@ -149,6 +149,23 @@ def test_heavy_hitters_exact_matches_truth_any_layout():
     pd.testing.assert_frame_equal(outs[0], outs[2])
 
 
+def test_heavy_hitters_exact_integer_column():
+    """The round-3 advisory case: MG candidates are JSON STRING keys,
+    so pass 2 must compare on the stringified column — an int column
+    used to silently match nothing and return empty."""
+    from westa_ocr_ray.sketches import heavy_hitters_exact
+
+    vals = np.concatenate([np.repeat([7, 42], [800, 600]),
+                           np.arange(1000, 3500)]).astype(np.int64)
+    df = pd.DataFrame({"uid": vals})
+    k = 5
+    out = heavy_hitters_exact(rd.from_pandas(df).repartition(6), "uid", k=k)
+    got = dict(zip(out["uid"].astype(int), out["cnt"].astype(int)))
+    truth = df["uid"].value_counts()
+    expect = {int(v): int(c) for v, c in truth.items() if c * k > len(df)}
+    assert got == expect and expect  # non-empty: 7 and 42 are heavy
+
+
 def test_heavy_hitters_exact_empty_when_uniform():
     from westa_ocr_ray.sketches import heavy_hitters_exact
 

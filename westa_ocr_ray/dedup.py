@@ -860,7 +860,8 @@ def cdc_chunk_pairs(ds: rd.Dataset, id_col: str = "doc_id",
                     size_hint_bytes: Optional[int] = None):
     """CONTENT-DEFINED chunking dedup (the Rabin-boundary variant of
     shared_chunk_pairs, at token granularity): a chunk boundary falls
-    after any token whose md5 low-32 bits % ``modulus`` == 0, so an
+    after any token whose md5 TOP-32 bits (first 8 hex chars)
+    % ``modulus`` == 0, so an
     insertion or deletion only perturbs the one chunk it lands in —
     fixed-width chunks shift at every later position, content-defined
     boundaries re-synchronize (the property backup dedup and

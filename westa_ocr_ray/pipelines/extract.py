@@ -87,6 +87,32 @@ def done_parts(out_dir: str) -> Set[int]:
             for p in glob.glob(os.path.join(out_dir, "_markers", "part-*.done"))}
 
 
+def _check_assign_version(out_dir: str, skip: Set[int]) -> Set[int]:
+    """Markers are only meaningful under the doc→partition assignment
+    rule that wrote them (stages/explode.ASSIGN_VERSION). A resume
+    against markers from a DIFFERENT version would mix two partition
+    meanings (docs silently dropped or doubled) — instead, wipe the
+    stale outputs and restart from scratch. The version stamp is
+    written next to the markers at first run."""
+    from ..stages.explode import ASSIGN_VERSION
+
+    vfile = os.path.join(out_dir, "_markers", "ASSIGN_VERSION")
+    cur = str(ASSIGN_VERSION)
+    stamped = None
+    if os.path.exists(vfile):
+        with open(vfile) as fh:
+            stamped = fh.read().strip()
+    if skip and stamped != cur:
+        for sub in ("extracted", "units", "_markers", "lineage"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        skip = set()
+    os.makedirs(os.path.join(out_dir, "_markers"), exist_ok=True)
+    if stamped != cur:
+        with open(vfile, "w") as fh:
+            fh.write(cur)
+    return skip
+
+
 def run_extract(input_path: str, out_dir: str,
                 cfg: ExtractConfig = ExtractConfig()) -> dict:
     """Resumable run: skips partitions that already have completion
@@ -103,7 +129,7 @@ def run_extract(input_path: str, out_dir: str,
 
     Returns the run-metrics dict (also written to out_dir/metrics/)."""
     t0 = time.perf_counter()
-    skip = done_parts(out_dir)
+    skip = _check_assign_version(out_dir, done_parts(out_dir))
     attempt = cfg.attempt if cfg.attempt else (1 if skip else 0)
     if cfg.stage_root and os.path.isdir(os.path.dirname(cfg.stage_root.rstrip("/")) or "/"):
         tag = hashlib.md5(os.path.abspath(out_dir).encode()).hexdigest()[:12]

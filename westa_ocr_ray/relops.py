@@ -12,6 +12,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -467,14 +468,23 @@ def semi_anti_filter_scalable(ds: rd.Dataset, key: str, keys: rd.Dataset,
 def semi_anti_filter(ds: rd.Dataset, key: str, key_set, anti: bool = False) -> rd.Dataset:
     """Semi/anti join via a broadcast key set (M9 resume anti-join).
     Bounded by the key set fitting the object store + one worker heap;
-    semi_anti_filter_scalable is the unbounded-key-side variant."""
-    ref = ray.put(frozenset(key_set))
+    semi_anti_filter_scalable is the unbounded-key-side variant. The
+    membership test is one pc.is_in kernel per batch (the value set is
+    an Arrow array broadcast once), never a per-row Python loop."""
+    vals = list(frozenset(key_set))
+    if not vals:  # empty key side: anti keeps everything, semi nothing
+        return ds if anti else ds.limit(0)
+    ref = ray.put(pa.array(vals))
 
     def fn(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = np.fromiter((k in keys for k in t.column(key).to_pylist()),
-                           dtype=bool, count=t.num_rows)
-        return t.filter(pa.array(~mask if anti else mask))
+        vs = ray.get(ref)
+        col = t.column(key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if vs.type != col.type:
+            vs = vs.cast(col.type)
+        mask = pc.is_in(col, value_set=vs)
+        return t.filter(pc.invert(mask) if anti else mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

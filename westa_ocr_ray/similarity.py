@@ -463,7 +463,12 @@ def embedding_moments(emb: rd.Dataset, id_col: str = "vec_id",
 
     def batch_stats(df: pd.DataFrame) -> pd.DataFrame:
         X = _stack(df[vec_col]).astype(np.float64)
-        Q = np.round(X * float(scale)).astype(np.int64)
+        # round half-AWAY-FROM-ZERO = sign·floor(|x|·s + 0.5): exactly
+        # DuckDB's ROUND(), unlike np.round's banker's rounding — a
+        # value landing on .5 after scaling (e.g. 1/16 → 62.5) would
+        # otherwise diverge from the SQL oracle
+        P = X * float(scale)
+        Q = (np.sign(P) * np.floor(np.abs(P) + 0.5)).astype(np.int64)
         d = Q.shape[1]
         iu, ju = np.triu_indices(d)
         rows_i = np.concatenate([iu, np.arange(d), [-1]]).astype(np.int32)

@@ -364,7 +364,10 @@ def heavy_hitters_exact(ds: rd.Dataset, col: str, k: int = 20,
 
     def count_cands(df: pd.DataFrame) -> pd.DataFrame:
         cs = ray.get(cand_ref)
-        sub = df[df[col].isin(cs)]
+        # candidates are STRINGIFIED (MG summaries are JSON keys), so
+        # membership compares on the stringified column — a non-string
+        # col (int ids) would otherwise silently match nothing
+        sub = df[df[col].astype(str).isin(cs)]
         g = sub.groupby(col, sort=False).size()
         return pd.DataFrame({col: g.index.to_numpy(),
                              "cnt": g.to_numpy(dtype=np.int64)})

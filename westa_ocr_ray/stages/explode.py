@@ -10,20 +10,40 @@ app/worker.py:236-254).
 
 from __future__ import annotations
 
-import zlib
 from typing import Callable, Optional, Set
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 _SIZE_CLASS = {"text": 0, "html": 1, "image": 1, "pdf": 2}
 
+#: version of the doc→partition assignment rule. Markers written by a
+#: run record this (pipelines/extract.py); a resume against markers
+#: from a DIFFERENT version restarts from scratch instead of mixing
+#: two partition meanings. v1 = per-row zlib.crc32 (rounds 1-3);
+#: v2 = vectorized pd.util.hash_pandas_object (siphash with the fixed
+#: pandas key — process- and platform-stable, C-speed per batch).
+ASSIGN_VERSION = 2
+
+_U64_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def part_of_batch(doc_ids, num_parts: int) -> np.ndarray:
+    """Vectorized stable output-partition assignment (ASSIGN_VERSION 2):
+    one siphash kernel over the whole batch — process-independent
+    (resume markers must mean the same thing across runs), no per-row
+    Python. Accepts any sequence/Series of doc-id strings."""
+    s = doc_ids if isinstance(doc_ids, pd.Series) else pd.Series(
+        doc_ids, dtype=object)
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy(dtype=np.uint64)
+    return (h % np.uint64(num_parts)).astype(np.int32)
+
 
 def part_of(doc_id: str, num_parts: int) -> int:
-    """Stable output-partition assignment — crc32, process-independent
-    (resume markers must mean the same thing across runs)."""
-    return zlib.crc32(doc_id.encode("utf-8")) % num_parts
+    """Scalar convenience twin of part_of_batch (tests, spot checks)."""
+    return int(part_of_batch([doc_id], num_parts)[0])
 
 
 def make_explode(num_parts: int,
@@ -46,10 +66,7 @@ def make_explode(num_parts: int,
         if isinstance(doc_ids, pa.ChunkedArray):
             doc_ids = doc_ids.combine_chunks()
 
-        parts = np.fromiter(
-            (part_of(s, num_parts) for s in doc_ids.to_pylist()),
-            dtype=np.int32, count=len(doc_ids),
-        )
+        parts = part_of_batch(doc_ids.to_pandas(), num_parts)
 
         flat = pc.list_flatten(spans)                      # struct array of all spans
         parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
@@ -103,11 +120,17 @@ def make_explode(num_parts: int,
             out = out.filter(pa.array(mask))
         if local_interleave and out.num_rows > 1:
             # deterministic pseudo-random within-block order: downstream
-            # batch_size slices then mix heavy and light units
-            key = np.fromiter(
-                (zlib.crc32(f"{d}:{s}".encode()) for d, s in
-                 zip(out.column("doc_id").to_pylist(), out.column("span_idx").to_pylist())),
-                dtype=np.uint32, count=out.num_rows)
+            # batch_size slices then mix heavy and light units. One
+            # siphash over doc_id mixed with span_idx by a golden-ratio
+            # multiply — all vectorized, wraps mod 2^64 (no per-row
+            # Python; the interleave key carries NO persistence
+            # contract, only the within-block spread matters)
+            hdoc = pd.util.hash_pandas_object(
+                out.column("doc_id").to_pandas(), index=False
+            ).to_numpy(dtype=np.uint64)
+            sidx = (out.column("span_idx").to_numpy(zero_copy_only=False)
+                    .astype(np.int64).astype(np.uint64))
+            key = hdoc ^ ((sidx + np.uint64(1)) * _U64_GOLDEN)
             out = out.take(pa.array(np.argsort(key, kind="stable"), type=pa.int64()))
         return out
 
