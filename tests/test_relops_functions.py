@@ -130,6 +130,52 @@ def test_hash_join_salted_hot_key():
     assert len(gotl) == len(expl)
 
 
+def test_hash_join_auto_salt_planted_hot_key():
+    """auto_salt detects a planted 50%-hot key via the fused MG+CMS
+    sketch pass, spreads its rows over `salt` buckets (bounded
+    per-bucket load), and the join output is unchanged vs the unsalted
+    oracle."""
+    import numpy as np
+
+    from westa_ocr_ray.sketches import detect_hot_keys
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    ks = np.where(rng.rand(n) < 0.5, 7, rng.randint(100, 2000, size=n))
+    left = pd.DataFrame({"k": ks.astype(np.int64), "x": np.arange(n)})
+    right = pd.DataFrame({"rk": np.arange(0, 2000, dtype=np.int64),
+                          "y": np.arange(0, 2000) * 10})
+
+    num_buckets = 16
+    hot = detect_hot_keys(rd.from_pandas(left).repartition(8), "k",
+                          num_buckets)
+    assert "7" in hot  # the planted hot key is found
+    # nothing in the uniform tail is anywhere near factor*n/num_buckets
+    assert len(hot) == 1
+
+    # per-bucket load bound: replicate the join's bucket arithmetic —
+    # hot rows take base+{0..salt-1}, so the hot key's ~2000 rows land
+    # on `salt` distinct buckets instead of one
+    salt = 8
+    base = pd.util.hash_pandas_object(left["k"].astype(str),
+                                      index=False).to_numpy()
+    offs = np.where(left["k"].astype(str).isin(hot),
+                    np.arange(n, dtype=np.uint64) % np.uint64(salt),
+                    np.uint64(0))
+    loads = pd.Series((base + offs) % num_buckets).value_counts()
+    hot_total = int((left["k"] == 7).sum())
+    assert loads.max() < hot_total * 0.6  # was ~hot_total in one bucket
+
+    exp = (relops.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                            "k", "rk", num_buckets=num_buckets)
+           .to_pandas().sort_values(["k", "x"], ignore_index=True))
+    got = (relops.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                            "k", "rk", num_buckets=num_buckets,
+                            auto_salt=True, salt=salt)
+           .to_pandas().sort_values(["k", "x"], ignore_index=True))
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
 def test_hash_join_salt_clamped_to_num_buckets():
     import numpy as np
 

@@ -121,6 +121,38 @@ def test_real_sigkill_resume(tmp_path):
     assert _result_key(read_extracted(out)) == _result_key(read_extracted(clean))
 
 
+def test_on_partition_commit_fires_exactly_once_across_resume(tmp_path):
+    """The push-notification seam (reference per-page webhook analog):
+    on_partition_commit fires exactly once per partition across a
+    killed run + resume + redundant re-run — unnotified partitions
+    from the crashed run are delivered first, .notified stamps stop
+    re-delivery, and every delivery carries the marker + lineage path."""
+    corpus = fixtures.ensure_corpus("smoke")
+    out = str(tmp_path / "out")
+
+    # a run that committed 3 partitions and died before any hook fired
+    run_extract(corpus, out, CFG)
+    markers = sorted(glob.glob(os.path.join(out, "_markers", "*.done")))
+    for m in markers[3:]:
+        part = os.path.basename(m)[len("part-"):-len(".done")]
+        os.remove(m)
+        os.remove(os.path.join(out, "extracted", f"part-{part}.parquet"))
+
+    fired = []
+    hook = fired.append
+    m = run_extract(corpus, out, CFG, on_partition_commit=hook)
+    assert m["parts_skipped"] == 3
+    parts = [r["part"] for r in fired]
+    assert sorted(parts) == list(range(CFG.num_parts))  # every part once
+    assert all("lineage_path" in r and os.path.exists(r["lineage_path"])
+               and r["rows"] >= 0 for r in fired)
+
+    # redundant re-run: everything already notified → zero deliveries
+    m2 = run_extract(corpus, out, CFG, on_partition_commit=hook)
+    assert m2["parts_written"] == 0
+    assert len(fired) == CFG.num_parts
+
+
 def test_noop_resume_when_all_done(tmp_path):
     corpus = fixtures.ensure_corpus("smoke")
     out = str(tmp_path / "out")

@@ -18,6 +18,49 @@ def test_roundtrip_documents(tmp_path):
     assert set(back.schema().names) == {"doc_id", "spans"}
 
 
+def test_lance_branch_dispatch_and_schema(tmp_path, monkeypatch):
+    """The Lance half of the storage seam, exercised behind a fake
+    rd.read_lance / Dataset.write_lance (lance is not installed in this
+    sandbox — storage.py's HAVE_LANCE branch had otherwise never run):
+    read_table/write_table must dispatch to the lance entry points and
+    preserve the identical logical schema as the parquet branch."""
+    import ray.data as rd
+
+    from westa_ocr_ray import fixtures
+
+    src = fixtures.ensure_corpus("smoke")
+    parquet_schema = storage.read_table(src).schema()
+
+    calls = {}
+
+    def fake_read_lance(path, *, columns=None, **kwargs):
+        calls["read"] = {"path": path, "columns": columns}
+        # a real lance read returns the same logical table; stand in
+        # with the parquet reader over the same files
+        return (rd.read_parquet(path, columns=columns) if columns
+                else rd.read_parquet(path))
+
+    def fake_write_lance(self, path, **kwargs):
+        calls["write"] = {"path": path}
+        self.write_parquet(path, **kwargs)
+
+    monkeypatch.setattr(storage, "HAVE_LANCE", True)
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
+    monkeypatch.setattr(rd.Dataset, "write_lance", fake_write_lance,
+                        raising=False)
+
+    ds = storage.read_table(src, columns=["doc_id", "spans"])
+    assert calls["read"] == {"path": src, "columns": ["doc_id", "spans"]}
+    assert ds.schema().names == parquet_schema.names
+
+    out = str(tmp_path / "lance_out")
+    storage.write_table(ds, out)
+    assert calls["write"] == {"path": out}
+    back = storage.read_table(out, columns=None)
+    assert set(back.schema().names) == set(parquet_schema.names)
+    assert back.count() == ds.count()
+
+
 def test_read_text_lines_as_documents(tmp_path):
     p = tmp_path / "docs.txt"
     p.write_text("hello   world\nsecond  doc here\nhello   world\n")

@@ -439,8 +439,13 @@ def connected_components_distributed(edges: rd.Dataset, a_col: str = "doc_a",
             # per-batch combiner: one row per node per batch
             return out.groupby("doc_id", sort=False, as_index=False).min()
 
-        partial = (edges.map_batches(propagate, batch_format="pandas")
-                   .to_pandas().groupby("doc_id")["label"].min())
+        # min-merge DISTRIBUTED (bucketed partial aggregate) before the
+        # driver sees anything: one row per node reaches the driver —
+        # never one row per node per block
+        merged = partial_aggregate(
+            edges.map_batches(propagate, batch_format="pandas"),
+            ["doc_id"], {"label": ("min", "label")}).to_pandas()
+        partial = merged.set_index("doc_id")["label"]
         new_labels = labels.copy()
         common = partial.index
         improved = partial.to_numpy() < labels.loc[common].to_numpy()

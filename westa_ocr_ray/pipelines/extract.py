@@ -113,12 +113,46 @@ def _check_assign_version(out_dir: str, skip: Set[int]) -> Set[int]:
     return skip
 
 
+def _fire_commit_hooks(out_dir: str, hook) -> int:
+    """Deliver ``on_partition_commit`` callbacks: for every partition
+    with a completion marker but no ``.notified`` stamp, call the hook
+    with the marker dict (+ its lineage path), then stamp. The stamp is
+    written AFTER the hook returns, so delivery is exactly-once per
+    partition in normal operation and at-least-once across a crash
+    inside the hook itself — the same semantics as the reference's
+    per-page webhook push (app/worker.py:633-687), at the engine's
+    partition-commit granularity."""
+    fired = 0
+    for p in sorted(glob.glob(os.path.join(out_dir, "_markers",
+                                           "part-*.done"))):
+        nfile = p[:-len(".done")] + ".notified"
+        if os.path.exists(nfile):
+            continue
+        with open(p) as fh:
+            marker = json.load(fh)
+        marker["lineage_path"] = os.path.join(
+            out_dir, "lineage", f"part-{int(marker['part']):05d}.jsonl")
+        hook(marker)
+        with open(nfile, "w") as fh:
+            fh.write("ok")
+        fired += 1
+    return fired
+
+
 def run_extract(input_path: str, out_dir: str,
-                cfg: ExtractConfig = ExtractConfig()) -> dict:
+                cfg: ExtractConfig = ExtractConfig(),
+                on_partition_commit=None) -> dict:
     """Resumable run: skips partitions that already have completion
     markers (anti-join at the read — reference startup requeue,
     app/main.py:402-406, at output-partition granularity instead of
     whole-job), writes the rest atomically, and records run metrics.
+
+    ``on_partition_commit``: optional callable fired once per committed
+    partition with the marker dict (part, rows, spans, errors, wall_ms,
+    attempt, lineage_path) — the push-notification seam (reference
+    webhook analog). Unnotified partitions from a previous crashed run
+    are delivered first; delivery state persists in
+    ``_markers/part-*.notified`` so a re-run never re-fires.
 
     The doc_id exchange before reassembly is an external staged shuffle
     (see stages/reassemble.py): phase 1 streams extracted units into
@@ -131,6 +165,10 @@ def run_extract(input_path: str, out_dir: str,
     t0 = time.perf_counter()
     skip = _check_assign_version(out_dir, done_parts(out_dir))
     attempt = cfg.attempt if cfg.attempt else (1 if skip else 0)
+    if on_partition_commit is not None and skip:
+        # partitions committed by a crashed earlier run whose hooks
+        # never fired (or that ran without a hook)
+        _fire_commit_hooks(out_dir, on_partition_commit)
     if cfg.stage_root and os.path.isdir(os.path.dirname(cfg.stage_root.rstrip("/")) or "/"):
         tag = hashlib.md5(os.path.abspath(out_dir).encode()).hexdigest()[:12]
         stage_dir = os.path.join(cfg.stage_root, tag)
@@ -163,6 +201,8 @@ def run_extract(input_path: str, out_dir: str,
         summary_rows = markers.take_all()  # tiny: one row per partition
         phase2_sec = time.perf_counter() - t0 - phase1_sec
         shutil.rmtree(stage_dir, ignore_errors=True)
+        if on_partition_commit is not None:
+            _fire_commit_hooks(out_dir, on_partition_commit)
     wall = time.perf_counter() - t0
     metrics = {
         "input": input_path,

@@ -263,7 +263,7 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
               suffix: str = "_r",
               left_cols: Optional[Sequence[str]] = None,
               right_cols: Optional[Sequence[str]] = None,
-              hot_keys=None, salt: int = 8,
+              hot_keys=None, salt: int = 8, auto_salt: bool = False,
               left_dedup_cols: Optional[Sequence[str]] = None,
               bucket_fn=None,
               size_hint_bytes: Optional[int] = None) -> rd.Dataset:
@@ -298,11 +298,26 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str, right_on: str,
     (and shuffle volume) over the join output. Receives and returns a
     pandas DataFrame.
 
+    ``auto_salt=True``: a skewed join key at 100 TB won't announce
+    itself, so instead of requiring the CALLER to know the hot keys,
+    run sketches.detect_hot_keys as a pre-pass over the LEFT side's key
+    column (one fused MG + count-min sketch scan; the driver folds ≤64
+    summary rows) and salt whatever it finds. Opt-in because the
+    pre-pass re-executes a lazy left input once (materialize the left
+    first if its upstream is expensive). Ignored when ``hot_keys`` is
+    given explicitly; requires inner/left semantics like manual
+    salting.
+
     num_buckets defaults to the auto_buckets sizing rule (floor 32 =
     the round-2 constant); pass ``size_hint_bytes`` when the bigger
     side's size is known so the bucket count also scales with data."""
     if num_buckets is None:
         num_buckets = auto_buckets(floor=32, size_bytes=size_hint_bytes)
+    if auto_salt and not hot_keys and not left_dedup_cols \
+            and how in ("inner", "left"):
+        from .sketches import detect_hot_keys
+        hot_keys = detect_hot_keys(left.select_columns([left_on]),
+                                   left_on, num_buckets)
     # salted right-side replicas land on `salt` CONSECUTIVE buckets; with
     # salt > num_buckets the replicas would wrap onto already-used
     # buckets and hot-key pairs would meet (and emit) more than once

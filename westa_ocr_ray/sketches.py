@@ -302,6 +302,72 @@ def count_min_query(grid: np.ndarray, values: pd.Series) -> np.ndarray:
                   axis=0)
 
 
+def detect_hot_keys(ds: rd.Dataset, col: str, num_buckets: int,
+                    factor: float = 4.0, width: int = 4096,
+                    depth: int = 4, premerge_buckets: int = 64) -> list:
+    """Hot join keys in ONE fused distributed sketch pass — the skew
+    pre-pass behind hash_join(auto_salt=True). Per batch: a Misra-Gries
+    candidate summary, a count-min grid, and the row count ride one
+    emit; the bucketed pre-merge collapses them tree-wise so the driver
+    folds ≤ premerge_buckets rows regardless of block count.
+
+    A key is hot when its estimated frequency exceeds
+    ``factor · n / num_buckets`` (it would overload its single join
+    bucket by ≥ factor×). MG with k ≥ 2·num_buckets/factor guarantees
+    every such key survives as a candidate; the CMS estimate NEVER
+    undercounts, so no true hot key is missed (a near-threshold
+    false positive just gets harmlessly salted). Returns the hot keys
+    as STRINGS (hash_join compares key string forms)."""
+    import json
+
+    k = max(64, int(np.ceil(num_buckets / max(factor, 1e-9))) * 2)
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        sv = df[col].astype(str)
+        vc = sv.value_counts()
+        if len(vc) >= k:
+            cut = int(vc.iloc[k - 1])
+            vc = (vc - cut)[vc - cut > 0]
+        grid = np.zeros((depth, width), dtype=np.int64)
+        if len(df):
+            cells = _cms_cells(sv, width, depth)
+            for d in range(depth):
+                np.add.at(grid[d], cells[d], 1)
+        return pd.DataFrame({
+            "summary": [json.dumps({str(i): int(c) for i, c in vc.items()})],
+            "grid": [grid.tobytes()],
+            "n_rows": [len(df)]})
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        merged = misra_gries_merge([json.loads(s) for s in df["summary"]], k)
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for raw in df["grid"]:
+            acc += np.frombuffer(raw, dtype=np.int64)
+        return pd.DataFrame({"summary": [json.dumps(merged)],
+                             "grid": [acc.tobytes()],
+                             "n_rows": [int(df["n_rows"].sum())]})
+
+    rows = (ds.map_batches(sketch, batch_format="pandas")
+            .map_batches(_premerge_buckets("grid", premerge_buckets),
+                         batch_format="pandas")
+            .groupby("__b")
+            .map_groups(lambda df: merge_bucket(df.drop(columns="__b")),
+                        batch_format="pandas")).take_all()
+    n = int(sum(r["n_rows"] for r in rows))
+    if n == 0:
+        return []
+    cand = list(misra_gries_merge(
+        [json.loads(r["summary"]) for r in rows], k).keys())
+    if not cand:
+        return []
+    grid = np.zeros(depth * width, dtype=np.int64)
+    for r in rows:
+        grid += np.frombuffer(r["grid"], dtype=np.int64)
+    est = count_min_query(grid.reshape(depth, width), pd.Series(cand))
+    thresh = factor * n / num_buckets
+    return [c for c, e in zip(cand, est) if e > thresh]
+
+
 # ------------------------------------------- exact two-pass heavy hitters
 
 def heavy_hitters_exact(ds: rd.Dataset, col: str, k: int = 20,
