@@ -165,6 +165,56 @@ def test_ivf_index_build_query_and_resume(tmp_path):
     assert os.path.getmtime(f"{out}/centroids.parquet") == mt
 
 
+def test_ivf_index_incremental_add_equals_rebuild(tmp_path):
+    """add_to_ivf_index (fixed centroids, new committed generation)
+    must answer queries identically to a full rebuild over the union
+    corpus at the SAME centroids; a crashed add's uncommitted gen
+    subtree is invisible and wiped by the re-run."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import similarity
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = [{"vec_id": i,
+             "embedding": (centers[i % 4]
+                           + 0.3 * rng.standard_normal(16)).tolist()}
+            for i in range(240)]
+    base = [r for r in rows if r["vec_id"] % 3 != 0]
+    inc = [r for r in rows if r["vec_id"] % 3 == 0]
+
+    ix = str(tmp_path / "inc")
+    similarity.build_ivf_index(rd.from_items(base).repartition(4), ix,
+                               n_centroids=4, rounds=2)
+    cents = similarity.ivf_index_centroids(ix)
+
+    # crashed add: uncommitted gen=1 with a bogus vector — invisible
+    os.makedirs(os.path.join(ix, "cells", "gen=1", "cell=0"))
+    pd.DataFrame({"vec_id": [999999],
+                  "embedding": [rows[0]["embedding"]], "gen": [1],
+                  "cell": [0]}).to_parquet(
+        os.path.join(ix, "cells", "gen=1", "cell=0", "junk.parquet"))
+    qids = [1, 2, 4, 5]
+    qvecs = np.stack([rows[q]["embedding"] for q in qids])
+    mid = similarity.ann_topk_from_index(ix, qvecs, qids, k=5, n_probe=2)
+    assert 999999 not in set(mid["neighbor_id"])
+
+    similarity.add_to_ivf_index(rd.from_items(inc).repartition(3), ix)
+    assert not os.path.exists(
+        os.path.join(ix, "cells", "gen=1", "cell=0", "junk.parquet"))
+
+    full = str(tmp_path / "full")
+    similarity.build_ivf_index(rd.from_items(rows).repartition(5), full,
+                               centroids=cents)
+    a = similarity.ann_topk_from_index(ix, qvecs, qids, k=5, n_probe=2)
+    b = similarity.ann_topk_from_index(full, qvecs, qids, k=5, n_probe=2)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_embedding_moments_match_numpy_any_layout():
     import numpy as np
     import pandas as pd

@@ -1013,7 +1013,9 @@ def q_sim_ann_ivf_index(sf_dir: str) -> pd.DataFrame:
 
     emb = rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     st = os.stat(f"{sf_dir}/embeddings.parquet")
-    key = dedup.md5_hex(f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}")[:12]
+    # |v2: on-disk layout version (gen-subtree cells) — a stale /tmp
+    # index from an older layout must never be read
+    key = dedup.md5_hex(f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v2")[:12]
     out = f"/tmp/westa_ivf_index/{key}"
     similarity.build_ivf_index(emb, out, n_centroids=16, rounds=3)
     qids, qmat = similarity.load_queries(emb, QUERY_VEC_IDS)
@@ -1076,6 +1078,110 @@ def q_sim_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return similarity.ann_topk_ivf(
         rp(sf_dir, "embeddings", ["vec_id", "embedding"]), QUERY_VEC_IDS, k=5,
         n_centroids=16, n_probe=4, rounds=2)
+
+
+#: planted-duplicate constants shared by the ANN value oracles (engine
+#: and generated SQL derive from the SAME numbers — the
+#: dedup_minhash_planted oracle-generation pattern)
+ANN_PLANT_COPIES = 5
+ANN_PLANT_BASE = 1_000_000_000
+
+
+def _planted_copies(sf_dir: str) -> rd.Dataset:
+    """ANN_PLANT_COPIES exact duplicates of every probe query vector
+    under fresh ids (BASE + qid*100 + j). An exact duplicate shares its
+    query's LSH bucket and IVF cell BY IDENTITY, so every approximate
+    ANN path achieves recall exactly 1.0 on the planted corpus, and
+    the top-5 table is exactly the brute-force SQL derivation (copies
+    at cosine 1 strictly dominate — the fixture's max real cosine vs
+    the probe queries is ~0.49)."""
+    emb = rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qlist = list(QUERY_VEC_IDS)
+
+    def plant(t: pa.Table) -> pa.Table:
+        # arrow-in/arrow-out so the union's block types match the
+        # parquet-read side (the dedup_minhash_planted precedent)
+        t = t.combine_chunks()
+        ids = t.column("vec_id").to_numpy()
+        sub = t.filter(pa.array(np.isin(ids, qlist)))
+        idx = sub.schema.get_field_index("vec_id")
+        parts = [sub.set_column(
+            idx, "vec_id",
+            pa.compute.add(pa.compute.multiply(sub.column("vec_id"), 100),
+                           ANN_PLANT_BASE + j))
+            for j in range(1, ANN_PLANT_COPIES + 1)]
+        return pa.concat_tables(parts)
+
+    return emb.map_batches(plant, batch_format="pyarrow")
+
+
+def _planted_embeddings(sf_dir: str) -> rd.Dataset:
+    return (rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+            .union(_planted_copies(sf_dir)))
+
+
+def q_sim_ann_lsh_planted(sf_dir: str) -> pd.DataFrame:
+    """The LSH ANN machinery with an EXACT value oracle via the planted
+    corpus (see _planted_copies): hyperplane bucketing, bucket-probe
+    filtering and the per-batch partial top-k all run for real, and
+    recall is provably 1.0, so the (query, neighbor, rank) table
+    hash-matches the brute-force SQL. The real-data variant
+    (sim_ann_lsh) stays documented-approximate with ann_recall_report
+    as its honest-recall gate."""
+    return similarity.ann_topk_lsh(_planted_embeddings(sf_dir),
+                                   QUERY_VEC_IDS, k=ANN_PLANT_COPIES)
+
+
+def q_sim_ann_ivf_planted(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN (mini-Lloyd training, cell-probe filtering) on the
+    planted corpus — recall 1.0 by construction, same SQL oracle."""
+    return similarity.ann_topk_ivf(_planted_embeddings(sf_dir),
+                                   QUERY_VEC_IDS, k=ANN_PLANT_COPIES,
+                                   n_centroids=16, n_probe=4, rounds=2)
+
+
+def q_sim_ann_ivf_index_planted(sf_dir: str) -> pd.DataFrame:
+    """The PERSISTED IVF index (build → cell-partitioned parquet →
+    probed-cell-only reads) on the planted corpus — the index
+    round-trip itself becomes hash-checked, not just recall-gated."""
+    import os
+
+    emb = _planted_embeddings(sf_dir)
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = dedup.md5_hex(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|planted_v2")[:12]
+    out = f"/tmp/westa_ivf_index/{key}"
+    similarity.build_ivf_index(emb, out, n_centroids=16, rounds=3)
+    qids, qmat = similarity.load_queries(emb, QUERY_VEC_IDS)
+    return similarity.ann_topk_from_index(out, qmat, qids,
+                                          k=ANN_PLANT_COPIES, n_probe=4)
+
+
+def q_sim_ann_ivf_incremental(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL IVF maintenance, driver-value-checked: build the
+    index over the REAL embeddings, ADD the planted copies as a new
+    committed generation (similarity.add_to_ivf_index — fixed stored
+    centroids, crash-safe gen subtree), then query. A copy lands in
+    its query's argmax cell under the stored centroids = the query's
+    top-1 probe, so recall stays 1.0 and the result hash-matches the
+    same brute-force oracle — proving the add path end to end."""
+    import os
+    import shutil
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = dedup.md5_hex(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|incr_v2")[:12]
+    out = f"/tmp/westa_ivf_index/{key}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS.1")):
+        shutil.rmtree(out, ignore_errors=True)  # wipe a half-done add
+        similarity.build_ivf_index(
+            rp(sf_dir, "embeddings", ["vec_id", "embedding"]), out,
+            n_centroids=16, rounds=3)
+        similarity.add_to_ivf_index(_planted_copies(sf_dir), out)
+    emb = _planted_embeddings(sf_dir)
+    qids, qmat = similarity.load_queries(emb, QUERY_VEC_IDS)
+    return similarity.ann_topk_from_index(out, qmat, qids,
+                                          k=ANN_PLANT_COPIES, n_probe=4)
 
 
 def q_embedding_moments(sf_dir: str) -> rd.Dataset:
@@ -3700,6 +3806,14 @@ QUERIES = {
     "semi_anti_bloom": q_semi_anti_bloom,
     "shuffle_rank": q_shuffle_rank,
     "lang_quota": q_lang_quota,
+    # round-4 session: the ANN family's planted value oracles (recall
+    # provably 1.0 on the planted corpus — LSH bucketing, IVF
+    # training/probing, the persisted index round-trip and the
+    # incremental index ADD all hash-match one brute-force SQL oracle)
+    "sim_ann_lsh_planted": q_sim_ann_lsh_planted,
+    "sim_ann_ivf_planted": q_sim_ann_ivf_planted,
+    "sim_ann_ivf_index_planted": q_sim_ann_ivf_index_planted,
+    "sim_ann_ivf_incremental": q_sim_ann_ivf_incremental,
     # trivial/redundant oracles — past the driver window by design;
     # their SHAPES stay value-checked every round through the in-window
     # combined_small_shapes checksum twin
@@ -3961,7 +4075,49 @@ def _epoch_oversample_oracle_sql() -> str:
 
 _STOP_SQL = "('" + "','".join(text_analysis.STOPWORDS) + "')"
 
+def _ann_planted_oracle_sql() -> str:
+    """Brute-force cosine top-k over the PLANTED embedding corpus
+    (real table ∪ ANN_PLANT_COPIES exact duplicates of each probe
+    query under BASE + qid*100 + j ids — generated from the SAME
+    constants as _planted_copies, the dedup_minhash_planted pattern).
+    All four ANN surfaces (LSH, IVF, persisted index, incremental add)
+    hash-match this ONE derivation because planted recall is exactly
+    1.0 and copies at cosine 1 strictly dominate (fixture max real
+    cosine vs the probes ≈ 0.49; ties among copies break by id on
+    both sides)."""
+    ids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    return f"""
+        WITH planted AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT CAST({ANN_PLANT_BASE} + vec_id * 100 + j AS BIGINT)
+                   AS vec_id, embedding
+          FROM embeddings, UNNEST(range(1, {ANN_PLANT_COPIES + 1})) AS t(j)
+          WHERE vec_id IN ({ids})
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qe FROM planted
+              WHERE vec_id IN ({ids})),
+        s AS (SELECT q.query_id, p.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, p.embedding) AS sim
+              FROM q, planted p WHERE p.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id)
+                       AS rank
+              FROM s)
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= {ANN_PLANT_COPIES}"""
+
+
+_ANN_PLANTED_SQL = _ann_planted_oracle_sql()
+
 ORACLE_SQL = {
+    "sim_ann_lsh_planted": _ANN_PLANTED_SQL,
+    "sim_ann_ivf_planted": _ANN_PLANTED_SQL,
+    "sim_ann_ivf_index_planted": _ANN_PLANTED_SQL,
+    "sim_ann_ivf_incremental": _ANN_PLANTED_SQL,
     "g1_lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

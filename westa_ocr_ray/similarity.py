@@ -344,20 +344,72 @@ def contrastive_pairs(emb: rd.Dataset, anchor_ids: Sequence[int],
             .reset_index(drop=True))
 
 
+def _ivf_wipe_uncommitted(index_dir: str, committed) -> None:
+    """Remove cells/gen=<g> subtrees with no commit marker (crashed
+    build/add leftovers) — the IVF twin of search._wipe_uncommitted."""
+    import glob as _glob
+    import os
+    import shutil
+
+    keep = set(committed)
+    for d in _glob.glob(os.path.join(index_dir, "cells", "gen=*")):
+        s = d.rsplit("=", 1)[1]
+        if s.isdigit() and int(s) not in keep:
+            shutil.rmtree(d)
+
+
+def _ivf_cell_paths(index_dir: str, cells) -> list:
+    """Parquet files of the probed cells across COMMITTED generations
+    only (uncommitted adds are invisible to queries)."""
+    import glob as _glob
+    import os
+
+    from .search import _committed_gens
+
+    return [f for g in _committed_gens(index_dir) for c in cells
+            for f in sorted(_glob.glob(os.path.join(
+                index_dir, "cells", f"gen={g}", f"cell={c}", "*.parquet")))]
+
+
+def _write_ivf_gen(emb: rd.Dataset, index_dir: str, gen: int,
+                   centroids: np.ndarray, id_col: str,
+                   vec_col: str) -> None:
+    """Assign every vector of one snapshot to its nearest centroid and
+    write the cells under the generation's own subtree; the caller
+    stamps the commit marker afterwards."""
+    import os
+
+    cref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        m = _normalize(_stack(df[vec_col]))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             vec_col: df[vec_col].to_numpy(),
+                             "gen": np.int64(gen),
+                             "cell": np.argmax(m @ c.T, axis=1
+                                               ).astype(np.int64)})
+
+    (emb.map_batches(assign, batch_format="pandas")
+        .write_parquet(os.path.join(index_dir, "cells"),
+                       partition_cols=["gen", "cell"]))
+
+
 def build_ivf_index(emb: rd.Dataset, out_dir: str, n_centroids: int = 16,
                     rounds: int = 3, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> str:
+                    vec_col: str = "embedding",
+                    centroids: Optional[np.ndarray] = None) -> str:
     """Persist an IVF index: train coarse centroids (one streaming
-    mini-Lloyd), assign every vector, and write the corpus
-    CELL-PARTITIONED (``out_dir/cell=<c>/*.parquet``) next to a
-    centroids table, stamping ``_SUCCESS`` on completion — the
-    build-once / query-many layout ann_topk_ivf's docstring points to:
-    a probe then reads ONLY its cells' files instead of streaming the
-    whole corpus. Re-runs that find the marker skip the build
-    (same whole-export resume granularity as export_training_shards);
-    a marker-LESS out_dir is a crashed build and is wiped before the
-    rebuild so partial cell files are never double-read. Returns
-    out_dir."""
+    mini-Lloyd) unless ``centroids`` is given, assign every vector, and
+    write the corpus CELL-PARTITIONED under the base generation
+    (``out_dir/cells/gen=0/cell=<c>/*.parquet``) next to a centroids
+    table, stamping ``_SUCCESS`` LAST — the build-once / query-many
+    layout ann_topk_ivf's docstring points to: a probe then reads ONLY
+    its cells' files instead of streaming the whole corpus. Re-runs
+    that find the marker skip the build (same whole-export resume
+    granularity as export_training_shards); a marker-LESS out_dir is a
+    crashed build and is wiped before the rebuild so partial cell
+    files are never double-read. Returns out_dir."""
     import os
     import shutil
 
@@ -368,22 +420,11 @@ def build_ivf_index(emb: rd.Dataset, out_dir: str, n_centroids: int = 16,
         return out_dir
     if os.path.isdir(out_dir):  # crashed earlier build: start clean
         shutil.rmtree(out_dir)
-    centroids = ivf_train_centroids(emb, n_centroids=n_centroids,
-                                    rounds=rounds, id_col=id_col,
-                                    vec_col=vec_col)
-    cref = ray.put(centroids)
-
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cref)
-        m = _normalize(_stack(df[vec_col]))
-        return pd.DataFrame({id_col: df[id_col].to_numpy(),
-                             vec_col: df[vec_col].to_numpy(),
-                             "cell": np.argmax(m @ c.T, axis=1
-                                               ).astype(np.int64)})
-
-    (emb.map_batches(assign, batch_format="pandas")
-        .write_parquet(os.path.join(out_dir, "cells"),
-                       partition_cols=["cell"]))
+    if centroids is None:
+        centroids = ivf_train_centroids(emb, n_centroids=n_centroids,
+                                        rounds=rounds, id_col=id_col,
+                                        vec_col=vec_col)
+    _write_ivf_gen(emb, out_dir, 0, centroids, id_col, vec_col)
     pq.write_table(
         pa.table({"cell": pa.array(range(len(centroids)), type=pa.int64()),
                   "centroid": pa.array([c.tolist() for c in centroids],
@@ -394,22 +435,57 @@ def build_ivf_index(emb: rd.Dataset, out_dir: str, n_centroids: int = 16,
     return out_dir
 
 
-def ann_topk_from_index(index_dir: str, query_vecs: np.ndarray,
-                        query_ids: Sequence[int], k: int = 5,
-                        n_probe: int = 4, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> pd.DataFrame:
-    """Query a persisted IVF index: read ONLY the probed cells'
-    partitions (pushed down as a parquet partition filter — the 100 TB
-    point of the cell layout), brute-force within them. Returns
-    (query_id, neighbor_id, rank) like the other ANN surfaces."""
+def ivf_index_centroids(index_dir: str) -> np.ndarray:
+    """The index's stored centroid matrix, cell-ordered."""
     import os
 
     import pyarrow.parquet as pq
 
     cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
     order = np.argsort(cent_t.column("cell").to_numpy())
-    centroids = np.stack(
-        cent_t.column("centroid").to_pandas().to_numpy()[order])
+    return np.stack(cent_t.column("centroid").to_pandas().to_numpy()[order])
+
+
+def add_to_ivf_index(emb: rd.Dataset, index_dir: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> str:
+    """INCREMENTAL IVF maintenance (the ANN twin of
+    search.add_to_text_index): assign a new snapshot's vectors to their
+    nearest EXISTING cell (centroids stay fixed — the standard IVF add;
+    retraining is a rebuild) and write them as a fresh committed
+    generation (``cells/gen=<g>/cell=<c>/``, ``_SUCCESS.<g>`` stamped
+    last). After the add, queries are IDENTICAL to a rebuild over the
+    union corpus at the same fixed centroids (equality-tested in
+    tests/test_similarity.py). Crash-safe like the text index: a
+    crashed add leaves only an uncommitted, reader-invisible gen
+    subtree that the re-run wipes. The caller owns id disjointness."""
+    import os
+
+    from .search import _committed_gens
+
+    gens = _committed_gens(index_dir)
+    if not gens:
+        raise FileNotFoundError(
+            f"no committed IVF index at {index_dir}; build_ivf_index first")
+    _ivf_wipe_uncommitted(index_dir, gens)
+    gen = gens[-1] + 1
+    _write_ivf_gen(emb, index_dir, gen, ivf_index_centroids(index_dir),
+                   id_col, vec_col)
+    with open(os.path.join(index_dir, f"_SUCCESS.{gen}"), "w") as f:
+        f.write("ok\n")
+    return index_dir
+
+
+def ann_topk_from_index(index_dir: str, query_vecs: np.ndarray,
+                        query_ids: Sequence[int], k: int = 5,
+                        n_probe: int = 4, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> pd.DataFrame:
+    """Query a persisted IVF index: read ONLY the probed cells'
+    partitions across committed generations (pushed down as a parquet
+    partition filter — the 100 TB point of the cell layout),
+    brute-force within them. Returns (query_id, neighbor_id, rank)
+    like the other ANN surfaces."""
+    centroids = ivf_index_centroids(index_dir)
     qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qids = np.asarray(list(query_ids), dtype=np.int64)
     probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
@@ -417,9 +493,11 @@ def ann_topk_from_index(index_dir: str, query_vecs: np.ndarray,
 
     # explicit partition pruning: only the probed cells' files are
     # ever listed or read
-    import glob as _glob
-    paths = [f for c in wanted for f in sorted(_glob.glob(
-        os.path.join(index_dir, "cells", f"cell={c}", "*.parquet")))]
+    paths = _ivf_cell_paths(index_dir, wanted)
+    if not paths:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "neighbor_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64)})
     cells = rd.read_parquet(paths)
     qids_ref, qmat_ref = ray.put(qids), ray.put(qmat)
     cand = cells.map_batches(
