@@ -176,6 +176,39 @@ def test_hash_join_auto_salt_planted_hot_key():
     pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
 
 
+def test_global_value_rank_exact_and_layout_independent():
+    """global_value_rank == row_number() OVER (ORDER BY v DESC, id) on
+    any block layout, including heavy ties and a degenerate all-equal
+    column (everything lands in one bin — unbalanced but correct)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 40, size=1000)  # heavy ties
+    df = pd.DataFrame({"id": np.arange(1000, dtype=np.int64),
+                       "v": vals.astype(np.int64)})
+    exp = df.sort_values(["v", "id"], ascending=[False, True],
+                         ignore_index=True)
+    exp["rank"] = np.arange(1, len(exp) + 1, dtype=np.int64)
+
+    for parts in (1, 7):
+        got = (relops.global_value_rank(
+            rd.from_pandas(df).repartition(parts), "v", "id",
+            num_bins=16)
+            .to_pandas().sort_values("rank", ignore_index=True))
+        pd.testing.assert_frame_equal(
+            got[["id", "v", "rank"]], exp[["id", "v", "rank"]],
+            check_dtype=False)
+
+    # ascending + degenerate single-value column
+    one = pd.DataFrame({"id": np.arange(50, dtype=np.int64),
+                        "v": np.full(50, 9, dtype=np.int64)})
+    got = (relops.global_value_rank(rd.from_pandas(one).repartition(4),
+                                    "v", "id", descending=False)
+           .to_pandas().sort_values("rank", ignore_index=True))
+    assert list(got["id"]) == list(range(50))
+    assert list(got["rank"]) == list(range(1, 51))
+
+
 def test_hash_join_salt_clamped_to_num_buckets():
     import numpy as np
 

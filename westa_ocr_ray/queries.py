@@ -669,6 +669,40 @@ def events_late_flags(sf_dir: str) -> rd.Dataset:
     return _bucketed_by_user(ev, fn, sort_cols=["user_id", "event_id"])
 
 
+BURST_WINDOW_US = 60 * 10**6  # 60-second sliding burst window
+
+
+def events_top_burst(sf_dir: str) -> rd.Dataset:
+    """Burst detection — the rate-limit / hot-key streaming audit: per
+    user, the maximum number of their events inside ANY sliding 60 s
+    window ((t-60s, t] per event, peers at the same timestamp
+    included — exactly SQL's RANGE frame semantics). Per-user ordered
+    buckets + two vectorized searchsorteds per user; exact
+    RANGE-window SQL oracle."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("int64").to_numpy()
+        u = df["user_id"].to_numpy()
+        if not len(u):
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "max_burst": pd.Series([], dtype=np.int64)})
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        uids, bursts = [], []
+        for s, e in zip(starts, ends):
+            tu = t[s:e]
+            hi = np.searchsorted(tu, tu, side="right")
+            lo = np.searchsorted(tu, tu - (BURST_WINDOW_US - 1),
+                                 side="left")
+            uids.append(int(u[s]))
+            bursts.append(int((hi - lo).max()))
+        return pd.DataFrame({"user_id": np.array(uids, dtype=np.int64),
+                             "max_burst": np.array(bursts, dtype=np.int64)})
+
+    return _bucketed_by_user(ev, fn)
+
+
 def events_prev_gap(sf_dir: str) -> rd.Dataset:
     """Per-user lag: microseconds since the user's previous event (-1
     for the first) — the as-of/ordered-window primitive."""
@@ -1013,9 +1047,10 @@ def q_sim_ann_ivf_index(sf_dir: str) -> pd.DataFrame:
 
     emb = rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     st = os.stat(f"{sf_dir}/embeddings.parquet")
-    # |v2: on-disk layout version (gen-subtree cells) — a stale /tmp
+    # |v3: layout/trainer version (gen-subtree cells, int64-quantized
+    # deterministic centroid trainer) — a stale /tmp
     # index from an older layout must never be read
-    key = dedup.md5_hex(f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v2")[:12]
+    key = dedup.md5_hex(f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v3")[:12]
     out = f"/tmp/westa_ivf_index/{key}"
     similarity.build_ivf_index(emb, out, n_centroids=16, rounds=3)
     qids, qmat = similarity.load_queries(emb, QUERY_VEC_IDS)
@@ -1149,7 +1184,7 @@ def q_sim_ann_ivf_index_planted(sf_dir: str) -> pd.DataFrame:
     emb = _planted_embeddings(sf_dir)
     st = os.stat(f"{sf_dir}/embeddings.parquet")
     key = dedup.md5_hex(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|planted_v2")[:12]
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|planted_v3")[:12]
     out = f"/tmp/westa_ivf_index/{key}"
     similarity.build_ivf_index(emb, out, n_centroids=16, rounds=3)
     qids, qmat = similarity.load_queries(emb, QUERY_VEC_IDS)
@@ -1170,7 +1205,7 @@ def q_sim_ann_ivf_incremental(sf_dir: str) -> pd.DataFrame:
 
     st = os.stat(f"{sf_dir}/embeddings.parquet")
     key = dedup.md5_hex(
-        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|incr_v2")[:12]
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|incr_v3")[:12]
     out = f"/tmp/westa_ivf_index/{key}"
     if not os.path.exists(os.path.join(out, "_SUCCESS.1")):
         shutil.rmtree(out, ignore_errors=True)  # wipe a half-done add
@@ -1253,6 +1288,34 @@ def q_text_index_incremental(sf_dir: str) -> pd.DataFrame:
         search.build_text_index(base, out, num_buckets=64)
         search.add_to_text_index(inc, out, num_buckets=64)
     return search.text_index_lookup(out, CMS_QUERY_TOKENS, num_buckets=64)
+
+
+def q_text_index_all_terms(sf_dir: str) -> rd.Dataset:
+    """Boolean AND retrieval FROM the persisted inverted index: the
+    docs containing EVERY probe term, with their summed tf — the
+    conjunctive-query sibling of the single-term lookup. Postings come
+    from only the probed bucket partitions; one bucketed aggregate per
+    doc counts matched terms ((token, doc) posting rows are unique
+    across generations, so the row count IS the distinct-term count)
+    and keeps the full-coverage docs. Exact SQL oracle."""
+    from . import search
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    out = _text_index_dir(sf_dir)
+    search.build_text_index(docs, out, num_buckets=64)
+    post = search.text_index_postings(out, BM25_TERMS, num_buckets=64)
+    if post is None:
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "sum_tf": pd.Series([], dtype=np.int64)}))
+    agg = partial_aggregate(post, ["doc_id"],
+                            {"n_terms": ("count", None),
+                             "sum_tf": ("sum", "tf")})
+    nt = len(BM25_TERMS)
+    return agg.map_batches(
+        lambda df: df[df["n_terms"] == nt][["doc_id", "sum_tf"]]
+                     .astype({"sum_tf": "int64"}),
+        batch_format="pandas")
 
 
 def q_bm25_index_search(sf_dir: str) -> rd.Dataset:
@@ -1588,6 +1651,119 @@ def q_corpus_diff(sf_dir: str) -> rd.Dataset:
 
     new = docs.map_batches(make_new, batch_format="pandas")
     return snapshot_diff(docs, new)
+
+
+def q_corpus_rollup(sf_dir: str) -> rd.Dataset:
+    """Multi-level aggregate (the GROUPING SETS / ROLLUP shape): docs
+    and tokens per (lang, length-bucket), per lang, and the grand
+    total, in ONE pass over the corpus — the fine-grained bucketed
+    partial aggregate runs once and the coarser levels re-aggregate
+    the FINE table (langs × 8 rows), never the corpus. Subtotal
+    sentinels: lang='ALL', lb=-1. Exact GROUPING SETS SQL oracle."""
+    docs = rp(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.split(" ").map(len).to_numpy(dtype=np.int64)
+        return pd.DataFrame({"lang": df["lang"].to_numpy(),
+                             "lb": np.minimum(n // 32, 7),
+                             "n_tok": n})
+
+    fine = partial_aggregate(
+        docs.map_batches(base, batch_format="pandas"),
+        ["lang", "lb"],
+        {"n_docs": ("count", None), "n_tokens": ("sum", "n_tok")}
+    ).materialize()  # consumed three times; langs × 8 rows
+
+    per_lang = partial_aggregate(
+        fine, ["lang"],
+        {"n_docs": ("sum", "n_docs"), "n_tokens": ("sum", "n_tokens")}
+    ).map_batches(lambda df: df.assign(lb=np.int64(-1)),
+                  batch_format="pandas")
+    total = partial_aggregate(
+        fine.map_batches(lambda df: df.assign(__g=np.int32(0)),
+                         batch_format="pandas"),
+        ["__g"],
+        {"n_docs": ("sum", "n_docs"), "n_tokens": ("sum", "n_tokens")}
+    ).map_batches(lambda df: df.drop(columns="__g")
+                  .assign(lang="ALL", lb=np.int64(-1)),
+                  batch_format="pandas")
+
+    cols = ["lang", "lb", "n_docs", "n_tokens"]
+
+    def order(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].astype({"lb": "int64", "n_docs": "int64",
+                                "n_tokens": "int64"})
+
+    return (fine.union(per_lang).union(total)
+            .map_batches(order, batch_format="pandas"))
+
+
+MHP_HASHES = 8  # SQL-parity minhash rows per doc
+
+
+def q_minhash_md5_signatures(sf_dir: str) -> rd.Dataset:
+    """SQL-parity MinHash signature table (the hll_user_registers
+    treatment for the minhash KERNEL): sig(doc, h) = min over the
+    doc's DISTINCT 3-token shingles g of the top-32-bit value of
+    md5('h|' + g). The production signature path uses the faster
+    non-SQL pd.util.hash_array kernel (its PIPELINE is proven by
+    dedup_minhash_planted); this query proves the minhash math —
+    shingling, per-permutation hashing, the min fold — bit-for-bit
+    against DuckDB. One md5 per (hash, unique-shingle) per batch;
+    output (doc_id, h, sig)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        doc_sh = []
+        for text in df["text"]:
+            toks = text.split(" ")
+            doc_sh.append(sorted({" ".join(toks[i:i + 3])
+                                  for i in range(max(1, len(toks) - 2))}))
+        lens = np.array([len(s) for s in doc_sh], dtype=np.int64)
+        flat = np.array([g for s in doc_sh for g in s], dtype=object)
+        if not len(flat):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "h": pd.Series([], dtype=np.int64),
+                                 "sig": pd.Series([], dtype=np.int64)})
+        # md5 once per (hash, UNIQUE shingle) per batch (the simhash /
+        # cms kernel pattern), then a per-doc min fold via reduceat
+        uniq, inv = np.unique(flat, return_inverse=True)
+        bounds = np.r_[0, np.cumsum(lens)[:-1]]
+        ids = df["doc_id"].to_numpy()
+        parts = []
+        for h in range(MHP_HASHES):
+            pre = f"{h}|".encode("utf-8")
+            hv = np.fromiter(
+                (int.from_bytes(_h.md5(pre + g.encode("utf-8"))
+                                .digest()[:4], "big") for g in uniq),
+                dtype=np.int64, count=len(uniq))
+            parts.append(pd.DataFrame({
+                "doc_id": ids,
+                "h": np.full(len(ids), h, dtype=np.int64),
+                "sig": np.minimum.reduceat(hv[inv], bounds)}))
+        return pd.concat(parts, ignore_index=True)
+
+    return docs.map_batches(sigs, batch_format="pandas")
+
+
+def length_rank(sf_dir: str) -> rd.Dataset:
+    """Distributed exact global ORDER BY (relops.global_value_rank):
+    every document's 1-based global rank by (token count DESC, doc_id)
+    — the histogram range-partition sort, NOT ray's sort: ≤ num_bins
+    histogram rows reach the driver and each bin sorts locally with a
+    precomputed rank offset. All-integer, layout-independent; exact
+    window-function SQL oracle."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def ntok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tok": df["text"].str.split(" ").map(len)
+                       .to_numpy(dtype=np.int64)})
+
+    return relops.global_value_rank(
+        docs.map_batches(ntok, batch_format="pandas"), "n_tok", "doc_id")
 
 
 def q_corpus_report(sf_dir: str) -> rd.Dataset:
@@ -3814,6 +3990,14 @@ QUERIES = {
     "sim_ann_ivf_planted": q_sim_ann_ivf_planted,
     "sim_ann_ivf_index_planted": q_sim_ann_ivf_index_planted,
     "sim_ann_ivf_incremental": q_sim_ann_ivf_incremental,
+    # round-4 session: distributed exact ORDER BY (histogram
+    # range-partition rank), GROUPING SETS rollup, boolean-AND index
+    # retrieval, burst-window streaming max, SQL-parity minhash kernel
+    "length_rank": length_rank,
+    "corpus_rollup": q_corpus_rollup,
+    "text_index_all_terms": q_text_index_all_terms,
+    "events_top_burst": events_top_burst,
+    "minhash_md5_signatures": q_minhash_md5_signatures,
     # trivial/redundant oracles — past the driver window by design;
     # their SHAPES stay value-checked every round through the in-window
     # combined_small_shapes checksum twin
@@ -4114,6 +4298,55 @@ def _ann_planted_oracle_sql() -> str:
 _ANN_PLANTED_SQL = _ann_planted_oracle_sql()
 
 ORACLE_SQL = {
+    "length_rank": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(row_number() OVER (
+                   ORDER BY len(string_split(text, ' ')) DESC, doc_id)
+                 AS BIGINT) AS rank
+        FROM documents""",
+    "corpus_rollup": """
+        WITH d AS (SELECT lang,
+                          least(len(string_split(text, ' ')) // 32, 7)
+                            AS lb,
+                          len(string_split(text, ' ')) AS n
+                   FROM documents)
+        SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END
+                 AS lang,
+               CAST(CASE WHEN GROUPING(lb) = 1 THEN -1 ELSE lb END
+                 AS BIGINT) AS lb,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM d GROUP BY GROUPING SETS ((lang, lb), (lang), ())""",
+    "text_index_all_terms": f"""
+        WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                    FROM (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS token
+                          FROM documents)
+                    WHERE token IN ({', '.join(repr(t) for t in BM25_TERMS)})
+                    GROUP BY doc_id, token)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS sum_tf
+        FROM tf GROUP BY doc_id HAVING COUNT(*) = {len(BM25_TERMS)}""",
+    "events_top_burst": f"""
+        WITH o AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        w AS (SELECT user_id,
+                     COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+                                    RANGE BETWEEN {BURST_WINDOW_US - 1}
+                                    PRECEDING AND CURRENT ROW) AS c
+              FROM o)
+        SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_burst
+        FROM w GROUP BY user_id""",
+    "minhash_md5_signatures": f"""
+        WITH {{shcore}},
+        u AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        x AS (SELECT doc_id, h.range AS h,
+                     CAST(('0x' || substr(md5(CAST(h.range AS VARCHAR)
+                                              || '|' || g), 1, 8))
+                       AS UBIGINT) AS v
+              FROM u CROSS JOIN range(0, {MHP_HASHES}) h)
+        SELECT doc_id, CAST(h AS BIGINT) AS h,
+               CAST(MIN(v) AS BIGINT) AS sig
+        FROM x GROUP BY doc_id, h""",
     "sim_ann_lsh_planted": _ANN_PLANTED_SQL,
     "sim_ann_ivf_planted": _ANN_PLANTED_SQL,
     "sim_ann_ivf_index_planted": _ANN_PLANTED_SQL,
@@ -5778,6 +6011,12 @@ ORACLE_SQL = {
                          THEN pm - t ELSE 0 END AS BIGINT) AS disorder_us
         FROM w""",
 }
+
+# the minhash-parity oracle shares the 3-shingle CTE with the other
+# shingle oracles (one builder, no drift)
+ORACLE_SQL["minhash_md5_signatures"] = (
+    ORACLE_SQL["minhash_md5_signatures"].format(
+        shcore=_SHINGLES_CORE_SQL.format(src="documents")))
 
 # Oracles whose expected values depend on the fixture-corpus TIER. The
 # driver always runs at sf0.01 (the "correctness" tier baked into

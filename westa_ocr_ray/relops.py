@@ -504,6 +504,74 @@ def semi_anti_filter(ds: rd.Dataset, key: str, key_set, anti: bool = False) -> r
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def global_value_rank(ds: rd.Dataset, value_col: str, id_col: str,
+                      descending: bool = True, num_bins: int = 1024,
+                      num_buckets: Optional[int] = None) -> rd.Dataset:
+    """EXACT global ORDER-BY ranking over an INTEGER value column with
+    NO global sort — the distributed ORDER BY operator (classic
+    range-partition sort with an exact histogram partitioner):
+
+    1. bounds pass: global (min, max) of the value — one partial row
+       per block through the constant-group aggregate;
+    2. histogram pass: per-bin counts (bin = (v - min) // width) via
+       the bucketed partial aggregate — ≤ num_bins rows reach the
+       driver, prefix-summed into per-bin rank offsets in rank order;
+    3. placement pass: rows exchange on their BIN only (each bin's rows
+       meet in one task — ~n/num_bins rows for non-degenerate
+       distributions), sort locally by (value, id) and add the bin's
+       offset. At 100 TB pick num_bins ≥ cluster task slots and
+       re-split a degenerate bin by id range; a single-value bin is
+       still CORRECT here (one task sorts it), just unbalanced.
+
+    Ties are impossible across bins (bins partition the value space);
+    within a bin (value, id) is a total order, so the result equals
+    ``row_number() OVER (ORDER BY v [DESC], id)`` exactly — all-integer
+    and block-layout independent. The input is consumed three times, so
+    the narrow (id, value) projection is materialized once (the
+    bm25/per_doc trade). Returns (id_col, value_col, rank)."""
+    proj = ds.map_batches(lambda df: df[[id_col, value_col]],
+                          batch_format="pandas").materialize()
+
+    bounds = partial_aggregate(
+        proj.map_batches(lambda df: df.assign(__g=np.int32(0)),
+                         batch_format="pandas"),
+        ["__g"], {"mn": ("min", value_col), "mx": ("max", value_col)},
+        num_buckets=num_buckets).to_pandas()
+    if not len(bounds):
+        return proj.map_batches(
+            lambda df: df.assign(rank=np.int64(0)).iloc[:0],
+            batch_format="pandas")
+    mn, mx = int(bounds["mn"][0]), int(bounds["mx"][0])
+    width = max(1, (mx - mn) // num_bins + 1)
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.int64)
+        return df.assign(__bin=((v - mn) // width).astype(np.int64))
+
+    hist = partial_aggregate(
+        proj.map_batches(binned, batch_format="pandas"),
+        ["__bin"], {"n": ("count", None)},
+        num_buckets=num_buckets).to_pandas()
+    hist = hist.sort_values("__bin", ascending=not descending,
+                            ignore_index=True)
+    offs = dict(zip(hist["__bin"].astype(int),
+                    np.concatenate([[0], np.cumsum(
+                        hist["n"].to_numpy(dtype=np.int64))[:-1]])))
+    oref = ray.put(offs)
+
+    def rank_bin(df: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(oref)
+        df = df.sort_values([value_col, id_col],
+                            ascending=[not descending, True],
+                            ignore_index=True)
+        df["rank"] = (np.arange(1, len(df) + 1, dtype=np.int64)
+                      + int(o[int(df["__bin"].iloc[0])]))
+        return df[[id_col, value_col, "rank"]]
+
+    return (proj.map_batches(binned, batch_format="pandas")
+            .groupby("__bin").map_groups(rank_bin, batch_format="pandas"))
+
+
 def exact_order_statistic(ds: rd.Dataset, value_col: str, k: int,
                           bin_width: int = 64,
                           num_buckets: Optional[int] = None) -> int:

@@ -180,23 +180,36 @@ def ivf_train_centroids(emb: rd.Dataset, n_centroids: int = 16,
     one row per (centroid, batch); the driver merges only the tiny
     (n_centroids × dim) table. Every corpus pass streams — nothing
     corpus-sized leaves the workers. Empty centroids keep their previous
-    position (no resample, determinism over quality)."""
+    position (no resample, determinism over quality).
+
+    Determinism is EXACT, not best-effort: both the assignment argmax
+    and the partial sums run over int64-quantized vectors
+    (round(v * 2^20); the embedding_moments treatment), so the result
+    is independent of batch boundaries, block arrival order, and BLAS
+    kernel choice — float partial sums would drift with merge order
+    (non-associative adds) and flip near-tie argmaxes between runs.
+    Scale headroom: |q| ≤ 2^20 per component, products ≤ 2^40, a
+    per-cell int64 sum overflows only past ~2^23 vectors per batch per
+    cell × dim — far beyond any batch size here."""
     low = (emb.map_batches(
         lambda df: pd.DataFrame({id_col: np.sort(df[id_col].to_numpy())[:n_centroids]}),
         batch_format="pandas").to_pandas())
     init_ids = np.sort(low[id_col].to_numpy())[:n_centroids]
     _, centroids = load_queries(emb, init_ids, id_col, vec_col)
+    scale = np.int64(1) << 20
 
     for _ in range(rounds):
-        cref = ray.put(centroids)
+        qc = np.round(centroids * scale).astype(np.int64)
+        cref = ray.put(qc)
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
             c = ray.get(cref)
-            m = _normalize(_stack(df[vec_col]))
-            a = np.argmax(m @ c.T, axis=1)
+            qm = np.round(_normalize(_stack(df[vec_col])) * scale
+                          ).astype(np.int64)
+            a = np.argmax(qm @ c.T, axis=1)
             rows = []
             for cid in np.unique(a):
-                sel = m[a == cid]
+                sel = qm[a == cid]
                 rows.append({"cid": int(cid), "n": len(sel),
                              "vsum": sel.sum(axis=0)})
             return pd.DataFrame(rows)
@@ -205,7 +218,7 @@ def ivf_train_centroids(emb: rd.Dataset, n_centroids: int = 16,
         new = centroids.copy()
         for cid, g in agg.groupby("cid"):
             total = np.sum(np.stack(g["vsum"].to_numpy()), axis=0)
-            norm = np.linalg.norm(total)
+            norm = np.linalg.norm(total.astype(np.float64))
             if norm > 0:
                 new[int(cid)] = total / norm
         centroids = new
