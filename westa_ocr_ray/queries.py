@@ -4140,6 +4140,52 @@ QUERIES = {
     "mm_resize": q_mm_resize,
 }
 
+# ------------------------------------------------------------ the window
+# The external driver records CORRECTNESS rows for only the FIRST ~50
+# registered queries; the registry above groups by family for readers.
+# Each round the 50-slot window ROTATES (VERDICT r3 item 1) so that over
+# rounds every oracle-bearing query accumulates a driver-verified row:
+# the flagship extraction family and the round's newest operators stay
+# pinned, `combined_small_shapes` keeps the parked trivial shapes
+# value-checked in-window, and the remaining slots cycle through proven
+# veterans that had no driver row in CORRECTNESS_r03.json (45 of these
+# 50 names are new vs r03). scripts/check_queries.py still gates EVERY
+# oracle locally regardless of order.
+_WINDOW_R4 = [
+    # flagship extraction family (pinned)
+    "ingest_flat_documents", "parse_detail_rows", "extract_span_checksum",
+    "extract_summary", "extract_then_clean",
+    # round-4 ops (pinned while newest)
+    "length_rank", "corpus_rollup", "text_index_all_terms",
+    "events_top_burst", "minhash_md5_signatures",
+    "sim_ann_lsh_planted", "sim_ann_ivf_planted",
+    "sim_ann_ivf_index_planted", "sim_ann_ivf_incremental",
+    # the in-window fold of the parked trivial shapes (pinned)
+    "combined_small_shapes",
+    # rotated-in veterans: dedup / versioning
+    "dup_clusters", "pagerank_dups", "dedup_cdc", "dedup_ngram",
+    "dedup_contained_pairs", "dedup_shared_chunks", "dedup_simhash_pairs",
+    "dedup_soft", "corpus_diff", "upsert_compact",
+    # search / index
+    "bm25_search", "bm25_index_search", "text_index_search",
+    "text_index_incremental",
+    # sketches / exact twins
+    "heavy_hitters_exact", "hll_user_registers", "distinct_users_per_type",
+    "cms_token_counts", "median_value_by_type",
+    # text analysis / LM
+    "text_fingerprint", "zscore_by_lang", "lm_heldout_score", "bpe_encode",
+    "token_count_bpe",
+    # packing / shards / mixture
+    "pack_greedy", "mixture_sample", "curriculum_rank",
+    "train_val_split", "shard_stats", "stratified_sample_by_lang",
+    # relational / streaming / embedding
+    "asof_last_order_before_event", "range_join_balance_band",
+    "events_sessionize", "events_late_flags", "embedding_moments",
+]
+assert len(_WINDOW_R4) == 50 and len(set(_WINDOW_R4)) == 50
+QUERIES = {**{n: QUERIES[n] for n in _WINDOW_R4},
+           **{n: f for n, f in QUERIES.items() if n not in set(_WINDOW_R4)}}
+
 def _mixture_sample_oracle_sql() -> str:
     """Generated from the SAME constants the engine query uses
     (MIXTURE_WEIGHTS / MIXTURE_SEED via shards.mixture_threshold_hex),
