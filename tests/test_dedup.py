@@ -529,3 +529,43 @@ def test_cdc_chunk_pairs_layout_independent():
     b = (dedup.cdc_chunk_pairs(rd.from_items(rows).repartition(9))
          .to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_remove_duplicate_spans_planted():
+    """Sliding-window span removal: a >=W-token region shared by two
+    docs is cut WHOLE from both (overlapping windows merge into one
+    maximal span, no chunk-grid boundary effects); an in-doc self-repeat
+    counts toward min_count; short/unique docs pass untouched with
+    n_removed=0; a fully-duplicated doc disappears."""
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token dup region
+    rep = " ".join(f"r{i}" for i in range(8))      # 8-token self-repeat
+    rows = [
+        {"doc_id": 1, "text": f"a0 a1 a2 {shared} a3 a4"},
+        {"doc_id": 2, "text": f"b0 {shared} b1 b2 b3"},
+        {"doc_id": 3, "text": f"c0 c1 {rep} c2 {rep} c3"},
+        {"doc_id": 4, "text": "short unique doc"},
+        {"doc_id": 5, "text": shared},  # fully covered -> disappears
+    ]
+    got = (dedup.remove_duplicate_spans(
+        rd.from_items(rows).repartition(3), window_tokens=8, min_count=2)
+        .to_pandas().sort_values("doc_id", ignore_index=True))
+
+    by = {int(r.doc_id): r for r in got.itertuples()}
+    assert set(by) == {1, 2, 3, 4}
+    assert by[1].text == "a0 a1 a2 a3 a4" and by[1].n_removed == 12
+    assert by[2].text == "b0 b1 b2 b3" and by[2].n_removed == 12
+    assert by[3].text == "c0 c1 c2 c3" and by[3].n_removed == 16
+    assert by[4].text == "short unique doc" and by[4].n_removed == 0
+
+
+def test_remove_duplicate_spans_layout_independent():
+    shared = " ".join(f"z{i}" for i in range(10))
+    rows = [{"doc_id": i,
+             "text": " ".join(f"d{i}w{j}" for j in range(30))
+             + (f" {shared}" if i % 3 == 0 else "")}
+            for i in range(20)]
+    a = (dedup.remove_duplicate_spans(rd.from_items(rows).repartition(1))
+         .to_pandas().sort_values("doc_id", ignore_index=True))
+    b = (dedup.remove_duplicate_spans(rd.from_items(rows).repartition(7))
+         .to_pandas().sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)

@@ -1006,6 +1006,129 @@ def remove_duplicate_chunks(ds: rd.Dataset, id_col: str = "doc_id",
             .groupby("__b").map_groups(rebuild, batch_format="pandas"))
 
 
+def remove_duplicate_spans(ds: rd.Dataset, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           window_tokens: int = 8, min_count: int = 2,
+                           num_buckets: Optional[int] = None,
+                           size_hint_bytes: Optional[int] = None) -> rd.Dataset:
+    """SLIDING-window exact-substring span removal — the true
+    ExactSubstr semantics of Lee et al. 2107.06499 §4 (reference has no
+    analog; this is engine-native mass), where remove_duplicate_chunks
+    approximates with NON-overlapping chunks: every stride-1
+    ``window_tokens``-token window is hashed, windows whose hash occurs
+    >= ``min_count`` times ANYWHERE in the corpus (cross-doc or in-doc
+    self-repeat) mark their positions, per doc the marked windows merge
+    into maximal covered intervals, and exactly the covered tokens are
+    cut. A duplicated region of any length >= window_tokens is removed
+    WHOLE (overlapping windows chain across it) with no chunk-grid
+    boundary effects.
+
+    Scale shape: the explode emits ~one (id, pos, md5) row per corpus
+    token — the operator's inherent cost (the suffix-array formulation
+    pays an equivalent sort); duplicate detection is one bucketed
+    partial aggregate over window hashes, marked windows come back via
+    the Bloom-prefiltered semi-join (non-duplicated windows — almost
+    all of them — die in the Bloom pass without shuffling), intervals
+    reduce per doc in bucketed groups, and only (id, interval-spec)
+    rows for AFFECTED docs join back to the corpus. Docs shorter than
+    window_tokens are untouched by construction.
+
+    Returns (id, text, n_removed) for docs with >= 1 surviving token;
+    fully-covered docs disappear (their text lives elsewhere in the
+    corpus). Exact and SQL-expressible: queries.ORACLE_SQL
+    ['dedup_substring']."""
+    from .relops import hash_join, semi_anti_filter_scalable
+
+    if num_buckets is None:
+        num_buckets = auto_buckets(floor=64, size_bytes=size_hint_bytes)
+    W = window_tokens
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids: List = []
+        pos: List[int] = []
+        wins: List[str] = []
+        for did, text in zip(df[id_col], df[text_col]):
+            toks = text.split(" ")
+            for p in range(len(toks) - W + 1):
+                ids.append(did)
+                pos.append(p)
+                wins.append(" ".join(toks[p:p + W]))
+        # md5 once per UNIQUE window per batch (duplicated regions make
+        # repeats common inside a batch)
+        uniq, inv = np.unique(np.array(wins, dtype=object),
+                              return_inverse=True) if wins else \
+            (np.array([], dtype=object), np.array([], dtype=np.int64))
+        hv = np.array([md5_hex(w) for w in uniq], dtype=object)
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype=df[id_col].dtype),
+            "pos": pd.Series(pos, dtype=np.int64),
+            "wh": pd.Series(hv[inv] if len(wins) else [], dtype=object)})
+
+    windows = ds.map_batches(explode, batch_format="pandas")
+    dup = (partial_aggregate(windows.select_columns(["wh"]), ["wh"],
+                             {"nocc": ("count", None)},
+                             num_buckets=num_buckets)
+           .map_batches(lambda df: df.loc[df["nocc"] >= min_count, ["wh"]],
+                        batch_format="pandas"))
+    marked = semi_anti_filter_scalable(windows, "wh", dup, key_col="wh",
+                                       num_buckets=num_buckets,
+                                       cols=[id_col, "pos", "wh"],
+                                       keys_unique=True)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, "pos"]].copy()
+        df["__b"] = (pd.util.hash_pandas_object(
+            df[id_col].astype(str), index=False).to_numpy()
+            % num_buckets).astype("int32")
+        return df
+
+    def to_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, g in df.groupby(id_col, sort=False):
+            ps = np.sort(g["pos"].to_numpy(np.int64))
+            # merge [p, p+W) intervals: a window starting <= previous
+            # end extends the current interval
+            brk = np.flatnonzero(ps[1:] > ps[:-1] + W)
+            starts = ps[np.r_[0, brk + 1]]
+            ends = ps[np.r_[brk, len(ps) - 1]] + W
+            rows.append((did, ",".join(f"{s}:{e}"
+                                       for s, e in zip(starts, ends))))
+        return pd.DataFrame(rows, columns=[id_col, "spans"])
+
+    spans = (marked.map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(to_intervals,
+                                        batch_format="pandas"))
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_tx, out_nr = [], [], []
+        for did, text, spec in zip(df[id_col], df[text_col], df["spans"]):
+            toks = text.split(" ")
+            keep = np.ones(len(toks), dtype=bool)
+            for iv in spec.split(","):
+                s, e = iv.split(":")
+                keep[int(s):int(e)] = False
+            if keep.any():
+                out_id.append(did)
+                out_tx.append(" ".join(np.array(toks, dtype=object)[keep]))
+                out_nr.append(int((~keep).sum()))
+        return pd.DataFrame({
+            id_col: pd.Series(out_id, dtype=df[id_col].dtype),
+            text_col: pd.Series(out_tx, dtype=object),
+            "n_removed": pd.Series(out_nr, dtype=np.int64)})
+
+    affected = hash_join(ds, spans, id_col, id_col,
+                         num_buckets=num_buckets,
+                         left_cols=[id_col, text_col]
+                         ).map_batches(cut, batch_format="pandas")
+    untouched = semi_anti_filter_scalable(
+        ds, id_col, spans, key_col=id_col, anti=True,
+        num_buckets=num_buckets, cols=[id_col, text_col],
+        keys_unique=True
+    ).map_batches(lambda df: df.assign(n_removed=np.int64(0)),
+                  batch_format="pandas")
+    return affected.union(untouched)
+
+
 # -------------------------------------------------- embedding near-dup
 
 

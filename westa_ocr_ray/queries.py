@@ -975,6 +975,19 @@ def q_dedup_passage(sf_dir: str) -> rd.Dataset:
         size_hint_bytes=_doc_size_hint(sf_dir))
 
 
+def q_dedup_substring(sf_dir: str) -> rd.Dataset:
+    """TRUE sliding-window exact-substring span removal (Lee et al.
+    ExactSubstr; dedup_passage's chunk grid has boundary effects this
+    one doesn't): every stride-1 8-token window occurring >= 2 times
+    anywhere in the corpus is cut, with overlapping windows merged into
+    maximal spans per doc first. Exact — the hash gate checks the cut
+    text byte-for-byte."""
+    return dedup.remove_duplicate_spans(
+        rp(sf_dir, "documents", ["doc_id", "text"]),
+        window_tokens=8, min_count=2,
+        size_hint_bytes=_doc_size_hint(sf_dir))
+
+
 def q_dedup_embedding(sf_dir: str) -> rd.Dataset:
     return dedup.embedding_near_dup_pairs(
         rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"]), threshold=0.4)
@@ -3924,6 +3937,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_contained": q_dedup_contained,
     "dedup_passage": q_dedup_passage,
+    "dedup_substring": q_dedup_substring,
     "semantic_dedup": q_semantic_dedup,
     # mm_prep = the composed multimodal end-to-end (extraction →
     # interleaved packing → shard manifest); dedup_shared_chunks moved
@@ -4589,6 +4603,27 @@ ORACLE_SQL = {
         SELECT doc_id, string_agg(ctext, ' ' ORDER BY pos) AS text,
                CAST(COUNT(*) AS BIGINT) AS n_chunks_kept
         FROM k GROUP BY doc_id""",
+    "dedup_substring": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents),
+        w AS (SELECT doc_id, CAST(t.p AS BIGINT) AS pos,
+                     md5(array_to_string(l[t.p+1:t.p+8], ' ')) AS wh
+              FROM d, unnest(range(0, greatest(len(l) - 7, 0))) AS t(p)),
+        dup AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) >= 2),
+        cov AS (SELECT DISTINCT doc_id, pos + t.u AS cp
+                FROM (SELECT doc_id, pos FROM w
+                      WHERE wh IN (SELECT wh FROM dup)),
+                     unnest(range(0, 8)) AS t(u)),
+        toks AS (SELECT doc_id, unnest(l) AS tok,
+                        unnest(range(0, len(l))) AS pos,
+                        len(l) AS n FROM d)
+        SELECT t.doc_id,
+               string_agg(t.tok, ' ' ORDER BY t.pos) AS text,
+               CAST(MAX(t.n) - COUNT(*) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN cov c
+          ON t.doc_id = c.doc_id AND t.pos = c.cp
+        WHERE c.doc_id IS NULL
+        GROUP BY t.doc_id""",
     "dedup_minhash_planted": f"""
         WITH d AS (
           SELECT doc_id, text FROM documents
