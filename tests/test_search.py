@@ -221,3 +221,47 @@ def test_index_crash_safety(tmp_path):
     add_to_text_index(rd.from_items(inc), ix, num_buckets=4)
     got = text_index_lookup(ix, terms, num_buckets=4)
     pd.testing.assert_frame_equal(got, want)
+
+
+def _py_phrase_counts(docs, phrase):
+    m = len(phrase)
+    out = {}
+    for d, text in docs.items():
+        toks = text.split(" ")
+        n = sum(1 for p in range(len(toks) - m + 1)
+                if toks[p:p + m] == list(phrase))
+        if n:
+            out[d] = n
+    return out
+
+
+def test_phrase_search_from_index_incremental(tmp_path):
+    """Positional phrase retrieval equals a direct sliding-window
+    recount, including across an incremental-add generation boundary
+    and with a REPEATED term in the phrase."""
+    docs = _corpus()
+    # plant phrases: "merge hash merge" (repeated term) twice in doc 0,
+    # once in a doc that arrives via the incremental add
+    docs[0] = docs[0] + " merge hash merge x merge hash merge"
+    base = {d: t for d, t in docs.items() if d < 40}
+    extra = {d: t for d, t in docs.items() if d >= 40}
+    extra[99] = "y merge hash merge y"
+
+    idx = str(tmp_path / "pidx")
+    search.build_text_index(rd.from_items(
+        [{"doc_id": d, "text": t} for d, t in base.items()]), idx,
+        num_buckets=8)
+    search.add_to_text_index(rd.from_items(
+        [{"doc_id": d, "text": t} for d, t in extra.items()]), idx,
+        num_buckets=8)
+
+    union = {**base, **extra}
+    for phrase in (("merge", "hash", "merge"), ("merge", "hash"),
+                   ("alpha", "beta")):
+        got = (search.phrase_search_from_index(idx, phrase, num_buckets=8)
+               .to_pandas().set_index("doc_id")["n_matches"].to_dict())
+        assert got == _py_phrase_counts(union, phrase), phrase
+    # absent phrase -> empty
+    got = search.phrase_search_from_index(
+        idx, ("nosuchtoken", "alpha"), num_buckets=8).to_pandas()
+    assert len(got) == 0

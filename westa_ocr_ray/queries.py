@@ -1347,6 +1347,25 @@ def q_bm25_index_search(sf_dir: str) -> rd.Dataset:
     return search.bm25_from_index(out, BM25_TERMS, k=50, num_buckets=64)
 
 
+PHRASE_TERMS = ("stream", "table", "hash")  # probe phrase (occurs in-corpus)
+
+
+def q_phrase_search(sf_dir: str) -> rd.Dataset:
+    """EXACT-PHRASE retrieval from the index's positional sidecar
+    (format v4, Lucene-PhraseQuery shape): docs where the probe terms
+    appear CONSECUTIVELY, with occurrence counts — adjacency that
+    BM25's bag-of-words can't see. Reads only the phrase terms' bucket
+    partitions; per-doc position-list intersection. Exact SQL oracle
+    (sliding-window equality over the token stream)."""
+    from . import search
+
+    out = _text_index_dir(sf_dir)
+    search.build_text_index(rp(sf_dir, "documents", ["doc_id", "text"]),
+                            out, num_buckets=64)
+    return search.phrase_search_from_index(out, PHRASE_TERMS,
+                                           num_buckets=64)
+
+
 # ------------------------------------------------------- text analysis
 
 def stratified_sample_by_lang(sf_dir: str, per_lang: int = 20) -> rd.Dataset:
@@ -4085,6 +4104,7 @@ QUERIES = {
     # round-4: BM25 served FROM the index, hash-matched against the
     # full-scan oracle (past-window; check_queries gates it)
     "bm25_index_search": q_bm25_index_search,
+    "phrase_search": q_phrase_search,
     # round-4: incremental index add == full rebuild (same oracle as
     # text_index_search)
     "text_index_incremental": q_text_index_incremental,
@@ -6050,6 +6070,17 @@ ORACLE_SQL = {
         FROM sized s JOIN m USING (lang)""",
     "bm25_search": search.bm25_oracle_sql(BM25_TERMS, k=50),
     "bm25_index_search": search.bm25_oracle_sql(BM25_TERMS, k=50),
+    "phrase_search": f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents),
+        w AS (SELECT doc_id,
+                     array_to_string(l[t.p+1:t.p+{len(PHRASE_TERMS)}], ' ')
+                       AS g
+              FROM d, unnest(range(0, greatest(
+                       len(l) - {len(PHRASE_TERMS) - 1}, 0))) AS t(p))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM w WHERE g = '{' '.join(PHRASE_TERMS)}'
+        GROUP BY doc_id""",
     "text_index_incremental": f"""
         SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token

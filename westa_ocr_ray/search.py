@@ -152,7 +152,7 @@ def bm25_oracle_sql(terms: Sequence[str], k: int = 50,
 
 #: bump when the on-disk index layout changes (cache keys include it,
 #: so stale /tmp indexes from an older code version are never read)
-TEXT_INDEX_FORMAT = 3
+TEXT_INDEX_FORMAT = 4  # v4: positional sidecar (positions/gen=/bucket=)
 
 
 def _committed_gens(index_dir: str) -> list:
@@ -183,7 +183,7 @@ def _wipe_uncommitted(index_dir: str, committed) -> None:
     import shutil
 
     keep = set(committed)
-    for sub in ("postings", "doclen"):
+    for sub in ("postings", "doclen", "positions"):
         for d in _glob.glob(os.path.join(index_dir, sub, "gen=*")):
             s = d.rsplit("=", 1)[1]
             if s.isdigit() and int(s) not in keep:
@@ -271,6 +271,30 @@ def _write_index_gen(ds: rd.Dataset, index_dir: str, gen: int,
         _json.dump({"n_docs": int(tot["n_docs"][0]) if len(tot) else 0,
                     "sum_dl": int(tot["sum_dl"][0]) if len(tot) else 0},
                    f)
+
+    # positional sidecar (format v4): raw (token, doc, pos) occurrence
+    # rows, token-bucketed like postings, so phrase/proximity queries
+    # prune to their terms' buckets the same way. One extra streaming
+    # tokenize pass (no corpus-sized materialization); bm25/lookup
+    # never read it.
+    def occurrences(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        ex = (df.assign(token=toks)[[id_col, "token"]]
+              .explode("token", ignore_index=True))
+        ex["pos"] = (np.concatenate([np.arange(n) for n in lens])
+                     if len(lens) else np.array([], dtype=np.int64))
+        b = np.fromiter(
+            (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+             % num_buckets for t in ex["token"]),
+            dtype=np.int64, count=len(ex))
+        return ex.assign(pos=ex["pos"].astype(np.int64), bucket=b,
+                         gen=np.int64(gen))
+
+    with DATASET_CONSTRUCTION_LOCK:
+        (ds.map_batches(occurrences, batch_format="pandas")
+           .write_parquet(os.path.join(index_dir, "positions"),
+                          partition_cols=["gen", "bucket"]))
 
 
 def build_text_index(ds: rd.Dataset, out_dir: str, id_col: str = "doc_id",
@@ -486,3 +510,67 @@ def add_to_text_index(ds: rd.Dataset, index_dir: str,
     with open(os.path.join(index_dir, f"_SUCCESS.{gen}"), "w") as f:
         f.write("ok")
     return index_dir
+
+
+def phrase_search_from_index(index_dir: str, terms: Sequence[str],
+                             num_buckets: int = 64,
+                             id_col: str = "doc_id") -> rd.Dataset:
+    """EXACT-PHRASE retrieval from the persisted index's positional
+    sidecar (format v4) — the adjacency query BM25's bag-of-words
+    cannot answer (reference analog: none; Lucene PhraseQuery shape).
+    Reads ONLY the phrase terms' bucket partitions across committed
+    generations (a doc's occurrences live in one generation, so
+    in-doc adjacency never crosses gen boundaries), co-locates each
+    doc's occurrence rows in a bucketed group, and intersects
+    position lists: starts(t0) ∩ (pos(t1) - 1) ∩ ... ∩
+    (pos(tm-1) - (m-1)), vectorized with np.isin per doc. Repeated
+    phrase terms fall out naturally. Returns (id, n_matches) for docs
+    containing the phrase at least once; exact and SQL-expressible
+    (queries.ORACLE_SQL['phrase_search'])."""
+    import hashlib
+
+    from .relops import DATASET_CONSTRUCTION_LOCK, auto_buckets
+
+    terms = list(terms)
+    want = sorted({int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                   % num_buckets for t in terms})
+    paths = _gen_paths(index_dir, "positions", buckets=want)
+    empty = pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                          "n_matches": pd.Series([], dtype=np.int64)})
+    if not paths:
+        return rd.from_pandas(empty)
+    tset = set(terms)
+    with DATASET_CONSTRUCTION_LOCK:
+        occ = rd.read_parquet(paths)
+    occ = occ.map_batches(lambda df: df.loc[df["token"].isin(tset),
+                                            ["token", id_col, "pos"]],
+                          batch_format="pandas")
+    nb = auto_buckets(floor=64)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (pd.util.hash_pandas_object(
+            df[id_col].astype(str), index=False).to_numpy()
+            % nb).astype("int32")
+        return df
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_n = [], []
+        for did, g in df.groupby(id_col, sort=False):
+            pos = {t: sub["pos"].to_numpy(np.int64)
+                   for t, sub in g.groupby("token", sort=False)}
+            starts = pos.get(terms[0], np.array([], dtype=np.int64))
+            for j, t in enumerate(terms[1:], 1):
+                if not len(starts):
+                    break
+                starts = starts[np.isin(
+                    starts, pos.get(t, np.array([], dtype=np.int64)) - j)]
+            if len(starts):
+                out_id.append(did)
+                out_n.append(len(starts))
+        return pd.DataFrame({
+            id_col: pd.Series(out_id, dtype=df[id_col].dtype),
+            "n_matches": pd.Series(out_n, dtype=np.int64)})
+
+    return (occ.map_batches(tag, batch_format="pandas")
+            .groupby("__b").map_groups(per_doc, batch_format="pandas"))
