@@ -449,3 +449,19 @@ def test_events_late_flags_invariants():
     assert int(got.loc[12, "is_late"]) == 1
     assert int(got.loc[13, "disorder_us"]) == 1 * 10**6
     assert int(got.loc[13, "is_late"]) == 0
+
+
+def test_ntile_from_rank_matches_duckdb():
+    """relops.ntile_from_rank reproduces ANSI NTILE for ragged n
+    (n % tiles != 0), tiny n < tiles, and the uniform case."""
+    import duckdb
+    import numpy as np
+
+    for n, tiles in ((13, 5), (500, 10), (3, 7), (1, 4), (29, 4)):
+        ranks = np.arange(1, n + 1, dtype=np.int64)
+        exp = duckdb.sql(
+            f"SELECT ntile({tiles}) OVER (ORDER BY r) AS t "
+            f"FROM range(1, {n + 1}) AS x(r) ORDER BY r"
+        ).df()["t"].to_numpy()
+        got = relops.ntile_from_rank(ranks, n, tiles)
+        assert np.array_equal(got, exp), (n, tiles)

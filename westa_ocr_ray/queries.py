@@ -41,7 +41,8 @@ import ray.data as rd
 from . import dedup, extractors, fixtures, multimodal, relops, search, similarity, text_analysis
 from .config import ExtractConfig
 from .pipelines.extract import extract_dataset, read_documents
-from .relops import broadcast_join, hash_join, partial_aggregate
+from .relops import (broadcast_join, grouped_topk, hash_join,
+                     partial_aggregate)
 
 
 #: serializes Dataset CONSTRUCTION (not execution) across driver
@@ -1385,6 +1386,99 @@ def stratified_sample_by_lang(sf_dir: str, per_lang: int = 20) -> rd.Dataset:
 
     return (docs.map_batches(tag, batch_format="pandas")
             .groupby("lang").map_groups(take_n, batch_format="pandas"))
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006 priority sampling — the one-pass distributed
+    weighted-sample primitive): each doc gets priority ln(u)/w with
+    u = (md5 top-32 bits of its id + 1)/2^32 and w = token count, and
+    the global top-k priorities win — longer docs proportionally more
+    likely, reproducible on any cluster shape (no RNG state). The only
+    float ops are libm ln and IEEE division, written identically in
+    the SQL oracle (the bm25 float-parity treatment). Selection runs
+    through grouped_topk's bounded two-stage per-block partial top-k —
+    no global sort. Returns (doc_id, n_tok, rank)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.split(" ").map(len).to_numpy(dtype=np.int64)
+        h = np.fromiter(
+            (int(dedup.md5_hex(str(i))[:8], 16) for i in df["doc_id"]),
+            dtype=np.int64, count=len(df))
+        u = (h.astype(np.float64) + 1.0) / 4294967296.0
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "n_tok": n,
+                             "prio": np.log(u) / n,
+                             "__g": np.zeros(len(df), dtype=np.int32)})
+
+    top = grouped_topk(docs.map_batches(key, batch_format="pandas"),
+                       ["__g"], ["prio", "doc_id"], WEIGHTED_SAMPLE_K,
+                       ascending=[False, True])
+    return top.map_batches(
+        lambda df: df[["doc_id", "n_tok", "rk"]]
+                     .rename(columns={"rk": "rank"}),
+        batch_format="pandas")
+
+
+def length_ntile(sf_dir: str, tiles: int = 10) -> rd.Dataset:
+    """NTILE(10) decile assignment by global (token count DESC, doc_id)
+    order — the percentile-bucketing shape of curriculum/quality tiers,
+    derived from relops.global_value_rank (the histogram
+    range-partition ORDER BY) plus one constant-group count; exact
+    NTILE SQL oracle (first n%B buckets one row larger, SQL semantics
+    reproduced from the rank arithmetic)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def ntok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tok": df["text"].str.split(" ").map(len)
+                       .to_numpy(dtype=np.int64)})
+
+    ranked = relops.global_value_rank(
+        docs.map_batches(ntok, batch_format="pandas"), "n_tok", "doc_id")
+    cnt = partial_aggregate(
+        docs.map_batches(lambda df: pd.DataFrame(
+            {"__g": np.zeros(len(df), dtype=np.int32)}),
+            batch_format="pandas"),
+        ["__g"], {"n": ("count", None)}).to_pandas()
+    n = int(cnt["n"][0]) if len(cnt) else 0
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(tile=relops.ntile_from_rank(
+            df["rank"].to_numpy(), n, tiles))
+
+    return ranked.map_batches(assign, batch_format="pandas")
+
+
+SOURCE_CAP_N = 15
+
+
+def source_cap(sf_dir: str) -> rd.Dataset:
+    """Per-source document quota (the RefinedWeb/C4 'cap every domain'
+    curation step): at most SOURCE_CAP_N docs per source, chosen by
+    content-hash order (deterministic on any cluster shape), through
+    grouped_topk's bounded per-block partials — a hot domain never
+    concentrates more than blocks x N candidate rows in one task.
+    Returns (doc_id, source, rank)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "source"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "source"]].copy()
+        df["__h"] = [dedup.md5_hex(str(i)) for i in df["doc_id"]]
+        return df
+
+    top = grouped_topk(docs.map_batches(key, batch_format="pandas"),
+                       ["source"], ["__h", "doc_id"], SOURCE_CAP_N,
+                       ascending=True)
+    return top.map_batches(
+        lambda df: df[["doc_id", "source", "rk"]]
+                     .rename(columns={"rk": "rank"}),
+        batch_format="pandas")
 
 
 def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
@@ -4027,6 +4121,9 @@ QUERIES = {
     # range-partition rank), GROUPING SETS rollup, boolean-AND index
     # retrieval, burst-window streaming max, SQL-parity minhash kernel
     "length_rank": length_rank,
+    "weighted_sample": weighted_sample,
+    "length_ntile": length_ntile,
+    "source_cap": source_cap,
     "corpus_rollup": q_corpus_rollup,
     "text_index_all_terms": q_text_index_all_terms,
     "events_top_burst": events_top_burst,
@@ -4385,6 +4482,39 @@ ORACLE_SQL = {
                    ORDER BY len(string_split(text, ' ')) DESC, doc_id)
                  AS BIGINT) AS rank
         FROM documents""",
+    "weighted_sample": f"""
+        WITH d AS (SELECT doc_id,
+                          len(string_split(text, ' ')) AS n_tok
+                   FROM documents),
+        k AS (SELECT doc_id, n_tok,
+                     ln((CAST(('0x' || substr(
+                             md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS UBIGINT) + 1) / 4294967296.0) / n_tok
+                       AS prio
+              FROM d),
+        r AS (SELECT doc_id, n_tok,
+                     row_number() OVER (ORDER BY prio DESC, doc_id)
+                       AS rank
+              FROM k)
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= {WEIGHTED_SAMPLE_K}""",
+    "length_ntile": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(row_number() OVER w AS BIGINT) AS rank,
+               CAST(ntile(10) OVER w AS BIGINT) AS tile
+        FROM documents
+        WINDOW w AS (ORDER BY len(string_split(text, ' ')) DESC, doc_id)""",
+    "source_cap": f"""
+        WITH r AS (SELECT doc_id, source,
+                          row_number() OVER (
+                              PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rank
+                   FROM documents)
+        SELECT doc_id, source, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= {SOURCE_CAP_N}""",
     "corpus_rollup": """
         WITH d AS (SELECT lang,
                           least(len(string_split(text, ' ')) // 32, 7)

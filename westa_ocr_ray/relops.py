@@ -572,6 +572,18 @@ def global_value_rank(ds: rd.Dataset, value_col: str, id_col: str,
             .groupby("__bin").map_groups(rank_bin, batch_format="pandas"))
 
 
+def ntile_from_rank(rank: np.ndarray, n: int, tiles: int) -> np.ndarray:
+    """SQL NTILE(tiles) bucket for 1-based global ranks over n rows:
+    the first n % tiles buckets hold ceil(n/tiles) rows, the rest
+    floor(n/tiles) — exactly the ANSI semantics (unit-tested against
+    DuckDB's ntile for ragged n). Pure arithmetic, no data movement."""
+    q, r = divmod(n, tiles)
+    p = np.asarray(rank, dtype=np.int64) - 1
+    cut = (q + 1) * r
+    return (np.where(p < cut, p // max(q + 1, 1),
+                     r + (p - cut) // max(q, 1)) + 1).astype(np.int64)
+
+
 def exact_order_statistic(ds: rd.Dataset, value_col: str, k: int,
                           bin_width: int = 64,
                           num_buckets: Optional[int] = None) -> int:
