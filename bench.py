@@ -43,7 +43,11 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "heavy_hitters_exact", "distinct_users_per_type",
                  "length_percentile_filter", "dedup_cdc", "corpus_diff",
                  "text_index_search", "bm25_index_search",
-                 "extract_span_checksum"]
+                 "extract_span_checksum",
+                 # round-4 continuation additions
+                 "dedup_edit1", "mad_outliers", "events_moving_avg",
+                 "token_cooccurrence", "jsonl_roundtrip",
+                 "weighted_sample", "source_cap", "dedup_substring"]
 
 
 def _warm_workers(ncpu: int) -> None:

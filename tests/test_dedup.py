@@ -569,3 +569,70 @@ def test_remove_duplicate_spans_layout_independent():
     b = (dedup.remove_duplicate_spans(rd.from_items(rows).repartition(7))
          .to_pandas().sort_values("doc_id", ignore_index=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------------- edit1
+
+def _ref_lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_ed_le1_matches_dp_reference():
+    import random
+    rng = random.Random(7)
+    for _ in range(3000):
+        a = "".join(rng.choice("abc ") for _ in range(rng.randint(0, 7)))
+        b = "".join(rng.choice("abc ") for _ in range(rng.randint(0, 7)))
+        d = _ref_lev(a, b)
+        e = dedup._ed_le1(a, b)
+        assert e == (d if d <= 1 else -1), (a, b, d, e)
+
+
+def test_fastss_deletion_neighborhood_complete():
+    """ed(a,b)<=1 implies D(a) and D(b) share a member, where
+    D(x) = {x} union single-deletion variants — the completeness
+    property edit1_pairs' candidate generation rests on."""
+    import random
+    rng = random.Random(11)
+
+    def D(x):
+        return {x} | {x[:j] + x[j + 1:] for j in range(len(x))}
+
+    for _ in range(8000):
+        a = "".join(rng.choice("ab") for _ in range(rng.randint(0, 6)))
+        b = "".join(rng.choice("ab") for _ in range(rng.randint(0, 6)))
+        if _ref_lev(a, b) <= 1:
+            assert D(a) & D(b), (a, b)
+
+
+def test_edit1_pairs_vs_bruteforce(ray_session):
+    rows = [
+        (1, "red apple pie"),
+        (2, "red apple pie"),     # dist 0
+        (3, "red apple pies"),    # dist 1 (insert) vs 1/2
+        (4, "red apgle pie"),     # dist 1 (substitution) vs 1/2
+        (5, "red aple pie"),      # dist 1 (delete) vs 1/2; vs 4 dist 2
+        (6, "green apple pie"),   # dist > 1 vs everything
+        (7, "x"),
+        (8, ""),                  # empty vs "x" -> dist 1
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "title"])
+    out = (dedup.edit1_pairs(rd.from_pandas(df), id_col="doc_id",
+                             key_col="title")
+           .to_pandas().sort_values(["doc_a", "doc_b"],
+                                    ignore_index=True))
+    want = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = _ref_lev(rows[i][1], rows[j][1])
+            if d <= 1:
+                want.append((rows[i][0], rows[j][0], d))
+    want_df = (pd.DataFrame(want, columns=["doc_a", "doc_b", "dist"])
+               .sort_values(["doc_a", "doc_b"], ignore_index=True))
+    assert out.astype("int64").equals(want_df.astype("int64"))
