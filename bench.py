@@ -47,7 +47,8 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 continuation additions
                  "dedup_edit1", "mad_outliers", "events_moving_avg",
                  "token_cooccurrence", "jsonl_roundtrip",
-                 "weighted_sample", "source_cap", "dedup_substring"]
+                 "weighted_sample", "source_cap", "dedup_substring",
+                 "topk_with_ties", "events_hopping"]
 
 
 def _warm_workers(ncpu: int) -> None:

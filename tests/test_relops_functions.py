@@ -465,3 +465,30 @@ def test_ntile_from_rank_matches_duckdb():
         ).df()["t"].to_numpy()
         got = relops.ntile_from_rank(ranks, n, tiles)
         assert np.array_equal(got, exp), (n, tiles)
+
+
+def test_grouped_kth_from_top_matches_rank_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import relops
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=300),
+        "v": rng.integers(0, 40, size=300).astype("int64"),  # many ties
+    })
+    # a tiny group with fewer rows than k
+    df = pd.concat([df, pd.DataFrame({"g": ["tiny"] * 2,
+                                      "v": [7, 9]})], ignore_index=True)
+    k = 10
+    thr = relops.grouped_kth_from_top(
+        rd.from_pandas(df).repartition(7), "g", "v", k)
+    got = df[df["v"] >= df["g"].map(thr)]
+    df2 = df.copy()
+    df2["rk"] = df2.groupby("g")["v"].rank(method="min", ascending=False)
+    want = df2[df2["rk"] <= k]
+    assert sorted(map(tuple, got[["g", "v"]].to_numpy())) == \
+        sorted(map(tuple, want[["g", "v"]].to_numpy()))
+    assert thr["tiny"] == 7  # < k rows -> group minimum (keep all)

@@ -4177,6 +4177,122 @@ def jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
                                         "fold": ("sum", "fold")})
 
 
+TOPK_TIES_K = 10
+
+
+def topk_with_ties(sf_dir: str) -> rd.Dataset:
+    """Per-group top-k WITH TIES (SQL RANK() <= k semantics, distinct
+    from grouped_topk's row_number): all events whose cent-value ranks
+    in each event_type's top TOPK_TIES_K, ties kept. rank(x) <= k iff
+    x >= the group's k-th largest value, so the engine computes that
+    threshold exactly in two bounded passes
+    (relops.grouped_kth_from_top) and the selection is one broadcast-
+    filter map — no per-group sort, group sizes never matter."""
+    import ray
+
+    ev = rp(sf_dir, "events", ["event_id", "event_type", "value"])
+    cents = ev.map_batches(
+        lambda df: pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                                 "event_type": df["event_type"].to_numpy(),
+                                 "v": _cents(df["value"])}),
+        batch_format="pandas").materialize()
+    thr = relops.grouped_kth_from_top(cents, "event_type", "v",
+                                      TOPK_TIES_K)
+    thr_ref = ray.put(thr)
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        cut = np.fromiter((t[x] for x in df["event_type"]),
+                          dtype=np.int64, count=len(df))
+        return df[df["v"].to_numpy(dtype=np.int64) >= cut]
+
+    return cents.map_batches(flt, batch_format="pandas")
+
+
+def session_stats(sf_dir: str) -> rd.Dataset:
+    """Per-session aggregate over the sessionized event log: event
+    count and wall duration (us) of every (user, session) — the
+    session-analytics companion of events_sessionize, computed inside
+    the same per-user ordered-log buckets (sessions never span
+    buckets, so the aggregate is bucket-local)."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    GAP_US = 1800 * 10**6
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        prev = df.groupby("user_id")["ts"].shift()
+        gap = df["ts"].astype("int64") - prev.astype("int64")
+        new_sess = prev.isna() | (gap > GAP_US)
+        sess = new_sess.groupby(df["user_id"]).cumsum().astype("int64") - 1
+        t = df["ts"].astype("int64")
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "session_idx": sess.to_numpy(), "t": t.to_numpy()})
+        agg = (g.groupby(["user_id", "session_idx"], sort=False)["t"]
+               .agg(n_events="size", lo="min", hi="max").reset_index())
+        return pd.DataFrame({
+            "user_id": agg["user_id"].to_numpy(),
+            "session_idx": agg["session_idx"].to_numpy(),
+            "n_events": agg["n_events"].to_numpy(dtype=np.int64),
+            "dur_us": (agg["hi"] - agg["lo"]).to_numpy(dtype=np.int64)})
+
+    return _bucketed_by_user(ev, fn)
+
+
+HOP_US = 300 * 10**6            # 5-minute hop
+HOPPING_SIZE_US = 600 * 10**6   # 10-minute windows -> 2 windows/event
+
+
+def events_hopping(sf_dir: str) -> rd.Dataset:
+    """Per-user HOPPING (overlapping) windows — the sliding-aggregate
+    streaming shape tumbling windows can't express: 10-minute windows
+    advancing every 5 minutes, so each event lands in exactly
+    size/hop = 2 windows. The window-membership explode is a
+    vectorized map (each event emits its size/hop window starts), the
+    aggregate is bucketed partials on (user, window_start); nothing
+    per-window materializes beyond the partial rows."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    reps = HOPPING_SIZE_US // HOP_US
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("int64").to_numpy()
+        v = _cents(df["value"]).to_numpy(dtype=np.int64)
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        base = (t // HOP_US) * HOP_US
+        parts = []
+        for i in range(reps):
+            ws = base - i * HOP_US
+            m = ws >= 0
+            parts.append(pd.DataFrame({"user_id": uid[m], "ws": ws[m],
+                                       "v": v[m]}))
+        return pd.concat(parts, ignore_index=True)
+
+    return partial_aggregate(
+        ev.map_batches(explode, batch_format="pandas"),
+        ["user_id", "ws"], {"n": ("count", None), "sum_v": ("sum", "v")})
+
+
+def dup_degree_hist(sf_dir: str) -> rd.Dataset:
+    """Degree distribution of the (exact) edit-distance duplication
+    graph: explode the dedup_edit1 pair table into endpoints, count
+    per-node degree, histogram the degrees — the graph-shape audit
+    (how clustered is the near-dup structure?) in two bucketed
+    aggregates over the pair Dataset; no adjacency ever materializes."""
+    pairs = q_dedup_edit1(sf_dir)
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": np.concatenate(
+            [df["doc_a"].to_numpy(dtype=np.int64),
+             df["doc_b"].to_numpy(dtype=np.int64)])})
+
+    deg = partial_aggregate(
+        pairs.map_batches(endpoints, batch_format="pandas"),
+        ["id"], {"deg": ("count", None)})
+    return partial_aggregate(
+        deg.map_batches(lambda df: pd.DataFrame(
+            {"deg": df["deg"].to_numpy(dtype=np.int64)}),
+            batch_format="pandas"),
+        ["deg"], {"n_nodes": ("count", None)})
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -4444,6 +4560,10 @@ QUERIES = {
     "events_moving_avg": events_moving_avg,
     "token_cooccurrence": token_cooccurrence,
     "jsonl_roundtrip": jsonl_roundtrip,
+    "topk_with_ties": topk_with_ties,
+    "session_stats": session_stats,
+    "events_hopping": events_hopping,
+    "dup_degree_hist": dup_degree_hist,
 }
 
 # ------------------------------------------------------------ the window
@@ -6514,3 +6634,62 @@ ORACLE_SQL["jsonl_roundtrip"] = """
            CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT))
              AS BIGINT) AS fold
     FROM documents GROUP BY lang"""
+
+ORACLE_SQL["topk_with_ties"] = f"""
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(round(value * 100) AS BIGINT) AS v FROM events),
+    r AS (SELECT event_id, event_type, v,
+                 rank() OVER (PARTITION BY event_type ORDER BY v DESC)
+                   AS rk
+          FROM e)
+    SELECT event_id, event_type, v FROM r WHERE rk <= {TOPK_TIES_K}"""
+
+ORACLE_SQL["session_stats"] = """
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             date_diff('microsecond',
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+               ts) AS gap_us
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM g)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT)
+             AS dur_us
+    FROM s GROUP BY user_id, session_idx"""
+
+ORACLE_SQL["events_hopping"] = f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+                      CAST(round(value * 100) AS BIGINT) AS v FROM events),
+    x AS (SELECT user_id,
+                 (t // {HOP_US}) * {HOP_US} - i.range * {HOP_US} AS ws,
+                 v
+          FROM e CROSS JOIN range(0, {HOPPING_SIZE_US // HOP_US}) i)
+    SELECT user_id, CAST(ws AS BIGINT) AS ws,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM x WHERE ws >= 0 GROUP BY user_id, ws"""
+
+ORACLE_SQL["dup_degree_hist"] = f"""
+    WITH t AS (SELECT doc_id,
+                      array_to_string(list_slice(string_split(text, ' '),
+                                                 1, {EDIT1_TITLE_TOKENS}),
+                                      ' ')
+                      || CASE WHEN doc_id % 29 = 0 THEN 'x' ELSE '' END
+                        AS title
+               FROM documents),
+    p AS (SELECT a.doc_id AS da, b.doc_id AS db
+          FROM t a JOIN t b
+            ON a.doc_id < b.doc_id
+           AND abs(len(a.title) - len(b.title)) <= 1
+           AND levenshtein(a.title, b.title) <= 1),
+    ep AS (SELECT da AS id FROM p UNION ALL SELECT db AS id FROM p),
+    d AS (SELECT id, COUNT(*) AS deg FROM ep GROUP BY id)
+    SELECT CAST(deg AS BIGINT) AS deg,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d GROUP BY deg"""

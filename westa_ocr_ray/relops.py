@@ -717,3 +717,63 @@ def grouped_percentile_filter(ds: rd.Dataset, group_col: str,
         return df[m]
 
     return ds.map_batches(flt, batch_format="pandas")
+
+
+def grouped_kth_from_top(ds: rd.Dataset, group_col: str, value_col: str,
+                         k: int, bin_width: int = 64,
+                         num_buckets: Optional[int] = None) -> dict:
+    """EXACT per-group k-th LARGEST value (duplicates counted; groups
+    with fewer than k rows yield their minimum) of an integer column —
+    the threshold that makes RANK()-with-ties top-k a streaming filter:
+    rank(x) <= k  ⟺  x >= (k-th largest value of the group), so one
+    broadcast {group: threshold} map turns "top k with ties per group"
+    into a map_batches filter with NO per-group sort and nothing
+    group-sized on any worker.
+
+    Same two bounded passes as grouped_quantile_thresholds (grouped
+    histogram -> exact pass inside each group's single rank-holding
+    bin); the only difference is the target rank arithmetic
+    (ascending rank max(n_g - k + 1, 1) instead of ceil(q * n_g))."""
+    import ray
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": df[group_col].to_numpy(),
+            "bin": df[value_col].to_numpy(dtype=np.int64) // bin_width})
+
+    hist = (partial_aggregate(ds.map_batches(binned, batch_format="pandas"),
+                              ["g", "bin"], {"cnt": ("count", None)},
+                              num_buckets=num_buckets)
+            .to_pandas().sort_values(["g", "bin"], ignore_index=True))
+
+    rank_bin, residual = {}, {}
+    for g, sub in hist.groupby("g", sort=False):
+        cum = sub["cnt"].cumsum().to_numpy()
+        n_g = int(cum[-1])
+        kk = max(n_g - k + 1, 1)  # ascending rank of the k-th largest
+        i = int(np.searchsorted(cum, kk))
+        rank_bin[g] = int(sub["bin"].iloc[i])
+        residual[g] = kk - (int(cum[i - 1]) if i else 0)
+    bin_ref = ray.put(rank_bin)
+
+    def in_bin(df: pd.DataFrame) -> pd.DataFrame:
+        bins = ray.get(bin_ref)
+        g = df[group_col].to_numpy()
+        v = df[value_col].to_numpy(dtype=np.int64)
+        want = np.fromiter((bins.get(x, -(1 << 62)) for x in g),
+                           dtype=np.int64, count=len(g))
+        m = v // bin_width == want
+        return pd.DataFrame({"g": g[m], "v": v[m]})
+
+    vals = (partial_aggregate(ds.map_batches(in_bin, batch_format="pandas"),
+                              ["g", "v"], {"cnt": ("count", None)},
+                              num_buckets=num_buckets)
+            .to_pandas().sort_values(["g", "v"], ignore_index=True))
+    out = {}
+    for g, sub in vals.groupby("g", sort=False):
+        j = int(np.searchsorted(sub["cnt"].cumsum().to_numpy(), residual[g]))
+        out[g] = int(sub["v"].iloc[j])
+    return out
