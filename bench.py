@@ -48,7 +48,8 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "dedup_edit1", "mad_outliers", "events_moving_avg",
                  "token_cooccurrence", "jsonl_roundtrip",
                  "weighted_sample", "source_cap", "dedup_substring",
-                 "topk_with_ties", "events_hopping"]
+                 "topk_with_ties", "events_hopping",
+                 "funnel_conversions", "events_pivot"]
 
 
 def _warm_workers(ncpu: int) -> None:
