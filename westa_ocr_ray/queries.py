@@ -1752,30 +1752,33 @@ def q_dedup_incremental(sf_dir: str) -> rd.Dataset:
     return dedup.dedup_incremental(docs, base)
 
 
+def _make_next_snapshot(df: pd.DataFrame) -> pd.DataFrame:
+    """The planted next corpus snapshot shared by corpus_diff and
+    token_drift (and their oracles): doc_id % 17 == 0 dropped,
+    % 10 == 0 edited with a ' v2' suffix, % 25 == 0 re-added under
+    doc_id + 10^7."""
+    kept = df[df["doc_id"] % 17 != 0]
+    edited = np.where(kept["doc_id"] % 10 == 0,
+                      kept["text"] + " v2", kept["text"])
+    out = pd.DataFrame({"doc_id": kept["doc_id"].to_numpy(),
+                        "text": edited})
+    add = df[df["doc_id"] % 25 == 0]
+    return pd.concat(
+        [out, pd.DataFrame({"doc_id": add["doc_id"].to_numpy()
+                            + 10_000_000,
+                            "text": add["text"].to_numpy()})],
+        ignore_index=True)
+
+
 def q_corpus_diff(sf_dir: str) -> rd.Dataset:
     """Snapshot-versioning audit: base = the documents table; new =
-    the planted next snapshot (doc_id %% 17 == 0 dropped, %% 10 == 0
-    edited with a ' v2' suffix, %% 25 == 0 re-added under doc_id +
-    10^7). Per-doc added/removed/changed/unchanged status — only
-    (id, md5) rows shuffle (storage.snapshot_diff)."""
+    the planted next snapshot (_make_next_snapshot). Per-doc
+    added/removed/changed/unchanged status — only (id, md5) rows
+    shuffle (storage.snapshot_diff)."""
     from .storage import snapshot_diff
 
     docs = rp(sf_dir, "documents", ["doc_id", "text"])
-
-    def make_new(df: pd.DataFrame) -> pd.DataFrame:
-        kept = df[df["doc_id"] % 17 != 0]
-        edited = np.where(kept["doc_id"] % 10 == 0,
-                          kept["text"] + " v2", kept["text"])
-        out = pd.DataFrame({"doc_id": kept["doc_id"].to_numpy(),
-                            "text": edited})
-        add = df[df["doc_id"] % 25 == 0]
-        return pd.concat(
-            [out, pd.DataFrame({"doc_id": add["doc_id"].to_numpy()
-                                + 10_000_000,
-                                "text": add["text"].to_numpy()})],
-            ignore_index=True)
-
-    new = docs.map_batches(make_new, batch_format="pandas")
+    new = docs.map_batches(_make_next_snapshot, batch_format="pandas")
     return snapshot_diff(docs, new)
 
 
@@ -2224,13 +2227,22 @@ def _extracted(sf_dir: str) -> rd.Dataset:
     no-op)."""
     from . import extractors
     from .pipelines.extract import read_extracted, run_extract
+    from .stages import explode as _stage_explode
     from .stages import extract as _stage_extract
     from .stages import reassemble as _stage_reassemble
 
     tier = fixtures.tier_for_sf_dir(sf_dir)
     corpus = fixtures.ensure_corpus(tier)
+    # the fingerprint must cover EVERY module that determines the
+    # on-disk layout — including the partition-assignment rule
+    # (stages/explode's ASSIGN_VERSION) and the writer itself —
+    # otherwise a rule change silently reuses a stale cache dir and
+    # the in-place version wipe (correct but untuned) runs inside
+    # whichever query touches the cache first
+    from .pipelines import extract as _pipe_mod
     fp = fixtures.source_fingerprint(fixtures, extractors, _stage_extract,
-                                     _stage_reassemble)
+                                     _stage_reassemble, _stage_explode,
+                                     _pipe_mod)
     out = f"/tmp/westa_extract_out/{fp}/{tier}_seed{fixtures.DEFAULT_SEED}"
     run_extract(corpus, out, ExtractConfig())
     return read_extracted(out)
@@ -4371,6 +4383,46 @@ def top_event_type_per_user(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def token_drift(sf_dir: str) -> rd.Dataset:
+    """Token-distribution drift between corpus snapshots — the
+    data-quality monitor that catches a bad ingest batch before it
+    trains: per-token counts in the base snapshot vs the planted next
+    snapshot (same edit rule as corpus_diff: %17 dropped, %10 edited
+    with a ' v2' suffix, %25 re-added under doc_id+10^7), emitted for
+    every token whose count moved. Both snapshots' token counts fold
+    through ONE bucketed aggregate (tag-masked n_base/n_new columns,
+    no join): at 100 TB this moves one (token, 2×int64) row per
+    distinct token per block and nothing else."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    new = docs.map_batches(_make_next_snapshot, batch_format="pandas")
+
+    def counts(base: int):
+        nb, nn = (1, 0) if base else (0, 1)
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+            c: Counter = Counter()
+            for text in df["text"]:
+                c.update(t for t in text.split(" ") if t)
+            toks = list(c.keys())
+            n = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+            return pd.DataFrame({"tok": pd.Series(toks, dtype=str),
+                                 "n_base": n * nb, "n_new": n * nn})
+        return fn
+
+    both = (docs.map_batches(counts(1), batch_format="pandas")
+            .union(new.map_batches(counts(0), batch_format="pandas")))
+    agg = partial_aggregate(both, ["tok"], {"n_base": ("sum", "n_base"),
+                                            "n_new": ("sum", "n_new")})
+
+    def drift(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["n_new"].to_numpy(np.int64) - df["n_base"].to_numpy(np.int64)
+        out = df.assign(delta=d)
+        return out[out["delta"] != 0][["tok", "n_base", "n_new", "delta"]]
+
+    return agg.map_batches(drift, batch_format="pandas")
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -4645,6 +4697,7 @@ QUERIES = {
     "funnel_conversions": funnel_conversions,
     "events_pivot": events_pivot,
     "top_event_type_per_user": top_event_type_per_user,
+    "token_drift": token_drift,
 }
 
 # ------------------------------------------------------------ the window
@@ -6813,3 +6866,27 @@ ORACLE_SQL["top_event_type_per_user"] = """
           FROM c)
     SELECT user_id, event_type, CAST(n AS BIGINT) AS n
     FROM r WHERE rk = 1"""
+
+ORACLE_SQL["token_drift"] = """
+    WITH newsnap AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 10 = 0 THEN ' v2' ELSE '' END
+               AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents
+      WHERE doc_id % 25 = 0),
+    b AS (SELECT tok, COUNT(*) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          WHERE tok <> '' GROUP BY tok),
+    nn AS (SELECT tok, COUNT(*) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM newsnap)
+           WHERE tok <> '' GROUP BY tok)
+    SELECT COALESCE(b.tok, nn.tok) AS tok,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_base,
+           CAST(COALESCE(nn.n, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(nn.n, 0) - COALESCE(b.n, 0) AS BIGINT) AS delta
+    FROM b FULL OUTER JOIN nn ON b.tok = nn.tok
+    WHERE COALESCE(b.n, 0) <> COALESCE(nn.n, 0)"""
