@@ -1095,9 +1095,18 @@ def remove_duplicate_spans(ds: rd.Dataset, id_col: str = "doc_id",
                                        for s, e in zip(starts, ends))))
         return pd.DataFrame(rows, columns=[id_col, "spans"])
 
+    # spans is consumed TWICE (the affected-doc join + the untouched
+    # anti-join) — lazily that re-executes the whole explode → dup
+    # aggregate → Bloom semi-join → interval-merge chain; materialize
+    # the small result instead (one (id, interval-spec) row per
+    # AFFECTED doc, bounded by the duplicated-doc count, never
+    # corpus-sized). The window table itself deliberately stays lazy:
+    # at 100 TB it is ~one row per corpus token, and recomputing the
+    # cheap explode beats storing it.
     spans = (marked.map_batches(tag, batch_format="pandas")
              .groupby("__b").map_groups(to_intervals,
-                                        batch_format="pandas"))
+                                        batch_format="pandas")
+             .materialize())
 
     def cut(df: pd.DataFrame) -> pd.DataFrame:
         out_id, out_tx, out_nr = [], [], []
