@@ -36,8 +36,36 @@ MAGIC_IMG = b"SIMG"
 
 def _h(*parts: object) -> int:
     """Deterministic 64-bit hash of the argument tuple."""
-    raw = "\x1f".join(str(p) for p in parts).encode("utf-8")
+    raw = "\x1f".join(map(str, parts)).encode("utf-8")
     return int.from_bytes(hashlib.sha256(raw).digest()[:8], "big")
+
+
+def _hs(prefix: str, *parts: object) -> int:
+    """_h with an ALREADY-RENDERED head: ``_hs(str(a), *t) == _h(a, *t)``
+    byte-for-byte (same "\\x1f" framing, same sha256). The payload
+    generators render their loop-invariant head ONCE and hash only the
+    varying tail per call — string assembly, not sha256, dominates _h
+    (profiled: ~75% of the synthetic media store's cost was repeated
+    str(tuple) rendering inside per-run/per-word loops)."""
+    if parts:
+        raw = (prefix + "\x1f" + "\x1f".join(map(str, parts))).encode("utf-8")
+    else:
+        raw = prefix.encode("utf-8")
+    return int.from_bytes(hashlib.sha256(raw).digest()[:8], "big")
+
+
+_sha256 = hashlib.sha256
+
+
+def _hb(raw: bytes) -> int:
+    """BYTE-level _h: ``_hb(str-framing-as-bytes) == _h(...)`` exactly,
+    because UTF-8 encoding commutes with concatenation — the inner-loop
+    callers assemble the frame with pre-encoded prefixes + b"%d"
+    formatting and skip per-call str/join/encode entirely."""
+    return int.from_bytes(_sha256(raw).digest()[:8], "big")
+
+
+_US = b"\x1f"
 
 
 def _rand(*parts: object) -> float:
@@ -67,7 +95,11 @@ SENTINEL_TEXT = "NON CONTENT PAGE"  # analog of the reference's non-order-page m
 
 
 def sentence(tag: object, n_words: int) -> str:
-    return " ".join(VOCAB[_h(tag, i) % len(VOCAB)] for i in range(n_words))
+    # rendered+encoded once; _hb(pre + b"%d" % i) == _h(tag, i) exactly
+    pre = str(tag).encode("utf-8") + _US
+    nv = len(VOCAB)
+    return " ".join(VOCAB[_hb(pre + b"%d" % i) % nv]
+                    for i in range(n_words))
 
 
 # ----------------------------------------------------------- media store
@@ -90,20 +122,23 @@ def build_page(seed: int, media_ref: str, page_no: int) -> Tuple[int, List[Tuple
     order — the extractor must sort by (y, x) to reconstruct reading
     order (the "layout model" computation).
     """
-    sentinel = _rand(seed, media_ref, page_no, "sentinel") < 0.10
-    if sentinel:
+    # loop-invariant head rendered+encoded once; every _hb frame is
+    # bit-identical to the _h(seed, media_ref, page_no, ...) spelling
+    p3 = f"{seed}\x1f{media_ref}\x1f{page_no}".encode("utf-8") + _US
+    if _hb(p3 + b"sentinel") / 2.0**64 < 0.10:
         return 1, [(0, 0, SENTINEL_TEXT)]
-    n_runs = 3 + _h(seed, media_ref, page_no, "runs") % 6
+    n_runs = 3 + _hb(p3 + b"runs") % 6
     runs: List[Tuple[int, int, str]] = []
     y = 0
     for r in range(n_runs):
-        y += 10 + _h(seed, media_ref, page_no, r, "dy") % 20
+        pr = p3 + b"%d\x1f" % r
+        y += 10 + _hb(pr + b"dy") % 20
         # occasionally two runs share a line (x tiebreak exercised)
-        if r + 1 < n_runs and _rand(seed, media_ref, page_no, r, "twin") < 0.2:
+        if r + 1 < n_runs and _hb(pr + b"twin") / 2.0**64 < 0.2:
             runs.append((5, y, sentence((seed, media_ref, page_no, r, "a"), 3)))
             runs.append((300, y, sentence((seed, media_ref, page_no, r, "b"), 3)))
         else:
-            runs.append((5 + _h(seed, media_ref, page_no, r, "x") % 50, y,
+            runs.append((5 + _hb(pr + b"x") % 50, y,
                          sentence((seed, media_ref, page_no, r), 4 + r % 4)))
     return 0, runs
 
@@ -116,11 +151,14 @@ def serialize_pages(magic: bytes, pages: List[Tuple[int, List[Tuple[int, int, st
     per run: u16 x, u16 y, u16 byte_len, utf-8 bytes.
     """
     out = [magic, _struct.pack("<H", len(pages))]
+    sk = None if shuffle_key is None else str(shuffle_key).encode("utf-8")
     for pno, (flags, runs) in enumerate(pages):
         emit = list(runs)
-        if shuffle_key is not None and len(emit) > 1:
+        if sk is not None and len(emit) > 1:
             # deterministic permutation so stored order != reading order
-            emit.sort(key=lambda run: _h(shuffle_key, pno, run[0], run[1]))
+            sp = sk + b"\x1f%d\x1f" % pno
+            emit.sort(key=lambda run: _hb(sp + b"%d\x1f%d"
+                                          % (run[0], run[1])))
         out.append(_struct.pack("<BH", flags, len(emit)))
         for x, y, text in emit:
             b = text.encode("utf-8")
@@ -163,8 +201,12 @@ def build_html(tag: object, n_paras: int) -> Tuple[str, str]:
     plain paragraphs. Expected text = what the text-density heuristic
     should keep.
     """
+    ts = str(tag)
+    nv = len(VOCAB)
+
     def link(i: int) -> str:
-        return f'<a href="/{VOCAB[_h(tag, "l", i) % len(VOCAB)]}">{VOCAB[_h(tag, "lt", i) % len(VOCAB)]}</a>'
+        return (f'<a href="/{VOCAB[_hs(ts, "l", i) % nv]}">'
+                f'{VOCAB[_hs(ts, "lt", i) % nv]}</a>')
 
     nav = "<div class='nav'><ul>" + "".join(f"<li>{link(i)}</li>" for i in range(5)) + "</ul></div>"
     paras = [sentence((tag, "p", i), 12 + _h(tag, "pl", i) % 10) for i in range(n_paras)]
