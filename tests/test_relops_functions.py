@@ -492,3 +492,24 @@ def test_grouped_kth_from_top_matches_rank_semantics(ray_session):
     assert sorted(map(tuple, got[["g", "v"]].to_numpy())) == \
         sorted(map(tuple, want[["g", "v"]].to_numpy()))
     assert thr["tiny"] == 7  # < k rows -> group minimum (keep all)
+
+
+def test_exact_median_matches_order_statistic(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray import relops
+
+    rng = np.random.default_rng(9)
+    for size in (1, 2, 7, 500):
+        v = rng.integers(-1000, 1000, size=size).astype("int64")
+        ds = rd.from_pandas(pd.DataFrame({"v": v})).repartition(3)
+        med, n = relops.exact_median(ds, "v")
+        assert n == size
+        assert med == int(np.sort(v)[(size + 1) // 2 - 1])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        relops.exact_median(
+            rd.from_pandas(pd.DataFrame({"v": pd.Series([], dtype="int64")})),
+            "v")

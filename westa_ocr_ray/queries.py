@@ -4058,15 +4058,16 @@ def mad_outliers(sf_dir: str) -> rd.Dataset:
     rule k=(n+1)//2, stated identically in the SQL oracle's
     ORDER BY/OFFSET arithmetic so there is no interpolation to drift).
     Values are cents (two-decimal fixture amounts -> exact int64).
-    The projection is consumed by four bounded passes + the final
-    filter, so it is materialized once (two int64 columns)."""
+    The projection is consumed by the bounded passes + the final
+    filter, so it is materialized once (two int64 columns); each
+    median is relops.exact_median (n comes from the histogram — no
+    separate count pass)."""
     ev = rp(sf_dir, "events", ["event_id", "value"])
     cents = ev.map_batches(
         lambda df: pd.DataFrame({"event_id": df["event_id"].to_numpy(),
                                  "v": _cents(df["value"])}),
         batch_format="pandas").materialize()
-    n = cents.count()
-    med = relops.exact_order_statistic(cents, "v", (n + 1) // 2)
+    med, _ = relops.exact_median(cents, "v")
 
     def devs(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -4074,7 +4075,7 @@ def mad_outliers(sf_dir: str) -> rd.Dataset:
             "dev": np.abs(df["v"].to_numpy(dtype=np.int64) - med)})
 
     dev = cents.map_batches(devs, batch_format="pandas").materialize()
-    mad = relops.exact_order_statistic(dev, "dev", (n + 1) // 2)
+    mad, _ = relops.exact_median(dev, "dev")
     return dev.map_batches(
         lambda df: df[df["dev"] > 3 * mad][["event_id", "dev"]],
         batch_format="pandas")

@@ -777,3 +777,40 @@ def grouped_kth_from_top(ds: rd.Dataset, group_col: str, value_col: str,
         j = int(np.searchsorted(sub["cnt"].cumsum().to_numpy(), residual[g]))
         out[g] = int(sub["v"].iloc[j])
     return out
+
+
+def exact_median(ds: rd.Dataset, value_col: str, bin_width: int = 64,
+                 num_buckets: Optional[int] = None) -> tuple:
+    """EXACT lower median (k = (n+1)//2, the mad_outliers / grouped-
+    median rule) of an integer column, plus the row count, in the SAME
+    two bounded passes as exact_order_statistic — but without a
+    separate count() pass, because the histogram's total IS n. Returns
+    (median, n); raises ValueError on an empty column."""
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"bin": v // bin_width})
+
+    hist = partial_aggregate(ds.map_batches(binned, batch_format="pandas"),
+                             ["bin"], {"cnt": ("count", None)},
+                             num_buckets=num_buckets).to_pandas()
+    if hist.empty:  # empty input: the aggregate comes back columnless
+        raise ValueError("exact_median of an empty column")
+    hist = hist.sort_values("bin", ignore_index=True)
+    cum = hist["cnt"].cumsum().to_numpy()
+    n = int(cum[-1])
+    k = (n + 1) // 2
+    i = int(np.searchsorted(cum, k))
+    b = int(hist["bin"][i])
+    below = int(cum[i - 1]) if i else 0
+
+    def in_bin(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"v": v[v // bin_width == b]})
+
+    vals = (partial_aggregate(ds.map_batches(in_bin, batch_format="pandas"),
+                              ["v"], {"cnt": ("count", None)},
+                              num_buckets=num_buckets)
+            .to_pandas().sort_values("v", ignore_index=True))
+    j = int(np.searchsorted(vals["cnt"].cumsum().to_numpy(), k - below))
+    return int(vals["v"][j]), n
