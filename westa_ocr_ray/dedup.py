@@ -36,6 +36,10 @@ from .relops import auto_buckets, hash_join, partial_aggregate, semi_anti_filter
 
 _MERSENNE = (1 << 61) - 1
 _BUCKET_CAP = 200  # max docs inspected pairwise per LSH bucket / block
+#: id-set size up to which a semi/anti side broadcasts (one Arrow
+#: array via ray.put) instead of going through the Bloom+join scalable
+#: path — the same routing idea as dedup_by_minhash's CC tiers
+_BROADCAST_IDS_MAX = 2_000_000
 
 
 def _crc(s: str) -> int:
@@ -1129,13 +1133,23 @@ def remove_duplicate_spans(ds: rd.Dataset, id_col: str = "doc_id",
                          num_buckets=num_buckets,
                          left_cols=[id_col, text_col]
                          ).map_batches(cut, batch_format="pandas")
-    untouched = semi_anti_filter_scalable(
-        ds, id_col, spans, key_col=id_col, anti=True,
-        num_buckets=num_buckets, cols=[id_col, text_col],
-        keys_unique=True
-    ).map_batches(lambda df: df.assign(n_removed=np.int64(0)),
-                  batch_format="pandas")
-    return affected.union(untouched)
+    # untouched docs: spans is materialized and one row per AFFECTED
+    # doc — when that id set is broadcast-sized, the membership filter
+    # (one pc.is_in kernel per batch) replaces the Bloom+join anti
+    # stage entirely; past the threshold, route to the scalable twin
+    # (the dedup_by_minhash tiering pattern)
+    n_affected = spans.count()  # metadata-only on a materialized dataset
+    if n_affected <= _BROADCAST_IDS_MAX:
+        ids = [r[id_col] for r in spans.select_columns([id_col]).take_all()]
+        untouched = semi_anti_filter(ds, id_col, ids, anti=True)
+    else:
+        untouched = semi_anti_filter_scalable(
+            ds, id_col, spans, key_col=id_col, anti=True,
+            num_buckets=num_buckets, cols=[id_col, text_col],
+            keys_unique=True)
+    return untouched.map_batches(
+        lambda df: df.assign(n_removed=np.int64(0)),
+        batch_format="pandas").union(affected)
 
 
 # -------------------------------------------------- embedding near-dup
