@@ -636,3 +636,57 @@ def test_edit1_pairs_vs_bruteforce(ray_session):
     want_df = (pd.DataFrame(want, columns=["doc_a", "doc_b", "dist"])
                .sort_values(["doc_a", "doc_b"], ignore_index=True))
     assert out.astype("int64").equals(want_df.astype("int64"))
+
+
+def test_fastss_depth2_closure_complete():
+    """ed(a,b)<=2 implies the depth-2 deletion closures intersect —
+    editk_pairs(k=2)'s candidate-completeness property."""
+    import random
+    rng = random.Random(13)
+
+    for _ in range(4000):
+        a = "".join(rng.choice("ab") for _ in range(rng.randint(0, 7)))
+        b = "".join(rng.choice("ab") for _ in range(rng.randint(0, 7)))
+        if _ref_lev(a, b) <= 2:
+            assert (dedup._deletion_closure(a, 2)
+                    & dedup._deletion_closure(b, 2)), (a, b)
+
+
+def test_ed_banded_matches_dp_reference():
+    import random
+    rng = random.Random(23)
+    for _ in range(2000):
+        a = "".join(rng.choice("abc ") for _ in range(rng.randint(0, 8)))
+        b = "".join(rng.choice("abc ") for _ in range(rng.randint(0, 8)))
+        d = _ref_lev(a, b)
+        for k in (1, 2, 3):
+            e = dedup._ed_banded(a, b, k)
+            assert e == (d if d <= k else -1), (a, b, k, d, e)
+
+
+def test_editk_pairs_vs_bruteforce(ray_session):
+    rows = [
+        (1, "red apple pie"),
+        (2, "red apple pie"),
+        (3, "red apple pies"),
+        (4, "red apgle pie"),
+        (5, "rad apgle pie"),     # dist 2 from 1/2 (two subs)
+        (6, "red pie"),           # far from all
+        (7, "red apple"),         # dist 4 from 1 ("_pie")
+        (8, ""),
+        (9, "ab"),                # dist 2 from ""
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "title"])
+    out = (dedup.editk_pairs(rd.from_pandas(df), id_col="doc_id",
+                             key_col="title", k=2)
+           .to_pandas().sort_values(["doc_a", "doc_b"],
+                                    ignore_index=True))
+    want = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = _ref_lev(rows[i][1], rows[j][1])
+            if d <= 2:
+                want.append((rows[i][0], rows[j][0], d))
+    want_df = (pd.DataFrame(want, columns=["doc_a", "doc_b", "dist"])
+               .sort_values(["doc_a", "doc_b"], ignore_index=True))
+    assert out.astype("int64").equals(want_df.astype("int64"))

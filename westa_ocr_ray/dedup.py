@@ -1882,3 +1882,95 @@ def edit1_pairs(ds: rd.Dataset, id_col: str = "doc_id",
     return uniq.map_batches(
         lambda df: df[["doc_a", "doc_b", "dist"]],
         batch_format="pandas")
+
+
+def _ed_banded(a: str, b: str, k: int) -> int:
+    """Exact edit distance when it is <= k, else -1 — banded DP over a
+    2k+1 diagonal strip (O(k·len) instead of O(len²)); the verify
+    kernel for editk_pairs candidates."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return -1
+    if a == b:
+        return 0
+    INF = k + 1
+    prev = [min(j, INF) for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        cur = [INF] * (lb + 1)
+        cur[lo - 1] = i if lo == 1 else INF
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb] if prev[lb] <= k else -1
+
+
+def _deletion_closure(t: str, k: int) -> set:
+    """All strings reachable from ``t`` by deleting up to k characters
+    (including t itself) — the FastSS signature set. Size is
+    O(len^k / k!); this operator is for SHORT keys."""
+    seen = {t}
+    frontier = {t}
+    for _ in range(k):
+        nxt = set()
+        for s in frontier:
+            for j in range(len(s)):
+                v = s[:j] + s[j + 1:]
+                if v not in seen:
+                    seen.add(v)
+                    nxt.add(v)
+        frontier = nxt
+    return seen
+
+
+def editk_pairs(ds: rd.Dataset, id_col: str = "doc_id",
+                key_col: str = "title", k: int = 1,
+                num_buckets: Optional[int] = None,
+                cap: int = _BUCKET_CAP) -> rd.Dataset:
+    """EXACT edit-distance<=k near-duplicate pairs over a SHORT string
+    column — the depth-parameterized FastSS (edit1_pairs' docstring has
+    the method and scale analysis; completeness of the depth-k deletion
+    closure is property-fuzzed for k=1 and k=2 in tests, and provable:
+    any alignment of <= k edits deletes the touched positions from both
+    sides to a common string). Signature blowup is O(len^k / k!) per
+    key, which is why k stays tiny and the keys stay short. Returns
+    (doc_a, doc_b, dist) with doc_a < doc_b and dist in [0, k]."""
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        ids, sg, keys = [], [], []
+        for i, t in zip(df[id_col], df[key_col]):
+            for s in _deletion_closure(t, k):
+                ids.append(i)
+                sg.append(md5_hex(s))
+                keys.append(t)
+        return pd.DataFrame({id_col: pd.Series(ids, dtype=df[id_col].dtype),
+                             "sig": pd.Series(sg, dtype=str),
+                             key_col: pd.Series(keys, dtype=str)})
+
+    rows = ds.map_batches(sigs, batch_format="pandas")
+    cands = _within_bucket_pairs(rows, ["sig"], id_col,
+                                 payload_cols=[key_col], cap=cap)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ka, kb = key_col + "_a", key_col + "_b"
+        a_ids, b_ids, dist = [], [], []
+        for ia, ib, ta, tb in zip(df["doc_a"], df["doc_b"],
+                                  df[ka], df[kb]):
+            d = _ed_le1(ta, tb) if k == 1 else _ed_banded(ta, tb, k)
+            if d >= 0:
+                a_ids.append(ia)
+                b_ids.append(ib)
+                dist.append(d)
+        return pd.DataFrame({
+            "doc_a": pd.Series(a_ids, dtype=df["doc_a"].dtype),
+            "doc_b": pd.Series(b_ids, dtype=df["doc_b"].dtype),
+            "dist": pd.Series(dist, dtype="int64")})
+
+    verified = cands.map_batches(verify, batch_format="pandas")
+    uniq = partial_aggregate(verified, ["doc_a", "doc_b", "dist"],
+                             {"n_sigs": ("count", None)},
+                             num_buckets=num_buckets)
+    return uniq.map_batches(
+        lambda df: df[["doc_a", "doc_b", "dist"]],
+        batch_format="pandas")

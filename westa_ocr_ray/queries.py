@@ -4050,6 +4050,28 @@ def q_dedup_edit1(sf_dir: str) -> rd.Dataset:
                              id_col="doc_id", key_col="title")
 
 
+def q_dedup_edit2(sf_dir: str) -> rd.Dataset:
+    """Depth-2 FastSS: edit-distance<=2 title pairs (dedup.editk_pairs,
+    banded-DP verify). Planting: doc_id % 31 == 0 appends 'qq'
+    (distance exactly 2 from its base title), else % 29 == 0 appends
+    'x' (distance 1) — so both distances occur and the k=1 pairs are a
+    strict subset. Exact DuckDB levenshtein oracle over the
+    |len diff| <= 2 band."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def title(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df["text"].str.split(" ").str[:EDIT1_TITLE_TOKENS]
+             .str.join(" "))
+        t = t.where(df["doc_id"] % 31 != 0, t + "qq")
+        t = t.where((df["doc_id"] % 31 == 0) | (df["doc_id"] % 29 != 0),
+                    t + "x")
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "title": t})
+
+    return dedup.editk_pairs(docs.map_batches(title, batch_format="pandas"),
+                             id_col="doc_id", key_col="title", k=2)
+
+
 def mad_outliers(sf_dir: str) -> rd.Dataset:
     """Robust outlier detection on the event-value stream: flag events
     whose |value - median| exceeds 3x the median absolute deviation —
@@ -4699,6 +4721,7 @@ QUERIES = {
     "events_pivot": events_pivot,
     "top_event_type_per_user": top_event_type_per_user,
     "token_drift": token_drift,
+    "dedup_edit2": q_dedup_edit2,
 }
 
 # ------------------------------------------------------------ the window
@@ -6891,3 +6914,19 @@ ORACLE_SQL["token_drift"] = """
            CAST(COALESCE(nn.n, 0) - COALESCE(b.n, 0) AS BIGINT) AS delta
     FROM b FULL OUTER JOIN nn ON b.tok = nn.tok
     WHERE COALESCE(b.n, 0) <> COALESCE(nn.n, 0)"""
+
+ORACLE_SQL["dedup_edit2"] = f"""
+    WITH t AS (SELECT doc_id,
+                      array_to_string(list_slice(string_split(text, ' '),
+                                                 1, {EDIT1_TITLE_TOKENS}),
+                                      ' ')
+                      || CASE WHEN doc_id % 31 = 0 THEN 'qq'
+                              WHEN doc_id % 29 = 0 THEN 'x'
+                              ELSE '' END AS title
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+    FROM t a JOIN t b
+      ON a.doc_id < b.doc_id
+     AND abs(len(a.title) - len(b.title)) <= 2
+     AND levenshtein(a.title, b.title) <= 2"""
