@@ -4446,6 +4446,60 @@ def token_drift(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(drift, batch_format="pandas")
 
 
+WINSOR_Q = (5, 100)  # clip at the exact p5 / p95 order statistics
+
+
+def winsorize_values(sf_dir: str) -> rd.Dataset:
+    """Winsorized (clipped) event values — the robust-normalization
+    prep step: cent-values clipped at the EXACT p5 and p95 order
+    statistics (rank ceil(q*n), the grouped-quantile rule), both
+    computed in two bounded histogram passes; the clip itself is one
+    streaming map. Returns (event_id, v, v_clip)."""
+    ev = rp(sf_dir, "events", ["event_id", "value"])
+    cents = ev.map_batches(
+        lambda df: pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                                 "v": _cents(df["value"])}),
+        batch_format="pandas").materialize()
+    n = cents.count()
+    q_num, q_den = WINSOR_Q
+    lo_k = max((n * q_num + q_den - 1) // q_den, 1)          # ceil(.05n)
+    hi_k = max((n * (q_den - q_num) + q_den - 1) // q_den, 1)  # ceil(.95n)
+    lo = relops.exact_order_statistic(cents, "v", lo_k)
+    hi = relops.exact_order_statistic(cents, "v", hi_k)
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "v": v, "v_clip": np.clip(v, lo, hi)})
+
+    return cents.map_batches(clip, batch_format="pandas")
+
+
+def self_join_size_by_user(sf_dir: str) -> rd.Dataset:
+    """EXACT self-join cardinality WITHOUT running the join — the
+    shuffle-size predictor a planner (or a skew audit) needs before
+    committing to a user-keyed exchange: |events ⋈ events on user| =
+    Σ_u c_u². One bucketed per-key count, squares summed in the same
+    fold; the join itself never materializes. Also reports the
+    heaviest key's share (the skew headline). Oracle runs the real
+    join's COUNT(*) — the engine must predict it exactly."""
+    ev = rp(sf_dir, "events", ["user_id"])
+    counts = partial_aggregate(ev, ["user_id"], {"c": ("count", None)})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"__g": np.zeros(1, dtype=np.int32),
+                             "n_pairs": [int((c * c).sum())],
+                             "max_key_sq": [int((c * c).max()) if len(c)
+                                            else 0]})
+
+    out = partial_aggregate(counts.map_batches(fold, batch_format="pandas"),
+                            ["__g"], {"n_pairs": ("sum", "n_pairs"),
+                                      "max_key_sq": ("max", "max_key_sq")})
+    return out.map_batches(lambda df: df[["n_pairs", "max_key_sq"]],
+                           batch_format="pandas")
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -4722,6 +4776,8 @@ QUERIES = {
     "top_event_type_per_user": top_event_type_per_user,
     "token_drift": token_drift,
     "dedup_edit2": q_dedup_edit2,
+    "winsorize_values": winsorize_values,
+    "self_join_size_by_user": self_join_size_by_user,
 }
 
 # ------------------------------------------------------------ the window
@@ -6930,3 +6986,30 @@ ORACLE_SQL["dedup_edit2"] = f"""
       ON a.doc_id < b.doc_id
      AND abs(len(a.title) - len(b.title)) <= 2
      AND levenshtein(a.title, b.title) <= 2"""
+
+# rank rule ceil(q*n) stated as ORDER BY/OFFSET, matching
+# exact_order_statistic's 1-based k exactly
+ORACLE_SQL["winsorize_values"] = f"""
+    WITH v AS (SELECT event_id,
+                      CAST(round(value * 100) AS BIGINT) AS u FROM events),
+    n AS (SELECT COUNT(*) AS n FROM v),
+    lo AS (SELECT u AS lo FROM v ORDER BY u LIMIT 1 OFFSET
+           (SELECT greatest((n * {WINSOR_Q[0]} + {WINSOR_Q[1]} - 1)
+                            // {WINSOR_Q[1]}, 1) - 1 FROM n)),
+    hi AS (SELECT u AS hi FROM v ORDER BY u LIMIT 1 OFFSET
+           (SELECT greatest((n * {WINSOR_Q[1] - WINSOR_Q[0]}
+                             + {WINSOR_Q[1]} - 1)
+                            // {WINSOR_Q[1]}, 1) - 1 FROM n))
+    SELECT event_id, u AS v,
+           CAST(least(greatest(u, (SELECT lo FROM lo)),
+                      (SELECT hi FROM hi)) AS BIGINT) AS v_clip
+    FROM v"""
+
+ORACLE_SQL["self_join_size_by_user"] = """
+    WITH j AS (SELECT COUNT(*) AS n_pairs
+               FROM events a JOIN events b ON a.user_id = b.user_id),
+    m AS (SELECT MAX(c * c) AS max_key_sq
+          FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id))
+    SELECT CAST(j.n_pairs AS BIGINT) AS n_pairs,
+           CAST(m.max_key_sq AS BIGINT) AS max_key_sq
+    FROM j, m"""
