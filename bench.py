@@ -49,7 +49,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "token_cooccurrence", "jsonl_roundtrip",
                  "weighted_sample", "source_cap", "dedup_substring",
                  "topk_with_ties", "events_hopping",
-                 "funnel_conversions", "events_pivot"]
+                 "funnel_conversions", "events_pivot",
+                 "dedup_edit2", "token_drift", "winsorize_values",
+                 "self_join_size_by_user"]
 
 
 def _warm_workers(ncpu: int) -> None:
