@@ -513,3 +513,60 @@ def test_exact_median_matches_order_statistic(ray_session):
         relops.exact_median(
             rd.from_pandas(pd.DataFrame({"v": pd.Series([], dtype="int64")})),
             "v")
+
+
+def test_skyline_block_matches_bruteforce():
+    import numpy as np
+    import pandas as pd
+
+    from westa_ocr_ray.queries import _skyline_block
+
+    rng = np.random.default_rng(31)
+    for trial in range(50):
+        n = int(rng.integers(1, 60))
+        df = pd.DataFrame({
+            "doc_id": np.arange(n),
+            "nt": rng.integers(0, 12, size=n).astype("int64"),
+            "nd": rng.integers(0, 12, size=n).astype("int64")})
+        got = set(map(tuple,
+                      _skyline_block(df)[["doc_id", "nt", "nd"]]
+                      .to_numpy()))
+        want = set()
+        pts = df.to_numpy()
+        for i in range(n):
+            dominated = any(
+                pts[j][1] >= pts[i][1] and pts[j][2] >= pts[i][2]
+                and (pts[j][1] > pts[i][1] or pts[j][2] > pts[i][2])
+                for j in range(n))
+            if not dominated:
+                want.add(tuple(pts[i]))
+        assert got == want, trial
+
+
+def test_skyline_merge_layout_independent(ray_session):
+    """skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B)) — the
+    distributed merge relies on this; check the full query shape is
+    block-layout independent."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from westa_ocr_ray.queries import _skyline_block
+
+    rng = np.random.default_rng(33)
+    df = pd.DataFrame({
+        "doc_id": np.arange(200),
+        "nt": rng.integers(0, 30, size=200).astype("int64"),
+        "nd": rng.integers(0, 30, size=200).astype("int64")})
+
+    def run(nblocks):
+        local = (rd.from_pandas(df).repartition(nblocks)
+                 .map_batches(_skyline_block, batch_format="pandas"))
+        merged = local.map_batches(
+            lambda d: d.assign(__g=np.zeros(len(d), dtype=np.int32)),
+            batch_format="pandas").groupby("__g").map_groups(
+            lambda d: _skyline_block(d.drop(columns="__g")),
+            batch_format="pandas").to_pandas()
+        return set(map(tuple, merged[["doc_id", "nt", "nd"]].to_numpy()))
+
+    assert run(1) == run(7) == run(31)
