@@ -4552,6 +4552,41 @@ def doc_skyline(sf_dir: str) -> rd.Dataset:
                         batch_format="pandas"))
 
 
+def grouped_mad(sf_dir: str) -> rd.Dataset:
+    """Per-group robust location/scale: each event_type's exact lower
+    median and median absolute deviation — the grouped twin of
+    mad_outliers, built from grouped_quantile_thresholds at q=1/2
+    (ceil(n/2) IS the lower-median rank) run twice: once on the
+    cent-values, once on |v - median(group)| with the tiny per-group
+    median map broadcast into the deviation pass. Four bounded
+    exchanges total; no group ever assembles."""
+    import ray
+
+    ev = rp(sf_dir, "events", ["event_type", "value"])
+    cents = ev.map_batches(
+        lambda df: pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                                 "v": _cents(df["value"])}),
+        batch_format="pandas").materialize()
+    med = relops.grouped_quantile_thresholds(cents, "event_type", "v", 1, 2)
+    med_ref = ray.put(med)
+
+    def devs(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(med_ref)
+        cut = np.fromiter((m[g] for g in df["event_type"]),
+                          dtype=np.int64, count=len(df))
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "v": np.abs(df["v"].to_numpy(dtype=np.int64) - cut)})
+
+    dev = cents.map_batches(devs, batch_format="pandas")
+    mad = relops.grouped_quantile_thresholds(dev, "event_type", "v", 1, 2)
+    rows = sorted(med)
+    return rd.from_pandas(pd.DataFrame({
+        "event_type": rows,
+        "med": pd.Series([med[g] for g in rows], dtype="int64"),
+        "mad": pd.Series([mad[g] for g in rows], dtype="int64")}))
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -4831,6 +4866,7 @@ QUERIES = {
     "winsorize_values": winsorize_values,
     "self_join_size_by_user": self_join_size_by_user,
     "doc_skyline": doc_skyline,
+    "grouped_mad": grouped_mad,
 }
 
 # ------------------------------------------------------------ the window
@@ -7078,3 +7114,24 @@ ORACLE_SQL["doc_skyline"] = """
         SELECT 1 FROM d b
         WHERE b.nt >= a.nt AND b.nd >= a.nd
           AND (b.nt > a.nt OR b.nd > a.nd))"""
+
+ORACLE_SQL["grouped_mad"] = """
+    WITH v AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS u FROM events),
+    r AS (SELECT event_type, u,
+                 row_number() OVER (PARTITION BY event_type ORDER BY u)
+                   AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM v),
+    m AS (SELECT event_type, u AS med FROM r WHERE rk = (n + 1) // 2),
+    d AS (SELECT v.event_type, abs(v.u - m.med) AS dv
+          FROM v JOIN m USING (event_type)),
+    r2 AS (SELECT event_type, dv,
+                  row_number() OVER (PARTITION BY event_type ORDER BY dv)
+                    AS rk,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM d),
+    md AS (SELECT event_type, dv AS mad FROM r2 WHERE rk = (n + 1) // 2)
+    SELECT m.event_type, CAST(m.med AS BIGINT) AS med,
+           CAST(md.mad AS BIGINT) AS mad
+    FROM m JOIN md USING (event_type)"""
