@@ -116,29 +116,32 @@ def featurize_media(media: rd.Dataset, feature_dim: int = 8,
 def frame_sample(media: rd.Dataset, every_n: int = 2) -> rd.Dataset:
     """Frame/page sampling: keep every n-th page of each payload —
     re-serialized per-page blobs (the video-frame-sample analog on the
-    synthetic page format)."""
+    synthetic page format). Kernel exposed as frame_sample_table so
+    the serial checksum oracle replays the exact same code path."""
+    return media.map_batches(
+        lambda t: frame_sample_table(t, every_n),
+        batch_format="pyarrow", batch_size=32)
 
-    def fn(t: pa.Table) -> pa.Table:
-        refs, kinds, pages_out, blobs = [], [], [], []
-        for ref, kind, payload in zip(t.column("media_ref").to_pylist(),
-                                      t.column("kind").to_pylist(),
-                                      t.column("payload").to_pylist()):
-            try:
-                singles = extractors.split_payload(payload)
-            except extractors.MediaFormatError:
-                continue
-            for i, blob in enumerate(singles, start=1):
-                if (i - 1) % every_n == 0:
-                    refs.append(ref)
-                    kinds.append(kind)
-                    pages_out.append(i)
-                    blobs.append(blob)
-        return pa.table({"media_ref": pa.array(refs, type=pa.string()),
-                         "kind": pa.array(kinds, type=pa.string()),
-                         "page_idx": pa.array(pages_out, type=pa.int32()),
-                         "payload": pa.array(blobs, type=pa.binary())})
 
-    return media.map_batches(fn, batch_format="pyarrow", batch_size=32)
+def frame_sample_table(t: pa.Table, every_n: int = 2) -> pa.Table:
+    refs, kinds, pages_out, blobs = [], [], [], []
+    for ref, kind, payload in zip(t.column("media_ref").to_pylist(),
+                                  t.column("kind").to_pylist(),
+                                  t.column("payload").to_pylist()):
+        try:
+            singles = extractors.split_payload(payload)
+        except extractors.MediaFormatError:
+            continue
+        for i, blob in enumerate(singles, start=1):
+            if (i - 1) % every_n == 0:
+                refs.append(ref)
+                kinds.append(kind)
+                pages_out.append(i)
+                blobs.append(blob)
+    return pa.table({"media_ref": pa.array(refs, type=pa.string()),
+                     "kind": pa.array(kinds, type=pa.string()),
+                     "page_idx": pa.array(pages_out, type=pa.int32()),
+                     "payload": pa.array(blobs, type=pa.binary())})
 
 
 class MediaResizer:

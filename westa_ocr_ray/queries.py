@@ -4587,6 +4587,94 @@ def grouped_mad(sf_dir: str) -> rd.Dataset:
         "mad": pd.Series([mad[g] for g in rows], dtype="int64")}))
 
 
+def _feat_fold(feats) -> int:
+    """Position-weighted integer fold of one feature vector (micro-unit
+    quantization) — shared by the engine fold and the serial oracle."""
+    return int(sum(int(round(float(f) * 1e6)) * (j + 1)
+                   for j, f in enumerate(feats)))
+
+
+def mm_featurize_checksum(sf_dir: str) -> rd.Dataset:
+    """VALUE check for the featurize actor-pool stage (upgrades
+    mm_featurize from rows-only): per kind, fold every output row —
+    count, page/run/text-byte sums, the position-weighted micro-unit
+    fold of each feature vector, and the decode-error count — and
+    hash-match a serial direct-call replay of the SAME kernel over the
+    fixture corpus (VALUES oracle). What this proves is that the
+    distributed execution (batching, actor pool, exchange) preserves
+    the kernel's semantics row-for-row."""
+    feats = multimodal.featurize_media(
+        multimodal.media_table(_corpus(sf_dir)))
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        ff = [_feat_fold(f) for f in t.column("features").to_pylist()]
+        errs = [e != "" for e in t.column("error").to_pylist()]
+        return pd.DataFrame({
+            "kind": t.column("kind").to_pylist(),
+            "n": np.ones(t.num_rows, dtype=np.int64),
+            "pages": t.column("n_pages").to_numpy().astype(np.int64),
+            "runs": t.column("n_runs").to_numpy().astype(np.int64),
+            "tbytes": t.column("text_bytes").to_numpy().astype(np.int64),
+            "ffold": pd.Series(ff, dtype="int64"),
+            "errs": np.asarray(errs, dtype=np.int64)})
+
+    return partial_aggregate(
+        feats.map_batches(fold, batch_format="pyarrow"),
+        ["kind"], {"n": ("sum", "n"), "pages": ("sum", "pages"),
+                   "runs": ("sum", "runs"), "tbytes": ("sum", "tbytes"),
+                   "ffold": ("sum", "ffold"), "errs": ("sum", "errs")})
+
+
+def mm_frame_sample_checksum(sf_dir: str) -> rd.Dataset:
+    """VALUE check for the frame/page-sampling stage (upgrades
+    mm_frame_sample from rows-only): per kind — sampled-row count,
+    page-index sum, and an md5 fold of every re-serialized per-page
+    blob — vs the serial replay VALUES oracle."""
+    sampled = multimodal.frame_sample(
+        multimodal.media_table(_corpus(sf_dir)), every_n=2)
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        bf = [int(hashlib.md5(b).hexdigest()[:8], 16)
+              for b in t.column("payload").to_pylist()]
+        return pd.DataFrame({
+            "kind": t.column("kind").to_pylist(),
+            "n": np.ones(t.num_rows, dtype=np.int64),
+            "pidx": t.column("page_idx").to_numpy().astype(np.int64),
+            "bfold": pd.Series(bf, dtype="int64")})
+
+    return partial_aggregate(
+        sampled.map_batches(fold, batch_format="pyarrow"),
+        ["kind"], {"n": ("sum", "n"), "pidx": ("sum", "pidx"),
+                   "bfold": ("sum", "bfold")})
+
+
+def mm_resize_checksum(sf_dir: str) -> rd.Dataset:
+    """VALUE check for the resize actor-pool stage (upgrades mm_resize
+    from rows-only): per kind — row count, original/resized byte sums,
+    md5 fold of every re-serialized payload, decode-error count — vs
+    the serial replay VALUES oracle."""
+    resized = multimodal.resize_media(
+        multimodal.media_table(_corpus(sf_dir)), factor=2, max_runs=4)
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        pf = [int(hashlib.md5(b).hexdigest()[:8], 16)
+              for b in t.column("payload").to_pylist()]
+        errs = [e != "" for e in t.column("error").to_pylist()]
+        return pd.DataFrame({
+            "kind": t.column("kind").to_pylist(),
+            "n": np.ones(t.num_rows, dtype=np.int64),
+            "ob": t.column("orig_bytes").to_numpy().astype(np.int64),
+            "rb": t.column("resized_bytes").to_numpy().astype(np.int64),
+            "pfold": pd.Series(pf, dtype="int64"),
+            "errs": np.asarray(errs, dtype=np.int64)})
+
+    return partial_aggregate(
+        resized.map_batches(fold, batch_format="pyarrow"),
+        ["kind"], {"n": ("sum", "n"), "ob": ("sum", "ob"),
+                   "rb": ("sum", "rb"), "pfold": ("sum", "pfold"),
+                   "errs": ("sum", "errs")})
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -7135,3 +7223,123 @@ ORACLE_SQL["grouped_mad"] = """
     SELECT m.event_type, CAST(m.med AS BIGINT) AS med,
            CAST(md.mad AS BIGINT) AS mad
     FROM m JOIN md USING (event_type)"""
+
+# serial direct-call replay of the three multimodal kernels, cached by
+# source fingerprint + tier (the _mm_payload_oracle_sql mechanism)
+def _mm_kernel_checksums(tier: str = "correctness") -> dict:
+    import json
+    import os
+
+    fp = fixtures.source_fingerprint(fixtures, multimodal, extractors)
+    cache = f"/tmp/westa_oracle_cache/{fp}_{tier}_mm_kernels.json"
+    if os.path.exists(cache):
+        try:
+            with open(cache) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            pass
+    refs, kinds, payloads = [], [], []
+    for i in range(fixtures.TIERS[tier]):
+        d = fixtures.gen_doc_row(fixtures.DEFAULT_SEED, i)
+        for s in d["spans"]:
+            if s["kind"] in ("pdf", "image"):
+                refs.append(s["media_ref"])
+                kinds.append(s["kind"])
+                payloads.append(fixtures.media_store(s["media_ref"],
+                                                     fixtures.DEFAULT_SEED))
+    t = pa.table({"media_ref": pa.array(refs, type=pa.string()),
+                  "kind": pa.array(kinds, type=pa.string()),
+                  "payload": pa.array(payloads, type=pa.binary())})
+
+    def by_kind(rows):
+        acc: dict = {}
+        for r in rows:
+            k = r.pop("kind")
+            a = acc.setdefault(k, {c: 0 for c in r})
+            for c, v in r.items():
+                a[c] += v
+        return [{"kind": k, **v} for k, v in sorted(acc.items())]
+
+    ft = multimodal.MediaFeaturizer(feature_dim=8)(t)
+    feat_rows = by_kind([
+        {"kind": k, "n": 1, "pages": int(p), "runs": int(r),
+         "tbytes": int(tb), "ffold": _feat_fold(f),
+         "errs": int(e != "")}
+        for k, p, r, tb, f, e in zip(
+            ft.column("kind").to_pylist(), ft.column("n_pages").to_pylist(),
+            ft.column("n_runs").to_pylist(),
+            ft.column("text_bytes").to_pylist(),
+            ft.column("features").to_pylist(),
+            ft.column("error").to_pylist())])
+
+    st = multimodal.frame_sample_table(t, 2)
+    frame_rows = by_kind([
+        {"kind": k, "n": 1, "pidx": int(p),
+         "bfold": int(hashlib.md5(b).hexdigest()[:8], 16)}
+        for k, p, b in zip(st.column("kind").to_pylist(),
+                           st.column("page_idx").to_pylist(),
+                           st.column("payload").to_pylist())])
+
+    rt = multimodal.MediaResizer(factor=2, max_runs=4)(t)
+    rz_rows = by_kind([
+        {"kind": k, "n": 1, "ob": int(ob), "rb": int(rb),
+         "pfold": int(hashlib.md5(b).hexdigest()[:8], 16),
+         "errs": int(e != "")}
+        for k, ob, rb, b, e in zip(
+            rt.column("kind").to_pylist(),
+            rt.column("orig_bytes").to_pylist(),
+            rt.column("resized_bytes").to_pylist(),
+            rt.column("payload").to_pylist(),
+            rt.column("error").to_pylist())])
+
+    out = {"featurize": feat_rows, "frame": frame_rows, "resize": rz_rows}
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    tmp = cache + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(out, fh)
+    os.replace(tmp, cache)
+    return out
+
+
+def _values_sql(rows: list, cols: list) -> str:
+    def lit(v):
+        return f"'{v}'" if isinstance(v, str) else str(v)
+    vals = ", ".join(
+        "(" + ", ".join(lit(r[c]) for c in cols) + ")" for r in rows)
+    casts = ", ".join(
+        c if c == "kind" else f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return (f"SELECT {casts} FROM (VALUES {vals}) "
+            f"AS t({', '.join(cols)})")
+
+
+def _mm_featurize_checksum_oracle_sql(tier: str = "correctness") -> str:
+    return _values_sql(_mm_kernel_checksums(tier)["featurize"],
+                       ["kind", "n", "pages", "runs", "tbytes", "ffold",
+                        "errs"])
+
+
+def _mm_frame_sample_checksum_oracle_sql(tier: str = "correctness") -> str:
+    return _values_sql(_mm_kernel_checksums(tier)["frame"],
+                       ["kind", "n", "pidx", "bfold"])
+
+
+def _mm_resize_checksum_oracle_sql(tier: str = "correctness") -> str:
+    return _values_sql(_mm_kernel_checksums(tier)["resize"],
+                       ["kind", "n", "ob", "rb", "pfold", "errs"])
+
+
+QUERIES["mm_featurize_checksum"] = mm_featurize_checksum
+QUERIES["mm_frame_sample_checksum"] = mm_frame_sample_checksum
+QUERIES["mm_resize_checksum"] = mm_resize_checksum
+ORACLE_SQL["mm_featurize_checksum"] = \
+    _mm_featurize_checksum_oracle_sql("correctness")
+ORACLE_SQL["mm_frame_sample_checksum"] = \
+    _mm_frame_sample_checksum_oracle_sql("correctness")
+ORACLE_SQL["mm_resize_checksum"] = \
+    _mm_resize_checksum_oracle_sql("correctness")
+TIER_ORACLE_BUILDERS["mm_featurize_checksum"] = \
+    _mm_featurize_checksum_oracle_sql
+TIER_ORACLE_BUILDERS["mm_frame_sample_checksum"] = \
+    _mm_frame_sample_checksum_oracle_sql
+TIER_ORACLE_BUILDERS["mm_resize_checksum"] = \
+    _mm_resize_checksum_oracle_sql
