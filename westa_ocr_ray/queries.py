@@ -4675,6 +4675,40 @@ def mm_resize_checksum(sf_dir: str) -> rd.Dataset:
                    "errs": ("sum", "errs")})
 
 
+DAY_US = 86_400_000_000
+
+
+def retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by their first-event day, counted once per (cohort day,
+    day offset) they were active. Each per-user ordered-log bucket
+    derives the user's first day and its distinct day offsets locally
+    (one tiny frame per user), then one bucketed aggregate on
+    (cohort, off) builds the matrix. Days are integer epoch-days
+    (epoch_us // 86400e6) on BOTH sides — no date-type parity risk."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("int64") // DAY_US).to_numpy()
+        uid = df["user_id"].to_numpy()
+        cohorts, offs = [], []
+        start = np.flatnonzero(df["user_id"].ne(df["user_id"].shift())
+                               .to_numpy())
+        bounds = np.append(start, len(df))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            d = day[a:b]
+            c = d.min()
+            for off in np.unique(d - c):
+                cohorts.append(c)
+                offs.append(off)
+        return pd.DataFrame({"cohort": pd.Series(cohorts, dtype="int64"),
+                             "off": pd.Series(offs, dtype="int64")})
+
+    return partial_aggregate(_bucketed_by_user(ev, fn),
+                             ["cohort", "off"],
+                             {"n_users": ("count", None)})
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -4955,6 +4989,7 @@ QUERIES = {
     "self_join_size_by_user": self_join_size_by_user,
     "doc_skyline": doc_skyline,
     "grouped_mad": grouped_mad,
+    "retention_cohorts": retention_cohorts,
 }
 
 # ------------------------------------------------------------ the window
@@ -7343,3 +7378,13 @@ TIER_ORACLE_BUILDERS["mm_frame_sample_checksum"] = \
     _mm_frame_sample_checksum_oracle_sql
 TIER_ORACLE_BUILDERS["mm_resize_checksum"] = \
     _mm_resize_checksum_oracle_sql
+
+ORACLE_SQL["retention_cohorts"] = f"""
+    WITH d AS (SELECT user_id, epoch_us(ts) // {DAY_US} AS day
+               FROM events),
+    f AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id),
+    a AS (SELECT DISTINCT d.user_id, f.cohort, d.day - f.cohort AS off
+          FROM d JOIN f USING (user_id))
+    SELECT CAST(cohort AS BIGINT) AS cohort, CAST(off AS BIGINT) AS off,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a GROUP BY cohort, off"""
