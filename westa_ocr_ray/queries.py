@@ -4741,6 +4741,27 @@ def events_interval_join_count(sf_dir: str) -> rd.Dataset:
     return _bucketed_by_user(ev, fn)
 
 
+def events_unpivot(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT (wide -> long melt, the inverse reshape of
+    events_pivot): the per-user pivot table melts back to
+    (user_id, metric, value) rows inside one map — each wide row
+    explodes to its fixed column list, so the reshape is pure
+    map-side and the only exchange is the pivot's own. Round-trips
+    the reshape pair; exact UNPIVOT-shaped oracle (UNION ALL)."""
+    wide = events_pivot(sf_dir)
+    metrics = [f"n_{ty}" for ty in EVENT_TYPES] + ["purchase_cents"]
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "user_id": np.tile(df["user_id"].to_numpy(), len(metrics)),
+            "metric": np.repeat(np.array(metrics, dtype=object), n),
+            "value": np.concatenate(
+                [df[m].to_numpy(dtype=np.int64) for m in metrics])})
+
+    return wide.map_batches(melt, batch_format="pandas")
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5023,6 +5044,7 @@ QUERIES = {
     "grouped_mad": grouped_mad,
     "retention_cohorts": retention_cohorts,
     "events_interval_join_count": events_interval_join_count,
+    "events_unpivot": events_unpivot,
 }
 
 # ------------------------------------------------------------ the window
@@ -7433,3 +7455,17 @@ ORACLE_SQL["events_interval_join_count"] = f"""
     SELECT u.user_id, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_pairs
     FROM (SELECT DISTINCT user_id FROM events) u
     LEFT JOIN p ON u.user_id = p.user_id"""
+
+ORACLE_SQL["events_unpivot"] = """
+    WITH w AS (SELECT user_id,
+""" + ",\n".join(
+    f"""               CAST(SUM(CASE WHEN event_type = '{ty}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_{ty}"""
+    for ty in EVENT_TYPES) + """,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS purchase_cents
+        FROM events GROUP BY user_id)
+    """ + "\n    UNION ALL\n    ".join(
+    f"SELECT user_id, '{m}' AS metric, {m} AS value FROM w"
+    for m in [f"n_{ty}" for ty in EVENT_TYPES] + ["purchase_cents"])
