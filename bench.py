@@ -51,7 +51,13 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "topk_with_ties", "events_hopping",
                  "funnel_conversions", "events_pivot",
                  "dedup_edit2", "token_drift", "winsorize_values",
-                 "self_join_size_by_user"]
+                 "self_join_size_by_user",
+                 "doc_skyline", "grouped_mad", "retention_cohorts",
+                 "events_interval_join_count", "events_unpivot",
+                 # one decode-pool checksum in the bench (the resize
+                 # twin has the same shape and ~the same cost; keeping
+                 # both doubled the bench wall for no extra signal)
+                 "mm_featurize_checksum"]
 
 
 def _warm_workers(ncpu: int) -> None:
