@@ -4762,6 +4762,101 @@ def events_unpivot(sf_dir: str) -> rd.Dataset:
     return wide.map_batches(melt, batch_format="pandas")
 
 
+# events_profile: (engine canonicalizer, SQL canonical expr) per
+# column — ONE shared table so the two sides cannot drift. Canonical
+# form avoids float/timestamp stringification parity issues (ints and
+# raw strings only).
+_EVENTS_PROFILE_COLS = [
+    ("event_id",
+     lambda df: df["event_id"].map(str),
+     "CAST(event_id AS VARCHAR)"),
+    ("ts",
+     lambda df: df["ts"].astype("int64").map(str),
+     "CAST(epoch_us(ts) AS VARCHAR)"),
+    ("user_id",
+     lambda df: df["user_id"].map(str),
+     "CAST(user_id AS VARCHAR)"),
+    ("event_type",
+     lambda df: df["event_type"],
+     "event_type"),
+    ("value",
+     lambda df: _cents(df["value"]).map(str),
+     "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)"),
+    ("props",
+     lambda df: df["props"],
+     "props"),
+]
+
+
+def events_profile(sf_dir: str) -> rd.Dataset:
+    """Table profiler (the data-validation datasheet a pipeline runs
+    before training on an ingest batch): per column — row count, null
+    count, EXACT distinct count, and an md5 value fold — over a
+    canonical per-column encoding shared with the generated SQL
+    oracle. Counts/folds are one constant-group pass; the exact
+    distinct count is the standard two-bucketed-pass shape (one
+    (col, value-hash) row per distinct value crosses the wire — the
+    documented cost of exactness at scale; swap in the HLL sketch
+    family when ±2% suffices). Returns
+    (col, n_rows, n_null, n_distinct, vfold)."""
+    ev = rp(sf_dir, "events")
+
+    def fold_counts(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for col, canon, _sql in _EVENTS_PROFILE_COLS:
+            null = df[col].isna()
+            cs = canon(df[~null])
+            vf = int(np.fromiter(
+                (int(dedup.md5_hex(s)[:8], 16) for s in cs),
+                dtype=np.int64, count=len(cs)).sum()) if len(cs) else 0
+            rows.append((col, len(df), int(null.sum()), vf))
+        return pd.DataFrame(rows, columns=["col", "n_rows", "n_null",
+                                           "vfold"])
+
+    counts = partial_aggregate(
+        ev.map_batches(fold_counts, batch_format="pandas"),
+        ["col"], {"n_rows": ("sum", "n_rows"), "n_null": ("sum", "n_null"),
+                  "vfold": ("sum", "vfold")}).to_pandas()
+
+    def hashes(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col, canon, _sql in _EVENTS_PROFILE_COLS:
+            cs = canon(df[~df[col].isna()])
+            frames.append(pd.DataFrame({
+                "col": col,
+                "h": [dedup.md5_hex(s) for s in cs]}))
+        return pd.concat(frames, ignore_index=True)
+
+    dist = partial_aggregate(
+        partial_aggregate(ev.map_batches(hashes, batch_format="pandas"),
+                          ["col", "h"], {"c": ("count", None)})
+        .map_batches(lambda df: df[["col"]], batch_format="pandas"),
+        ["col"], {"n_distinct": ("count", None)}).to_pandas()
+
+    out = counts.merge(dist, on="col")
+    return rd.from_pandas(
+        out[["col", "n_rows", "n_null", "n_distinct", "vfold"]]
+        .astype({"n_rows": "int64", "n_null": "int64",
+                 "n_distinct": "int64", "vfold": "int64"})
+        .sort_values("col", ignore_index=True))
+
+
+def _events_profile_oracle_sql() -> str:
+    parts = []
+    for col, _canon, sql in _EVENTS_PROFILE_COLS:
+        parts.append(f"""
+        SELECT '{col}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {sql}) AS BIGINT) AS n_distinct,
+               CAST(COALESCE(SUM(CAST(('0x' || substr(md5({sql}), 1, 8))
+                                      AS UBIGINT)), 0) AS BIGINT) AS vfold
+        FROM events""")
+        # NULLs drop out of both the md5 SUM and COUNT DISTINCT, same
+        # as the engine's isna mask
+    return " UNION ALL ".join(parts)
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5045,6 +5140,7 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "events_interval_join_count": events_interval_join_count,
     "events_unpivot": events_unpivot,
+    "events_profile": events_profile,
 }
 
 # ------------------------------------------------------------ the window
@@ -7469,3 +7565,5 @@ ORACLE_SQL["events_unpivot"] = """
     """ + "\n    UNION ALL\n    ".join(
     f"SELECT user_id, '{m}' AS metric, {m} AS value FROM w"
     for m in [f"n_{ty}" for ty in EVENT_TYPES] + ["purchase_cents"])
+
+ORACLE_SQL["events_profile"] = _events_profile_oracle_sql()
