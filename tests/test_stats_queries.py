@@ -1,0 +1,66 @@
+"""Edge semantics of the exact statistical queries (events_regression /
+user_diversity / triangle counts): the DuckDB oracle parity is covered
+by scripts/check_queries.py; these pin the degenerate-input branches a
+fixture-scale oracle run may never exercise."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from westa_ocr_ray import queries
+
+
+def _write_events(tmp_path, df: pd.DataFrame) -> str:
+    df = df.copy()
+    df["ts"] = pd.to_datetime(df["ts_us"], unit="us").astype(
+        "datetime64[us]")
+    df = df.drop(columns="ts_us")
+    for c, dt in [("event_id", "int64"), ("user_id", "int64")]:
+        df[c] = df[c].astype(dt)
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_events_regression_recovers_planted_line(tmp_path):
+    # y = 2.5 * x + 100 cents exactly: slope_micro = 2_500_000,
+    # icept_micro = 100_000_000, corr_micro = 1_000_000 - ulp floor
+    xs = np.array([10, 20, 30, 40, 50], dtype=np.int64)
+    df = pd.DataFrame({
+        "event_id": np.arange(5), "user_id": 1, "event_type": "buy",
+        "ts_us": xs * 1_000_000,       # second-of-day == xs
+        "value": (2.5 * xs + 100) / 100.0,  # dollars; *100 → cents
+        "props": ""})
+    sf = _write_events(tmp_path, df)
+    out = queries.events_regression(sf).to_pandas()
+    row = out[out["event_type"] == "buy"].iloc[0]
+    assert row["n"] == 5 and row["sx"] == xs.sum()
+    assert row["slope_micro"] == 2_500_000
+    assert row["icept_micro"] == 100 * 100 * 10_000  # 100 cents * 1e6
+    # perfect fit: corr = 1.0 up to one floor ulp
+    assert row["corr_micro"] in (999_999, 1_000_000)
+
+
+def test_events_regression_zero_variance_x_yields_zero(tmp_path):
+    # all events at the same second-of-day: varx == 0 branch
+    df = pd.DataFrame({
+        "event_id": np.arange(3), "user_id": 1, "event_type": "t",
+        "ts_us": [7_000_000] * 3, "value": [1.0, 2.0, 3.0], "props": ""})
+    sf = _write_events(tmp_path, df)
+    row = queries.events_regression(sf).to_pandas().iloc[0]
+    assert (row["slope_micro"], row["icept_micro"], row["corr_micro"]) \
+        == (0, 0, 0)
+
+
+def test_user_diversity_bounds(tmp_path):
+    # user 1: single type → simpson 0; user 2: 2 types × 1 event each →
+    # 1 - 2*(1/2)² = 0.5 exactly; user 3: one event → 0
+    df = pd.DataFrame({
+        "event_id": np.arange(6), "user_id": [1, 1, 1, 2, 2, 3],
+        "event_type": ["a", "a", "a", "a", "b", "c"],
+        "ts_us": np.arange(6) * 1_000_000, "value": 1.0, "props": ""})
+    sf = _write_events(tmp_path, df)
+    out = (queries.user_diversity(sf).to_pandas()
+           .set_index("user_id").sort_index())
+    assert out.loc[1, "simpson_ppm"] == 0 and out.loc[1, "n_types"] == 1
+    assert out.loc[2, "simpson_ppm"] == 500_000
+    assert out.loc[3, "simpson_ppm"] == 0 and out.loc[3, "n_events"] == 1

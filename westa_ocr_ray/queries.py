@@ -4857,6 +4857,108 @@ def _events_profile_oracle_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def events_regression(sf_dir: str) -> rd.Dataset:
+    """Per-event-type OLS of value-cents on second-of-day — the
+    drift/trend screen a pipeline runs over an ingest batch ("is this
+    metric sliding within the day?"). Distribution shape: ONE
+    partial-aggregate pass folds the six sufficient statistics
+    (n, Σx, Σy, Σx², Σxy, Σy²) as exact int64 sums — the classic
+    "regression is a sum of moments" factorization, so the exchange
+    carries 6 integers per (type, block) regardless of corpus size and
+    the result is block-layout independent. Slope/intercept/corr are
+    then derived per group from the integer sums through a float
+    expression tree mirrored term-for-term by the SQL oracle (every op
+    IEEE-754 correctly rounded on identical inputs → identical
+    doubles), quantized with FLOOR so there is no tie semantics to
+    disagree on. x ≤ 86399 and y is cents, so the int64 sums hold to
+    ~10^9 rows per type; past that, widen the partials to two-limb
+    sums (the documented cost of exactness at this width)."""
+    ev = rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def suffstats(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["ts"].astype("int64") // 1_000_000) % 86400
+        y = _cents(df["value"])
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "x": x.to_numpy(), "y": y.to_numpy(),
+            "xx": (x * x).to_numpy(), "xy": (x * y).to_numpy(),
+            "yy": (y * y).to_numpy()})
+
+    s = partial_aggregate(
+        ev.map_batches(suffstats, batch_format="pandas"),
+        ["event_type"],
+        {"n": ("count", None), "sx": ("sum", "x"), "sy": ("sum", "y"),
+         "sxx": ("sum", "xx"), "sxy": ("sum", "xy"),
+         "syy": ("sum", "yy")})
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        # doubles from exact integer sums; expression trees below are
+        # copied verbatim into ORACLE_SQL["events_regression"]
+        n = df["n"].astype(np.float64)
+        sx = df["sx"].astype(np.float64)
+        sy = df["sy"].astype(np.float64)
+        covn = n * df["sxy"].astype(np.float64) - sx * sy
+        varx = n * df["sxx"].astype(np.float64) - sx * sx
+        vary = n * df["syy"].astype(np.float64) - sy * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(varx > 0,
+                             np.floor(1000000.0 * covn / varx), 0.0)
+            icept = np.where(
+                varx > 0,
+                np.floor(1000000.0
+                         * (sy * df["sxx"].astype(np.float64)
+                            - sx * df["sxy"].astype(np.float64)) / varx),
+                0.0)
+            corr = np.where(varx * vary > 0,
+                            np.floor(1000000.0 * covn
+                                     / np.sqrt(varx * vary)), 0.0)
+        out = df[["event_type", "n", "sx", "sy", "sxx", "sxy", "syy"]].copy()
+        out["slope_micro"] = slope.astype(np.int64)
+        out["icept_micro"] = icept.astype(np.int64)
+        out["corr_micro"] = corr.astype(np.int64)
+        return out.astype({c: "int64" for c in
+                           ("n", "sx", "sy", "sxx", "sxy", "syy")})
+
+    # one output row per event_type: derive runs distributed in the
+    # merge tasks, nothing regression-sized touches the driver
+    return s.map_batches(derive, batch_format="pandas")
+
+
+def user_diversity(sf_dir: str) -> rd.Dataset:
+    """Per-user Gini-Simpson diversity of event types (1 - Σpᵢ², the
+    collision-probability complement) — the behavioral-breadth feature
+    a curation pipeline computes per source/user, chosen over Shannon
+    entropy because it is PURELY RATIONAL: with integer counts the
+    whole statistic reduces to one integer floor-division, so the
+    engine and the SQL oracle agree bit-for-bit with no transcendental
+    (ln) library parity risk. Two bucketed partial-aggregate passes —
+    (user, type) counts, then per-user Σc / Σc² / k — both
+    combiner-first; the ppm derivation is vectorized inside the merge
+    tasks, so output stays a Dataset (one row per user, never on the
+    driver)."""
+    ev = rp(sf_dir, "events", ["user_id", "event_type"])
+    c = partial_aggregate(ev, ["user_id", "event_type"],
+                          {"c": ("count", None)})
+    u = partial_aggregate(
+        c.map_batches(lambda df: df.assign(c2=df["c"] * df["c"]),
+                      batch_format="pandas"),
+        ["user_id"],
+        {"n_events": ("sum", "c"), "sc2": ("sum", "c2"),
+         "n_types": ("count", None)})
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_events"].astype(np.int64)
+        nn = n * n
+        ppm = (1_000_000 * (nn - df["sc2"].astype(np.int64))) // nn
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype(np.int64),
+            "n_events": n,
+            "n_types": df["n_types"].astype(np.int64),
+            "simpson_ppm": ppm.astype(np.int64)})
+
+    return u.map_batches(derive, batch_format="pandas")
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5141,6 +5243,8 @@ QUERIES = {
     "events_interval_join_count": events_interval_join_count,
     "events_unpivot": events_unpivot,
     "events_profile": events_profile,
+    "events_regression": events_regression,
+    "user_diversity": user_diversity,
 }
 
 # ------------------------------------------------------------ the window
@@ -7567,3 +7671,58 @@ ORACLE_SQL["events_unpivot"] = """
     for m in [f"n_{ty}" for ty in EVENT_TYPES] + ["purchase_cents"])
 
 ORACLE_SQL["events_profile"] = _events_profile_oracle_sql()
+
+# derived-column expression trees below mirror events_regression's
+# derive() term for term (double casts first, then the identical
+# mul/sub/div/sqrt order) so both sides produce bit-identical doubles
+# from the same exact integer sums
+ORACLE_SQL["events_regression"] = """
+    WITH b AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) // 1000000 % 86400 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM b GROUP BY event_type),
+    d AS (
+      SELECT *,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+      FROM s)
+    SELECT event_type, n, sx, sy, sxx, sxy, syy,
+           CAST(CASE WHEN varx > 0
+                THEN FLOOR(1000000.0 * covn / varx) ELSE 0 END
+             AS BIGINT) AS slope_micro,
+           CAST(CASE WHEN varx > 0
+                THEN FLOOR(1000000.0
+                           * (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                           / varx)
+                ELSE 0 END AS BIGINT) AS icept_micro,
+           CAST(CASE WHEN varx * vary > 0
+                THEN FLOOR(1000000.0 * covn / sqrt(varx * vary))
+                ELSE 0 END AS BIGINT) AS corr_micro
+    FROM d"""
+
+ORACLE_SQL["user_diversity"] = """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type),
+    u AS (
+      SELECT user_id, SUM(c) AS n, SUM(c * c) AS sc2, COUNT(*) AS k
+      FROM c GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(k AS BIGINT) AS n_types,
+           CAST((1000000 * (n * n - sc2)) // (n * n) AS BIGINT)
+             AS simpson_ppm
+    FROM u"""
