@@ -64,3 +64,24 @@ def test_user_diversity_bounds(tmp_path):
     assert out.loc[1, "simpson_ppm"] == 0 and out.loc[1, "n_types"] == 1
     assert out.loc[2, "simpson_ppm"] == 500_000
     assert out.loc[3, "simpson_ppm"] == 0 and out.loc[3, "n_events"] == 1
+
+
+def test_triangle_node_counts_known_graph():
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+    # edge (4,5) and an isolated edge (6,7): pendant/isolated nodes
+    # must not appear
+    import itertools
+    import ray.data as rd
+    from westa_ocr_ray import graph
+
+    e = pd.DataFrame(list(itertools.combinations([1, 2, 3, 4], 2))
+                     + [(4, 5), (6, 7)], columns=["src", "dst"])
+    # feed reversed + duplicate rows: canonicalization must absorb both
+    rev = e.rename(columns={"src": "dst", "dst": "src"})
+    got = (graph.triangle_node_counts(
+        rd.from_pandas(pd.concat([e, rev, e], ignore_index=True)),
+        num_buckets=4)
+        .to_pandas().sort_values("node", ignore_index=True))
+    exp = pd.DataFrame({"node": [1, 2, 3, 4], "n_triangles": [3, 3, 3, 3]})
+    pd.testing.assert_frame_equal(
+        got.astype({"node": "int64", "n_triangles": "int64"}), exp)

@@ -4959,6 +4959,28 @@ def user_diversity(sf_dir: str) -> rd.Dataset:
     return u.map_batches(derive, batch_format="pandas")
 
 
+def triangle_degree(sf_dir: str) -> rd.Dataset:
+    """Per-document triangle participation over the shared-chunk
+    duplication graph (graph.triangle_node_counts): a doc in many
+    triangles sits in a mutually-duplicating CLIQUE (template/mirror
+    cluster), where plain degree can't tell a hub from a clique.
+    Completes the dup-graph triad with pagerank_dups / dup_clusters on
+    the same oracle-derivable edge list. Exact — the SQL oracle replays
+    the chunking, pairing, wedge join and closure join verbatim."""
+    from . import graph
+
+    pairs = dedup.shared_chunk_pairs(
+        rp(sf_dir, "documents", ["doc_id", "text"]),
+        size_hint_bytes=_doc_size_hint(sf_dir))
+    # bucket count sized to the derived pair graph, as pagerank_dups
+    tri = graph.triangle_node_counts(pairs.select_columns(
+        ["doc_a", "doc_b"]), "doc_a", "doc_b", num_buckets=8)
+    return tri.map_batches(
+        lambda df: df.astype({"node": "int64", "n_triangles": "int64"})
+        .rename(columns={"node": "doc_id"}),
+        batch_format="pandas")
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5245,6 +5267,7 @@ QUERIES = {
     "events_profile": events_profile,
     "events_regression": events_regression,
     "user_diversity": user_diversity,
+    "triangle_degree": triangle_degree,
 }
 
 # ------------------------------------------------------------ the window
@@ -7713,6 +7736,26 @@ ORACLE_SQL["events_regression"] = """
                 THEN FLOOR(1000000.0 * covn / sqrt(varx * vary))
                 ELSE 0 END AS BIGINT) AS corr_micro
     FROM d"""
+
+ORACLE_SQL["triangle_degree"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, md5(array_to_string(toks[10*i+1:10*i+10], ' '))
+                   AS ch
+          FROM (SELECT doc_id, toks,
+                       unnest(range(0, len(toks) // 10)) AS i
+                FROM t)),
+    d AS (SELECT DISTINCT doc_id, ch FROM c),
+    e AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.ch = b.ch AND a.doc_id < b.doc_id),
+    tri AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    n AS (SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM n GROUP BY doc_id"""
 
 ORACLE_SQL["user_diversity"] = """
     WITH c AS (
