@@ -85,3 +85,26 @@ def test_triangle_node_counts_known_graph():
     exp = pd.DataFrame({"node": [1, 2, 3, 4], "n_triangles": [3, 3, 3, 3]})
     pd.testing.assert_frame_equal(
         got.astype({"node": "int64", "n_triangles": "int64"}), exp)
+
+
+def test_rrf_fusion_prefers_doc_in_both_lists(tmp_path):
+    # doc 1 matches both probe queries and must fuse to rank 1 with
+    # contribution 2 * (1e9 // (60 + 1)); the no-term doc must fuse
+    # last. (At 4 docs every doc enters both top-100 lists, so
+    # n_lists == 2 throughout — the n_lists < 2 branch is covered by
+    # the corpus-scale oracle runs where k truncates the lists.)
+    both = "hash merge vector window batch filter scan stream"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [both,
+                 "hash merge vector window x y",
+                 "batch filter scan stream x y",
+                 "unrelated words only here"],
+        "lang": "en", "source": "s", "n_chars": 10})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = (queries.rrf_fusion(str(tmp_path)).to_pandas()
+           .sort_values("rank", ignore_index=True))
+    top = out.iloc[0]
+    assert top["doc_id"] == 1 and top["n_lists"] == 2
+    assert top["rrf_ppb"] == 2 * (1_000_000_000 // 61)
+    assert len(out) == 4 and out.iloc[-1]["doc_id"] == 4

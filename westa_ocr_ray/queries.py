@@ -4981,6 +4981,79 @@ def triangle_degree(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+#: second probe query for rank fusion — disjoint from BM25_TERMS so
+#: the two rankings genuinely disagree; shared by engine and oracle
+RRF_TERMS_B = ("batch", "filter", "scan", "stream")
+RRF_LIST_K = 100     # per-list depth entering the fusion
+RRF_C = 60           # the standard RRF smoothing constant
+RRF_OUT_K = 50
+
+
+def rrf_fusion(sf_dir: str) -> rd.Dataset:
+    """Reciprocal-rank fusion of two BM25 rankings (the standard
+    hybrid-retrieval combiner: score = Σ_lists 1/(c + rank)) — how a
+    RAG stack merges rankings from different retrievers without score
+    calibration. Exact and integer: each list contributes
+    10^9 // (c + rank) parts-per-billion, so the fused score is a sum
+    of integers (layout-independent, no float parity risk) and the SQL
+    oracle replays both BM25 rankings verbatim
+    (search.bm25_oracle_sql, the shared-constants pattern) plus the
+    same integer fusion. Distribution shape: the two rankings are
+    already top-k (≤ 2k candidate rows total), fused by one bucketed
+    partial aggregate; final ordering via the constant-group
+    grouped_topk, never a global sort. Returns
+    (doc_id, rrf_ppb, n_lists, rank), top RRF_OUT_K."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    ranked = []
+    for terms in (BM25_TERMS, RRF_TERMS_B):
+        ranked.append(search.bm25_topk(docs, terms, k=RRF_LIST_K))
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "c": 1_000_000_000
+            // (RRF_C + df["rank"].to_numpy(np.int64))})
+
+    fused = partial_aggregate(
+        ranked[0].union(ranked[1]).map_batches(contrib,
+                                               batch_format="pandas"),
+        ["doc_id"], {"rrf_ppb": ("sum", "c"), "n_lists": ("count", None)},
+        num_buckets=8)
+    top = grouped_topk(
+        fused.map_batches(lambda df: df.assign(__g=np.int32(0)),
+                          batch_format="pandas"),
+        ["__g"], ["rrf_ppb", "doc_id"], RRF_OUT_K,
+        ascending=[False, True], num_buckets=8)
+    return top.map_batches(
+        lambda df: df[["doc_id", "rrf_ppb", "n_lists", "rk"]]
+        .rename(columns={"rk": "rank"})
+        .astype({"doc_id": "int64", "rrf_ppb": "int64",
+                 "n_lists": "int64", "rank": "int64"}),
+        batch_format="pandas")
+
+
+def _rrf_fusion_oracle_sql() -> str:
+    ra = search.bm25_oracle_sql(BM25_TERMS, k=RRF_LIST_K)
+    rb = search.bm25_oracle_sql(RRF_TERMS_B, k=RRF_LIST_K)
+    return f"""
+    WITH u AS (
+      SELECT doc_id, 1000000000 // ({RRF_C} + rank) AS c
+      FROM ({ra})
+      UNION ALL
+      SELECT doc_id, 1000000000 // ({RRF_C} + rank) AS c
+      FROM ({rb})),
+    f AS (SELECT doc_id, SUM(c) AS rrf_ppb, COUNT(*) AS n_lists
+          FROM u GROUP BY doc_id),
+    r AS (SELECT doc_id, rrf_ppb, n_lists,
+                 row_number() OVER (ORDER BY rrf_ppb DESC, doc_id)
+                   AS rank
+          FROM f)
+    SELECT doc_id, CAST(rrf_ppb AS BIGINT) AS rrf_ppb,
+           CAST(n_lists AS BIGINT) AS n_lists,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {RRF_OUT_K}"""
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5268,6 +5341,7 @@ QUERIES = {
     "events_regression": events_regression,
     "user_diversity": user_diversity,
     "triangle_degree": triangle_degree,
+    "rrf_fusion": rrf_fusion,
 }
 
 # ------------------------------------------------------------ the window
@@ -7736,6 +7810,8 @@ ORACLE_SQL["events_regression"] = """
                 THEN FLOOR(1000000.0 * covn / sqrt(varx * vary))
                 ELSE 0 END AS BIGINT) AS corr_micro
     FROM d"""
+
+ORACLE_SQL["rrf_fusion"] = _rrf_fusion_oracle_sql()
 
 ORACLE_SQL["triangle_degree"] = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
