@@ -5375,16 +5375,23 @@ _WINDOW_R4 = [
     "text_index_incremental",
     # sketches / exact twins
     "heavy_hitters_exact", "hll_user_registers", "distinct_users_per_type",
-    "cms_token_counts", "median_value_by_type",
+    "cms_token_counts",
     # text analysis / LM
     "text_fingerprint", "zscore_by_lang", "lm_heldout_score", "bpe_encode",
     "token_count_bpe",
     # packing / shards / mixture
     "pack_greedy", "mixture_sample", "curriculum_rank",
-    "train_val_split", "shard_stats", "stratified_sample_by_lang",
+    "train_val_split", "shard_stats",
     # relational / streaming / embedding
-    "asof_last_order_before_event", "range_join_balance_band",
-    "events_sessionize", "events_late_flags", "embedding_moments",
+    "range_join_balance_band",
+    "events_late_flags", "embedding_moments",
+    # round-4 continuation ops (newest stay pinned; the four slots came
+    # from veterans with TWO prior driver-green rounds each:
+    # median_value_by_type / stratified_sample_by_lang /
+    # asof_last_order_before_event / events_sessionize, all still
+    # locally oracle-verified every round via check_queries)
+    "events_regression", "user_diversity", "triangle_degree",
+    "rrf_fusion",
 ]
 assert len(_WINDOW_R4) == 50 and len(set(_WINDOW_R4)) == 50
 QUERIES = {**{n: QUERIES[n] for n in _WINDOW_R4},
