@@ -108,3 +108,28 @@ def test_rrf_fusion_prefers_doc_in_both_lists(tmp_path):
     assert top["doc_id"] == 1 and top["n_lists"] == 2
     assert top["rrf_ppb"] == 2 * (1_000_000_000 // 61)
     assert len(out) == 4 and out.iloc[-1]["doc_id"] == 4
+
+
+def test_lang_source_chi2_independent_table_is_zero(tmp_path):
+    # counts exactly proportional across (lang, source) → every cell's
+    # chi2 contribution is 0; a planted dependent corpus is positive
+    rows = []
+    did = 0
+    for lang, mult in (("en", 1), ("de", 2)):
+        for source, c in (("a", 10), ("b", 20)):
+            for _ in range(c * mult):
+                rows.append((did, "t", lang, source, 1))
+                did += 1
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                       "source", "n_chars"])
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = queries.lang_source_chi2(str(tmp_path)).to_pandas()
+    assert len(out) == 4 and (out["cell_chi2_micro"] == 0).all()
+    assert out["o"].sum() == 90
+
+    skew = docs.copy()
+    skew.loc[(skew["lang"] == "de") & (skew["source"] == "b"),
+             "source"] = "a"
+    skew.to_parquet(tmp_path / "documents.parquet", index=False)
+    out2 = queries.lang_source_chi2(str(tmp_path)).to_pandas()
+    assert (out2["cell_chi2_micro"] > 0).any()

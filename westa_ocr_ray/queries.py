@@ -5054,6 +5054,40 @@ def _rrf_fusion_oracle_sql() -> str:
     FROM r WHERE rank <= {RRF_OUT_K}"""
 
 
+def lang_source_chi2(sf_dir: str) -> rd.Dataset:
+    """Chi-square independence screen over the (lang, source)
+    contingency table — the distribution-drift check a curation
+    pipeline runs to catch a source whose language mix shifted
+    ("is lang ⊥ source still?"). ONE bucketed partial-aggregate pass
+    builds the exact integer cell counts (the only corpus-sized work);
+    the contingency table itself is bounded by |langs| × |sources|, so
+    marginals and the per-cell statistic derive on the driver like
+    embedding_moments' factor table. Per-cell contributions are
+    quantized independently (floor micro) and the grand total is their
+    INTEGER sum — order-independent, no float-accumulation parity risk
+    with the SQL oracle, which mirrors the (o-e)²/e expression tree
+    term for term. Returns one row per observed cell:
+    (lang, source, o, r_tot, c_tot, cell_chi2_micro)."""
+    cells = partial_aggregate(
+        rp(sf_dir, "documents", ["lang", "source"]),
+        ["lang", "source"], {"o": ("count", None)}).to_pandas()
+
+    n = float(cells["o"].sum())
+    r = cells.groupby("lang")["o"].transform("sum")
+    c = cells.groupby("source")["o"].transform("sum")
+    od = cells["o"].astype(np.float64)
+    e = r.astype(np.float64) * c.astype(np.float64) / n
+    dev = od - e
+    out = pd.DataFrame({
+        "lang": cells["lang"], "source": cells["source"],
+        "o": cells["o"].astype(np.int64),
+        "r_tot": r.astype(np.int64), "c_tot": c.astype(np.int64),
+        "cell_chi2_micro": np.floor(
+            1000000.0 * ((dev * dev) / e)).astype(np.int64)})
+    return rd.from_pandas(out.sort_values(["lang", "source"],
+                                          ignore_index=True))
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5342,6 +5376,7 @@ QUERIES = {
     "user_diversity": user_diversity,
     "triangle_degree": triangle_degree,
     "rrf_fusion": rrf_fusion,
+    "lang_source_chi2": lang_source_chi2,
 }
 
 # ------------------------------------------------------------ the window
@@ -7819,6 +7854,32 @@ ORACLE_SQL["events_regression"] = """
     FROM d"""
 
 ORACLE_SQL["rrf_fusion"] = _rrf_fusion_oracle_sql()
+
+# expression tree mirrors lang_source_chi2: e = (r*c)/n then
+# floor(1e6 * ((dev*dev)/e)), association order identical
+ORACLE_SQL["lang_source_chi2"] = """
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source),
+    m AS (
+      SELECT lang, source, o,
+             SUM(o) OVER (PARTITION BY lang) AS r_tot,
+             SUM(o) OVER (PARTITION BY source) AS c_tot,
+             SUM(o) OVER () AS n
+      FROM cells),
+    d AS (
+      SELECT lang, source, o, r_tot, c_tot,
+             CAST(o AS DOUBLE)
+               - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS dev,
+             CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)
+               / CAST(n AS DOUBLE) AS e
+      FROM m)
+    SELECT lang, source, o, CAST(r_tot AS BIGINT) AS r_tot,
+           CAST(c_tot AS BIGINT) AS c_tot,
+           CAST(FLOOR(1000000.0 * ((dev * dev) / e)) AS BIGINT)
+             AS cell_chi2_micro
+    FROM d"""
 
 ORACLE_SQL["triangle_degree"] = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
