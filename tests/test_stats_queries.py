@@ -133,3 +133,24 @@ def test_lang_source_chi2_independent_table_is_zero(tmp_path):
     skew.to_parquet(tmp_path / "documents.parquet", index=False)
     out2 = queries.lang_source_chi2(str(tmp_path)).to_pandas()
     assert (out2["cell_chi2_micro"] > 0).any()
+
+
+def test_kcore_peel_chain_vs_clique():
+    # a 6-node path has NO 2-core (peels from both ends to nothing);
+    # K4 survives with in-core degree 3; a triangle dangling off a
+    # pendant keeps exactly its 3 members at degree 2
+    import ray.data as rd
+    from westa_ocr_ray import graph
+
+    path = [(i, i + 1) for i in range(1, 6)]
+    k4 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13)
+          if a < b]
+    tri_pendant = [(20, 21), (21, 22), (20, 22), (22, 23)]
+    e = pd.DataFrame(path + k4 + tri_pendant, columns=["src", "dst"])
+    got = (graph.kcore_peel(rd.from_pandas(e), k=2, n_rounds=4,
+                            num_buckets=4)
+           .to_pandas().sort_values("node", ignore_index=True))
+    exp = pd.DataFrame({"node": [10, 11, 12, 13, 20, 21, 22],
+                        "deg": [3, 3, 3, 3, 2, 2, 2]})
+    pd.testing.assert_frame_equal(
+        got.astype({"node": "int64", "deg": "int64"}), exp)

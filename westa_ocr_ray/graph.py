@@ -80,6 +80,67 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 3,
     return ranks
 
 
+def kcore_peel(edges: rd.Dataset, k: int = 2, n_rounds: int = 4,
+               src_col: str = "src", dst_col: str = "dst",
+               num_buckets: Optional[int] = None) -> rd.Dataset:
+    """k-core peel over an undirected canonical edge list: each round
+    recomputes degrees and drops every edge touching a node with
+    degree < k — after enough rounds the survivors are exactly the
+    k-core (the "mutually supported" dup subgraph that separates a
+    dense mirror farm from chains of incidental overlaps).
+
+    A FIXED round count keeps the result replayable: the SQL oracle
+    (queries.ORACLE_SQL['kcore_dups'], generated from the same k and
+    n_rounds) re-runs each round verbatim, so correctness does not
+    depend on detecting a fixpoint. Callers needing certainty of
+    convergence compare round R-1 and R survivor counts — each round's
+    degree table is sketch-sized (one (node, deg) row per live node)
+    and the check is one count. Everything distributed: degrees via the
+    bucketed partial aggregate, the peel via two partitioned joins of
+    the degree table onto the edge list per round; nothing
+    corpus-sized reaches the driver. Returns (node, deg) for nodes
+    alive after n_rounds, with deg measured on the surviving edges."""
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].to_numpy()
+        b = df[dst_col].to_numpy()
+        return pd.DataFrame({"a": np.minimum(a, b),
+                             "b": np.maximum(a, b)}).drop_duplicates()
+
+    e = partial_aggregate(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["a", "b"], {"_c": ("count", None)},
+        num_buckets=num_buckets).drop_columns(["_c"]).materialize()
+
+    def degrees(ed: rd.Dataset) -> rd.Dataset:
+        sym = ed.map_batches(
+            lambda df: pd.DataFrame({"node": np.concatenate(
+                [df["a"].to_numpy(), df["b"].to_numpy()])}),
+            batch_format="pandas")
+        return partial_aggregate(sym, ["node"], {"deg": ("count", None)},
+                                 num_buckets=num_buckets)
+
+    for _ in range(n_rounds):
+        # join degrees onto both endpoints; an edge survives iff both
+        # ends currently have degree >= k (checkpointed per round: the
+        # degree table feeds two joins and lazy re-execution would
+        # replay all prior rounds)
+        deg = degrees(e).materialize()
+        ja = hash_join(e, deg, "a", "node", left_cols=["a", "b"],
+                       right_cols=["node", "deg"],
+                       num_buckets=num_buckets)
+        ja = ja.map_batches(
+            lambda df: df[df["deg"] >= k][["a", "b"]],
+            batch_format="pandas")
+        jb = hash_join(ja, deg, "b", "node", left_cols=["a", "b"],
+                       right_cols=["node", "deg"],
+                       num_buckets=num_buckets)
+        e = jb.map_batches(
+            lambda df: df[df["deg"] >= k][["a", "b"]],
+            batch_format="pandas").materialize()
+    return degrees(e)
+
+
 def triangle_node_counts(edges: rd.Dataset, src_col: str = "src",
                          dst_col: str = "dst",
                          num_buckets: Optional[int] = None) -> rd.Dataset:

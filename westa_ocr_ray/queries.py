@@ -5088,6 +5088,64 @@ def lang_source_chi2(sf_dir: str) -> rd.Dataset:
                                           ignore_index=True))
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def kcore_dups(sf_dir: str) -> rd.Dataset:
+    """k-core of the shared-chunk duplication graph
+    (graph.kcore_peel): surviving nodes after KCORE_ROUNDS peel rounds
+    with their in-core degree — the dense-mirror-farm detector that
+    degree alone can't provide (a chain of incidental overlaps has
+    degree 2 everywhere but no 2-core). Oracle generated from the SAME
+    k / round constants, replaying every peel round verbatim."""
+    from . import graph
+
+    pairs = dedup.shared_chunk_pairs(
+        rp(sf_dir, "documents", ["doc_id", "text"]),
+        size_hint_bytes=_doc_size_hint(sf_dir))
+    core = graph.kcore_peel(pairs.select_columns(["doc_a", "doc_b"]),
+                            k=KCORE_K, n_rounds=KCORE_ROUNDS,
+                            src_col="doc_a", dst_col="doc_b",
+                            num_buckets=8)
+    return core.map_batches(
+        lambda df: df.astype({"node": "int64", "deg": "int64"})
+        .rename(columns={"node": "doc_id"}),
+        batch_format="pandas")
+
+
+def _kcore_oracle_sql(k: int = KCORE_K,
+                      n_rounds: int = KCORE_ROUNDS) -> str:
+    parts = ["""t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents)""",
+             """c AS (SELECT doc_id,
+                   md5(array_to_string(toks[10*i+1:10*i+10], ' ')) AS ch
+              FROM (SELECT doc_id, toks,
+                           unnest(range(0, len(toks) // 10)) AS i
+                    FROM t))""",
+             "d AS (SELECT DISTINCT doc_id, ch FROM c)",
+             """e0 AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+               FROM d a JOIN d b
+                 ON a.ch = b.ch AND a.doc_id < b.doc_id)"""]
+    for r in range(n_rounds):
+        parts.append(
+            f"""d{r} AS (SELECT node, COUNT(*) AS deg
+               FROM (SELECT a AS node FROM e{r}
+                     UNION ALL SELECT b FROM e{r})
+               GROUP BY node)""")
+        parts.append(
+            f"""e{r + 1} AS (SELECT e.a, e.b FROM e{r} e
+               JOIN d{r} da ON da.node = e.a
+               JOIN d{r} db ON db.node = e.b
+               WHERE da.deg >= {k} AND db.deg >= {k})""")
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT a AS node FROM e{n_rounds}
+          UNION ALL SELECT b FROM e{n_rounds})
+    GROUP BY node"""
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5377,6 +5435,7 @@ QUERIES = {
     "triangle_degree": triangle_degree,
     "rrf_fusion": rrf_fusion,
     "lang_source_chi2": lang_source_chi2,
+    "kcore_dups": kcore_dups,
 }
 
 # ------------------------------------------------------------ the window
@@ -7854,6 +7913,7 @@ ORACLE_SQL["events_regression"] = """
     FROM d"""
 
 ORACLE_SQL["rrf_fusion"] = _rrf_fusion_oracle_sql()
+ORACLE_SQL["kcore_dups"] = _kcore_oracle_sql()
 
 # expression tree mirrors lang_source_chi2: e = (r*c)/n then
 # floor(1e6 * ((dev*dev)/e)), association order identical
