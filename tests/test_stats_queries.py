@@ -154,3 +154,21 @@ def test_kcore_peel_chain_vs_clique():
                         "deg": [3, 3, 3, 3, 2, 2, 2]})
     pd.testing.assert_frame_equal(
         got.astype({"node": "int64", "deg": "int64"}), exp)
+
+
+def test_lexical_stats_by_source_known_counts(tmp_path):
+    # source s1: tokens [a a b c] → 4 tokens, 3 types, 2 hapax (b, c);
+    # source s2: [x x x] → 3 tokens, 1 type, 0 hapax
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a b", "c", "x x x"],
+        "lang": "en", "source": ["s1", "s1", "s2"], "n_chars": 5})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = (queries.lexical_stats_by_source(str(tmp_path)).to_pandas()
+           .set_index("source").sort_index())
+    assert tuple(out.loc["s1", ["n_tokens", "n_types", "n_hapax"]]) \
+        == (4, 3, 2)
+    assert out.loc["s1", "ttr_ppm"] == (1_000_000 * 3) // 4
+    assert out.loc["s1", "hapax_ppm"] == (1_000_000 * 2) // 3
+    assert tuple(out.loc["s2", ["n_tokens", "n_types", "n_hapax"]]) \
+        == (3, 1, 0)
