@@ -172,3 +172,19 @@ def test_lexical_stats_by_source_known_counts(tmp_path):
     assert out.loc["s1", "hapax_ppm"] == (1_000_000 * 2) // 3
     assert tuple(out.loc["s2", ["n_tokens", "n_types", "n_hapax"]]) \
         == (3, 1, 0)
+
+
+def test_source_overlap_jaccard_known_vocab(tmp_path):
+    # s1 vocab {a,b,c}, s2 vocab {b,c,d}: inter 2, union 4 → 500000 ppm;
+    # s3 shares nothing → pairs with s3 have inter 0 and must be absent
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c a", "b c d", "z z q"],
+        "lang": "en", "source": ["s1", "s2", "s3"], "n_chars": 5})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = queries.source_overlap_jaccard(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["source_a"], row["source_b"]) == ("s1", "s2")
+    assert (row["inter"], row["n_a"], row["n_b"]) == (2, 3, 3)
+    assert row["jaccard_ppm"] == 500_000

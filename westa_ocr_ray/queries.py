@@ -5196,6 +5196,62 @@ def lexical_stats_by_source(sf_dir: str) -> rd.Dataset:
     return per_source.map_batches(derive, batch_format="pandas")
 
 
+def source_overlap_jaccard(sf_dir: str) -> rd.Dataset:
+    """Pairwise vocabulary Jaccard between sources — the cross-source
+    contamination screen ("are these two crawls the same site?") run
+    before mixing sources into a training blend. Distribution shape:
+    the corpus-sized work is ONE tokenize pass into distinct
+    (source, token) rows (bucketed combiner); per-token source pairs
+    expand through the coarse-bucketed pair path (≤ |sources| per
+    token, so no cap ever truncates), fold to one row per source pair,
+    and the |sources|-row vocabulary-size table broadcasts into the
+    final vectorized map. Ratios are floor divisions — all-integer,
+    bit-exact vs the oracle. Returns
+    (source_a, source_b, inter, n_a, n_b, jaccard_ppm)."""
+    import ray as _ray
+
+    docs = rp(sf_dir, "documents", ["source", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].str.split(" ")
+        lens = s.map(len).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "source": np.repeat(df["source"].to_numpy(), lens),
+            "token": np.concatenate(s.to_numpy()) if len(df)
+            else np.array([], dtype=object)})
+
+    st = partial_aggregate(
+        docs.map_batches(toks, batch_format="pandas"),
+        ["source", "token"], {"_c": ("count", None)},
+        size_hint_bytes=_doc_size_hint(sf_dir)) \
+        .drop_columns(["_c"]).materialize()  # feeds sizes AND pairs
+
+    sizes = partial_aggregate(
+        st, ["source"], {"n": ("count", None)}).to_pandas()
+    size_ref = _ray.put(dict(zip(sizes["source"], sizes["n"])))
+
+    pairs = dedup._within_bucket_pairs(
+        st, ["token"], "source", size_hint_bytes=_doc_size_hint(sf_dir))
+    inter = partial_aggregate(pairs, ["doc_a", "doc_b"],
+                              {"inter": ("count", None)}, num_buckets=8)
+
+    class Derive:
+        def __init__(self) -> None:
+            self.sz = _ray.get(size_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            na = df["doc_a"].map(self.sz).astype(np.int64)
+            nb = df["doc_b"].map(self.sz).astype(np.int64)
+            it = df["inter"].astype(np.int64)
+            return pd.DataFrame({
+                "source_a": df["doc_a"], "source_b": df["doc_b"],
+                "inter": it, "n_a": na, "n_b": nb,
+                "jaccard_ppm": (1_000_000 * it) // (na + nb - it)})
+
+    return inter.map_batches(Derive, batch_format="pandas",
+                             concurrency=(1, 2))
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5487,6 +5543,7 @@ QUERIES = {
     "lang_source_chi2": lang_source_chi2,
     "kcore_dups": kcore_dups,
     "lexical_stats_by_source": lexical_stats_by_source,
+    "source_overlap_jaccard": source_overlap_jaccard,
 }
 
 # ------------------------------------------------------------ the window
@@ -7965,6 +8022,26 @@ ORACLE_SQL["events_regression"] = """
 
 ORACLE_SQL["rrf_fusion"] = _rrf_fusion_oracle_sql()
 ORACLE_SQL["kcore_dups"] = _kcore_oracle_sql()
+
+ORACLE_SQL["source_overlap_jaccard"] = """
+    WITH tok AS (
+      SELECT DISTINCT source, token
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents)),
+    sz AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+    i AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, inter,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST((1000000 * inter) // (sa.n + sb.n - inter) AS BIGINT)
+             AS jaccard_ppm
+    FROM i
+    JOIN sz sa ON sa.source = i.source_a
+    JOIN sz sb ON sb.source = i.source_b"""
 
 ORACLE_SQL["lexical_stats_by_source"] = """
     WITH tok AS (
