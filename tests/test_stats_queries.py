@@ -188,3 +188,29 @@ def test_source_overlap_jaccard_known_vocab(tmp_path):
     assert (row["source_a"], row["source_b"]) == ("s1", "s2")
     assert (row["inter"], row["n_a"], row["n_b"]) == (2, 3, 3)
     assert row["jaccard_ppm"] == 500_000
+
+
+def test_kmeans_lloyd_int_recovers_planted_clusters(tmp_path):
+    # two tight, far-apart clusters with one seed landing in each
+    # (seeds = lowest ids): every point must assign to its cluster
+    import ray.data as rd
+    from westa_ocr_ray import similarity
+
+    a = [0.4, 0.4, 0.4, 0.0]
+    b = [-0.4, -0.4, -0.4, 0.0]
+    jit = [0.0, 0.001, -0.001, 0.002]
+
+    def near(c, j):
+        return [x + j for x in c]
+
+    emb = pd.DataFrame({
+        "vec_id": [1, 2, 3, 4, 5, 6],
+        "embedding": [near(a, jit[0]), near(b, jit[0]),
+                      near(a, jit[1]), near(b, jit[1]),
+                      near(a, jit[2]), near(b, jit[3])]})
+    out = (similarity.kmeans_lloyd_int(rd.from_pandas(emb), k=2,
+                                       n_rounds=2)
+           .to_pandas().sort_values("vec_id", ignore_index=True))
+    # seed 0 = vec 1 (cluster a side), seed 1 = vec 2 (b side)
+    assert list(out["cluster"]) == [0, 1, 0, 1, 0, 1]
+    assert (out["dist2"] >= 0).all()

@@ -5252,6 +5252,75 @@ def source_overlap_jaccard(sf_dir: str) -> rd.Dataset:
                              concurrency=(1, 2))
 
 
+KMEANS_K = 8
+KMEANS_ROUNDS = 2
+
+
+def kmeans_embeddings(sf_dir: str) -> rd.Dataset:
+    """Lloyd's k-means over the embedding table
+    (similarity.kmeans_lloyd_int) — the clustering primitive under
+    SemDeDup / IVF partitioning, here as a first-class verified op:
+    all-integer quantized geometry, deterministic lowest-id seeds,
+    ties to the lowest centroid, floor-of-mean updates — so the
+    generated SQL oracle replays every assignment and update round
+    exactly. Returns (vec_id, cluster, dist2) after KMEANS_ROUNDS
+    assignment rounds."""
+    out = similarity.kmeans_lloyd_int(
+        rp(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=KMEANS_K, n_rounds=KMEANS_ROUNDS)
+    return out.map_batches(
+        lambda df: df.astype({"vec_id": "int64", "cluster": "int64",
+                              "dist2": "int64"}),
+        batch_format="pandas")
+
+
+def _kmeans_oracle_sql(k: int = KMEANS_K,
+                       n_rounds: int = KMEANS_ROUNDS) -> str:
+    parts = ["""e AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings))""",
+             f"""seeds AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS c
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            ORDER BY vec_id LIMIT {k}))""",
+             """c0 AS (SELECT s.c, e.i, e.q AS v
+               FROM e JOIN seeds s USING (vec_id))"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""d{r} AS (
+      SELECT e.vec_id, c{r - 1}.c,
+             SUM((e.q - c{r - 1}.v) * (e.q - c{r - 1}.v)) AS dist2
+      FROM e JOIN c{r - 1} ON e.i = c{r - 1}.i
+      GROUP BY e.vec_id, c{r - 1}.c)""")
+        parts.append(
+            f"""a{r} AS (
+      SELECT vec_id, c, dist2
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist2, c) AS rn
+            FROM d{r})
+      WHERE rn = 1)""")
+        if r < n_rounds:
+            # floor-of-mean update: FLOOR over DOUBLE on both sides
+            # (DuckDB's // truncates toward zero on negatives)
+            parts.append(
+                f"""c{r} AS (
+      SELECT a{r}.c, e.i,
+             CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS v
+      FROM e JOIN a{r} USING (vec_id)
+      GROUP BY a{r}.c, e.i)""")
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT vec_id, CAST(c AS BIGINT) AS cluster,
+           CAST(dist2 AS BIGINT) AS dist2
+    FROM a{n_rounds}"""
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5544,6 +5613,7 @@ QUERIES = {
     "kcore_dups": kcore_dups,
     "lexical_stats_by_source": lexical_stats_by_source,
     "source_overlap_jaccard": source_overlap_jaccard,
+    "kmeans_embeddings": kmeans_embeddings,
 }
 
 # ------------------------------------------------------------ the window
@@ -8022,6 +8092,7 @@ ORACLE_SQL["events_regression"] = """
 
 ORACLE_SQL["rrf_fusion"] = _rrf_fusion_oracle_sql()
 ORACLE_SQL["kcore_dups"] = _kcore_oracle_sql()
+ORACLE_SQL["kmeans_embeddings"] = _kmeans_oracle_sql()
 
 ORACLE_SQL["source_overlap_jaccard"] = """
     WITH tok AS (

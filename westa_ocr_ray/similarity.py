@@ -574,3 +574,98 @@ def embedding_moments(emb: rd.Dataset, id_col: str = "vec_id",
             lambda df: df.astype({"i": "int32", "j": "int32",
                                   "v": "int64"}),
             batch_format="pandas")
+
+
+def kmeans_lloyd_int(emb: rd.Dataset, k: int = 8, n_rounds: int = 2,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     scale: int = 1000) -> rd.Dataset:
+    """Lloyd's k-means over the embedding column, ALL-INTEGER so a SQL
+    oracle can replay every round bit-for-bit
+    (queries.ORACLE_SQL['kmeans_embeddings']): vectors quantize to
+    integer millis (the embedding_moments away-from-zero convention),
+    squared distances are exact int64, ties break to the lowest
+    centroid id, and the centroid update is floor(Σq / n) — written as
+    FLOOR over a double on BOTH sides because DuckDB's // truncates
+    toward zero on negatives while numpy floors.
+
+    Distribution shape per round: centroids broadcast once (ray.put,
+    k×d ints); ONE fused map assigns every vector and emits per-batch
+    (cluster, dim) partial sums, folded by the bucketed combiner into
+    a k×d table — the classic "k-means is a sum of assignments"
+    factorization, so the exchange is k×d×blocks rows regardless of
+    corpus size. Empty clusters die exactly as the SQL GROUP BY drops
+    them. Returns the final (id, cluster, dist2) assignment."""
+    import ray as _ray
+
+    from .relops import grouped_topk, partial_aggregate
+
+    def quant(df: pd.DataFrame) -> np.ndarray:
+        P = _stack(df[vec_col]).astype(np.float64) * float(scale)
+        return (np.sign(P) * np.floor(np.abs(P) + 0.5)).astype(np.int64)
+
+    # deterministic seeds: the k lowest ids (SQL: ORDER BY id LIMIT k)
+    seed_ids = (grouped_topk(
+        emb.map_batches(
+            lambda df: pd.DataFrame({id_col: df[id_col].to_numpy(),
+                                     "__g": np.zeros(len(df),
+                                                     dtype=np.int32)}),
+            batch_format="pandas"),
+        ["__g"], [id_col], k, ascending=True, num_buckets=8)
+        .to_pandas()[id_col].sort_values().to_numpy())
+    seed_rows = emb.map_batches(
+        lambda df: df[df[id_col].isin(seed_ids)],
+        batch_format="pandas").to_pandas().sort_values(id_col)
+    C = quant(seed_rows)            # row r = centroid id r
+    live = np.arange(len(C))        # original centroid ids, in order
+
+    def dist2_matrix(Q: np.ndarray, C_: np.ndarray) -> np.ndarray:
+        return ((Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C_.T)
+                + (C_ * C_).sum(axis=1)[None, :])
+
+    for _ in range(n_rounds - 1):
+        ref = _ray.put((C, live))
+
+        class Partial:
+            def __init__(self) -> None:
+                self.C, self.live = _ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                Q = quant(df)
+                a = np.argmin(dist2_matrix(Q, self.C), axis=1)
+                kk, d = self.C.shape
+                s = np.zeros((kk, d), dtype=np.int64)
+                np.add.at(s, a, Q)
+                n = np.bincount(a, minlength=kk).astype(np.int64)
+                ci, di = np.nonzero(np.ones_like(s))
+                return pd.DataFrame({
+                    "c": self.live[ci], "i": di,
+                    "s": s[ci, di], "n": n[ci]})
+
+        agg = (partial_aggregate(
+            emb.map_batches(Partial, batch_format="pandas",
+                            concurrency=(1, 4)),
+            ["c", "i"], {"s": ("sum", "s"), "n": ("sum", "n")})
+            .to_pandas())
+        agg = agg[agg["n"] > 0].sort_values(["c", "i"])
+        live = agg["c"].unique()            # empty clusters die
+        C = np.floor(agg["s"].to_numpy(np.float64)
+                     / agg["n"].to_numpy(np.float64)) \
+            .astype(np.int64).reshape(len(live), -1)
+
+    ref = _ray.put((C, live))
+
+    class Assign:
+        def __init__(self) -> None:
+            self.C, self.live = _ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            Q = quant(df)
+            D = dist2_matrix(Q, self.C)
+            a = np.argmin(D, axis=1)
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                "cluster": self.live[a].astype(np.int64),
+                "dist2": D[np.arange(len(Q)), a].astype(np.int64)})
+
+    return emb.map_batches(Assign, batch_format="pandas",
+                           concurrency=(1, 4))
