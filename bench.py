@@ -57,7 +57,11 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # one decode-pool checksum in the bench (the resize
                  # twin has the same shape and ~the same cost; keeping
                  # both doubled the bench wall for no extra signal)
-                 "mm_featurize_checksum"]
+                 "mm_featurize_checksum",
+                 # round-4 second-continuation additions
+                 "events_regression", "user_diversity", "triangle_degree",
+                 "rrf_fusion", "lexical_stats_by_source",
+                 "kmeans_embeddings"]
 
 
 def _warm_workers(ncpu: int) -> None:
