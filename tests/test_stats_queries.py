@@ -214,3 +214,21 @@ def test_kmeans_lloyd_int_recovers_planted_clusters(tmp_path):
     # seed 0 = vec 1 (cluster a side), seed 1 = vec 2 (b side)
     assert list(out["cluster"]) == [0, 1, 0, 1, 0, 1]
     assert (out["dist2"] >= 0).all()
+
+
+def test_length_gini_known_values(tmp_path):
+    # equal lengths → gini 0; [1,1,1,1,16] → gini = sum(2i-n-1)x/(n*s)
+    # = (-4*1 -2*1 +0*1 +2*1 +4*16)/(5*20) = 60/100 → 600000 ppm
+    docs = pd.DataFrame({
+        "doc_id": range(10),
+        "text": (["t " * 3 + "t"] * 5                 # en: five 4-token docs
+                 + ["x", "x", "x", "x",               # de: four 1-token docs
+                    "x " * 15 + "x"]),                # and one 16-token doc
+        "lang": ["en"] * 5 + ["de"] * 5,
+        "source": "s", "n_chars": 5})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = (queries.length_gini_by_lang(str(tmp_path)).to_pandas()
+           .set_index("lang"))
+    assert out.loc["en", "gini_ppm"] == 0
+    assert (out.loc["de", "n_docs"], out.loc["de", "sum_len"]) == (5, 20)
+    assert out.loc["de", "gini_ppm"] == 600_000

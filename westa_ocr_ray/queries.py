@@ -5321,6 +5321,54 @@ def _kmeans_oracle_sql(k: int = KMEANS_K,
     FROM a{n_rounds}"""
 
 
+def length_gini_by_lang(sf_dir: str) -> rd.Dataset:
+    """Per-language Gini concentration of document token counts — the
+    inequality screen that flags a language whose corpus is a few huge
+    documents plus boilerplate stubs (bad mixture fodder) even when the
+    mean looks fine. EXACT and all-integer without any per-row
+    ranking: Gini = Σ(2i-n-1)·x₍ᵢ₎ / (n·Σx) is tie-invariant, so it
+    derives entirely from the (lang, length, count) table — for a tied
+    value with count c and F predecessors, Σ(2i-n-1) over its rank
+    block is 2(cF + c(c+1)/2) - c(n+1), a pure integer. Distribution
+    shape: ONE bucketed pass builds the counts table (bounded by
+    |langs| × length domain, the exact_median histogram argument);
+    the per-lang fold runs in map_groups over that sketch-sized table.
+    Ratio is a floor division of non-negative integers (safe for
+    DuckDB //). Returns (lang, n_docs, sum_len, gini_ppm)."""
+    docs = rp(sf_dir, "documents", ["lang", "text"])
+
+    def lens(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"].to_numpy(),
+            "v": df["text"].str.split(" ").map(len)
+            .to_numpy(dtype=np.int64)})
+
+    counts = partial_aggregate(
+        docs.map_batches(lens, batch_format="pandas"),
+        ["lang", "v"], {"c": ("count", None)})
+
+    def gini(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("v", ignore_index=True)
+        v = df["v"].to_numpy(dtype=object)   # python ints: no overflow
+        c = df["c"].to_numpy(dtype=object)
+        n = int(sum(c))
+        s = int(sum(cv * vv for cv, vv in zip(c, v)))
+        f, num = 0, 0
+        for cv, vv in zip(c, v):
+            cv, vv = int(cv), int(vv)
+            num += vv * (2 * (cv * f + cv * (cv + 1) // 2)
+                         - cv * (n + 1))
+            f += cv
+        return pd.DataFrame({
+            "lang": [df["lang"].iloc[0]],
+            "n_docs": np.array([n], dtype=np.int64),
+            "sum_len": np.array([s], dtype=np.int64),
+            "gini_ppm": np.array([(1_000_000 * num) // (n * s)],
+                                 dtype=np.int64)})
+
+    return counts.groupby("lang").map_groups(gini, batch_format="pandas")
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5614,6 +5662,7 @@ QUERIES = {
     "lexical_stats_by_source": lexical_stats_by_source,
     "source_overlap_jaccard": source_overlap_jaccard,
     "kmeans_embeddings": kmeans_embeddings,
+    "length_gini_by_lang": length_gini_by_lang,
 }
 
 # ------------------------------------------------------------ the window
@@ -8093,6 +8142,34 @@ ORACLE_SQL["events_regression"] = """
 ORACLE_SQL["rrf_fusion"] = _rrf_fusion_oracle_sql()
 ORACLE_SQL["kcore_dups"] = _kcore_oracle_sql()
 ORACLE_SQL["kmeans_embeddings"] = _kmeans_oracle_sql()
+
+# num is non-negative (ascending-sorted formulation), so the final //
+# agrees between DuckDB (truncating) and python (floor); the per-term
+# c*(c+1)//2 is an exact division
+ORACLE_SQL["length_gini_by_lang"] = """
+    WITH lens AS (
+      SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      FROM documents),
+    cnt AS (SELECT lang, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lens GROUP BY lang, v),
+    w AS (
+      SELECT lang, v, c,
+             COALESCE(SUM(c) OVER (
+               PARTITION BY lang ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS f,
+             SUM(c) OVER (PARTITION BY lang) AS n,
+             SUM(c * v) OVER (PARTITION BY lang) AS s
+      FROM cnt),
+    g AS (
+      SELECT lang, MAX(n) AS n, MAX(s) AS s,
+             SUM(v * (2 * (c * f + c * (c + 1) // 2) - c * (n + 1)))
+               AS num
+      FROM w GROUP BY lang)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           CAST(s AS BIGINT) AS sum_len,
+           CAST((1000000 * num) // (n * s) AS BIGINT) AS gini_ppm
+    FROM g"""
 
 ORACLE_SQL["source_overlap_jaccard"] = """
     WITH tok AS (
