@@ -232,3 +232,20 @@ def test_length_gini_known_values(tmp_path):
     assert out.loc["en", "gini_ppm"] == 0
     assert (out.loc["de", "n_docs"], out.loc["de", "sum_len"]) == (5, 20)
     assert out.loc["de", "gini_ppm"] == 600_000
+
+
+def test_event_transitions_known_chain(tmp_path):
+    # user 1: a->b->a->b ; user 2: b->b ; matrix: a->b:2, b->a:1, b->b:1
+    df = pd.DataFrame({
+        "event_id": range(6), "user_id": [1, 1, 1, 1, 2, 2],
+        "event_type": ["a", "b", "a", "b", "b", "b"],
+        "ts_us": [1, 2, 3, 4, 1, 2], "value": 1.0, "props": ""})
+    df["ts_us"] = df["ts_us"] * 1_000_000
+    sf = _write_events(tmp_path, df)
+    out = (queries.event_transitions(sf).to_pandas()
+           .set_index(["prev_type", "event_type"]))
+    assert out.loc[("a", "b"), "n"] == 2
+    assert out.loc[("b", "a"), "n"] == 1
+    assert out.loc[("b", "b"), "n"] == 1
+    assert out.loc[("a", "b"), "p_ppm"] == 1_000_000
+    assert out.loc[("b", "a"), "p_ppm"] == 500_000

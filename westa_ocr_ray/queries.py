@@ -5369,6 +5369,43 @@ def length_gini_by_lang(sf_dir: str) -> rd.Dataset:
     return counts.groupby("lang").map_groups(gini, batch_format="pandas")
 
 
+def event_transitions(sf_dir: str) -> rd.Dataset:
+    """First-order Markov transition matrix of event types: counts of
+    (prev_type, event_type) over each user's event-time-ordered log,
+    plus the exact floor-division transition probability in ppm — the
+    behavioral-sequence statistic (what follows what) that sessionized
+    funnels don't capture. Shape: the per-user lag runs in the
+    user-bucketed ordered-log pattern (_bucketed_by_user, no global
+    sort); pair rows fold through the bucketed combiner into the
+    ≤ |types|² matrix, and row totals derive inside the final
+    sketch-sized fold. Oracle: window LAG + the same integer ratio.
+    Returns (prev_type, event_type, n, row_total, p_ppm)."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts",
+                               "event_type"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        prev = df.groupby("user_id")["event_type"].shift()
+        keep = prev.notna()
+        return pd.DataFrame({
+            "prev_type": prev[keep].to_numpy(),
+            "event_type": df["event_type"][keep].to_numpy()})
+
+    counts = partial_aggregate(
+        _bucketed_by_user(ev, pairs), ["prev_type", "event_type"],
+        {"n": ("count", None)}, num_buckets=8).to_pandas()
+
+    tot = counts.groupby("prev_type")["n"].transform("sum")
+    out = pd.DataFrame({
+        "prev_type": counts["prev_type"],
+        "event_type": counts["event_type"],
+        "n": counts["n"].astype(np.int64),
+        "row_total": tot.astype(np.int64),
+        "p_ppm": ((1_000_000 * counts["n"].astype(np.int64)) // tot)
+        .astype(np.int64)})
+    return rd.from_pandas(out.sort_values(["prev_type", "event_type"],
+                                          ignore_index=True))
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5663,6 +5700,7 @@ QUERIES = {
     "source_overlap_jaccard": source_overlap_jaccard,
     "kmeans_embeddings": kmeans_embeddings,
     "length_gini_by_lang": length_gini_by_lang,
+    "event_transitions": event_transitions,
 }
 
 # ------------------------------------------------------------ the window
@@ -8142,6 +8180,27 @@ ORACLE_SQL["events_regression"] = """
 ORACLE_SQL["rrf_fusion"] = _rrf_fusion_oracle_sql()
 ORACLE_SQL["kcore_dups"] = _kcore_oracle_sql()
 ORACLE_SQL["kmeans_embeddings"] = _kmeans_oracle_sql()
+
+# LAG over (user, event-time) order; ratio is a floor division of
+# non-negative integers, safe for DuckDB //
+ORACLE_SQL["event_transitions"] = """
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    c AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM o WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+    w AS (
+      SELECT prev_type, event_type, n,
+             SUM(n) OVER (PARTITION BY prev_type) AS row_total
+      FROM c)
+    SELECT prev_type, event_type, n,
+           CAST(row_total AS BIGINT) AS row_total,
+           CAST((1000000 * n) // row_total AS BIGINT) AS p_ppm
+    FROM w"""
 
 # num is non-negative (ascending-sorted formulation), so the final //
 # agrees between DuckDB (truncating) and python (floor); the per-term
