@@ -249,3 +249,22 @@ def test_event_transitions_known_chain(tmp_path):
     assert out.loc[("b", "b"), "n"] == 1
     assert out.loc[("a", "b"), "p_ppm"] == 1_000_000
     assert out.loc[("b", "a"), "p_ppm"] == 500_000
+
+
+def test_token_pmi_planted_collocation(tmp_path):
+    # "foo bar" always co-occurs (5 times, meeting the min count) in a
+    # sea of shuffled filler: it must rank first with c_xy == c_x == c_y
+    filler = " ".join(f"w{i % 7} w{(i * 3) % 11}" for i in range(40))
+    docs = pd.DataFrame({
+        "doc_id": range(5),
+        "text": [f"foo bar {filler}" for _ in range(5)],
+        "lang": "en", "source": "s", "n_chars": 9})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = (queries.token_pmi(str(tmp_path)).to_pandas()
+           .sort_values("rank", ignore_index=True))
+    top = out.iloc[0]
+    assert (top["tok_a"], top["tok_b"]) == ("foo", "bar")
+    # foo opens only foo-bar (c_x=5); bar also opens bar-w0 (c_y=10)
+    assert top["c_xy"] == 5 and top["c_x"] == 5 and top["c_y"] == 10
+    # 82 tokens/doc → 81 bigram slots/doc → B = 405
+    assert top["ratio_ppm"] == (1_000_000 * 405 * 5) // (5 * 10)

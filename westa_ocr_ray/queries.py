@@ -5406,6 +5406,98 @@ def event_transitions(sf_dir: str) -> rd.Dataset:
                                           ignore_index=True))
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def token_pmi(sf_dir: str) -> rd.Dataset:
+    """Collocation mining: top-PMI adjacent token pairs — which
+    bigrams co-occur far above chance, the phrase/entity-discovery
+    primitive of corpus analysis. Exactness trick: rank by the INSIDE
+    of the log, ratio = B·c_xy / (c_x·c_y) in ppm (log is monotone, so
+    the ordering is the PMI ordering and there is no transcendental
+    parity risk); the product B·c_xy overflows int64 at corpus scale,
+    so the per-candidate ratio is computed with python ints inside the
+    distributed map (candidates only — pairs with c_xy ≥ PMI_MIN_COUNT
+    after the bucketed fold). Shape: bigram + unigram counts via
+    combiner-first aggregates; the two unigram joins run partitioned
+    (hash_join); final order via constant-group grouped_topk. Returns
+    (tok_a, tok_b, c_xy, c_x, c_y, ratio_ppm, rank), top PMI_TOP_K by
+    (ratio_ppm desc, tok_a, tok_b)."""
+    docs = rp(sf_dir, "documents", ["text"])
+
+    def bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        a_parts, b_parts = [], []
+        for text in df["text"]:
+            toks = text.split(" ")
+            if len(toks) >= 2:
+                a_parts.append(toks[:-1])
+                b_parts.append(toks[1:])
+        if not a_parts:
+            return pd.DataFrame({"tok_a": pd.Series([], dtype=object),
+                                 "tok_b": pd.Series([], dtype=object)})
+        return pd.DataFrame({
+            "tok_a": np.concatenate(a_parts),
+            "tok_b": np.concatenate(b_parts)})
+
+    bg_rows = docs.map_batches(bigrams, batch_format="pandas") \
+        .materialize()  # feeds pair counts AND the bigram total
+    pair = partial_aggregate(bg_rows, ["tok_a", "tok_b"],
+                             {"c_xy": ("count", None)},
+                             size_hint_bytes=_doc_size_hint(sf_dir))
+    # B and the unigram table both count bigram SLOTS (first/second
+    # position), which is the PMI normalization over the pair sample
+    btot = int(partial_aggregate(
+        bg_rows.map_batches(
+            lambda df: pd.DataFrame({"__g": np.zeros(len(df),
+                                                     dtype=np.int32)}),
+            batch_format="pandas"),
+        ["__g"], {"b": ("count", None)}).to_pandas()["b"][0])
+    uni = partial_aggregate(
+        bg_rows.map_batches(
+            lambda df: pd.DataFrame({"tok": np.concatenate(
+                [df["tok_a"].to_numpy(), df["tok_b"].to_numpy()])}),
+            batch_format="pandas"),
+        ["tok"], {"c": ("count", None)},
+        size_hint_bytes=_doc_size_hint(sf_dir))
+
+    cand = pair.map_batches(
+        lambda df: df[df["c_xy"] >= PMI_MIN_COUNT],
+        batch_format="pandas")
+    j = hash_join(cand, uni, "tok_a", "tok",
+                  left_cols=["tok_a", "tok_b", "c_xy"],
+                  right_cols=["tok", "c"], num_buckets=8)
+    j = j.map_batches(lambda df: df[["tok_a", "tok_b", "c_xy", "c"]]
+                      .rename(columns={"c": "c_x"}),
+                      batch_format="pandas")
+    j = hash_join(j, uni, "tok_b", "tok",
+                  left_cols=["tok_a", "tok_b", "c_xy", "c_x"],
+                  right_cols=["tok", "c"], num_buckets=8)
+
+    def ratio(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["tok_a", "tok_b", "c_xy", "c_x"]].copy()
+        out["c_y"] = df["c"]
+        # python ints: B * c_xy exceeds int64 at corpus scale
+        out["ratio_ppm"] = np.fromiter(
+            ((1_000_000 * btot * int(cxy)) // (int(cx) * int(cy))
+             for cxy, cx, cy in zip(df["c_xy"], df["c_x"], df["c"])),
+            dtype=np.int64, count=len(df))
+        out["__g"] = np.zeros(len(df), dtype=np.int32)
+        return out
+
+    top = grouped_topk(j.map_batches(ratio, batch_format="pandas"),
+                       ["__g"], ["ratio_ppm", "tok_a", "tok_b"],
+                       PMI_TOP_K, ascending=[False, True, True],
+                       num_buckets=8)
+    return top.map_batches(
+        lambda df: df[["tok_a", "tok_b", "c_xy", "c_x", "c_y",
+                       "ratio_ppm", "rk"]]
+        .rename(columns={"rk": "rank"})
+        .astype({"c_xy": "int64", "c_x": "int64", "c_y": "int64",
+                 "ratio_ppm": "int64", "rank": "int64"}),
+        batch_format="pandas")
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5701,6 +5793,7 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "length_gini_by_lang": length_gini_by_lang,
     "event_transitions": event_transitions,
+    "token_pmi": token_pmi,
 }
 
 # ------------------------------------------------------------ the window
@@ -8180,6 +8273,36 @@ ORACLE_SQL["events_regression"] = """
 ORACLE_SQL["rrf_fusion"] = _rrf_fusion_oracle_sql()
 ORACLE_SQL["kcore_dups"] = _kcore_oracle_sql()
 ORACLE_SQL["kmeans_embeddings"] = _kmeans_oracle_sql()
+
+ORACLE_SQL["token_pmi"] = f"""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+      SELECT toks[i + 1] AS tok_a, toks[i + 2] AS tok_b
+      FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2)),
+    pair AS (SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c_xy
+             FROM bg GROUP BY tok_a, tok_b),
+    b AS (SELECT COUNT(*) AS btot FROM bg),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT tok_a AS tok FROM bg
+            UNION ALL SELECT tok_b FROM bg)
+      GROUP BY tok),
+    r AS (
+      SELECT p.tok_a, p.tok_b, p.c_xy, ua.c AS c_x, ub.c AS c_y,
+             CAST((1000000 * b.btot * p.c_xy) // (ua.c * ub.c)
+               AS BIGINT) AS ratio_ppm
+      FROM pair p
+      CROSS JOIN b
+      JOIN uni ua ON ua.tok = p.tok_a
+      JOIN uni ub ON ub.tok = p.tok_b
+      WHERE p.c_xy >= {PMI_MIN_COUNT}),
+    k AS (SELECT *, row_number() OVER (ORDER BY ratio_ppm DESC,
+                                       tok_a, tok_b) AS rank
+          FROM r)
+    SELECT tok_a, tok_b, c_xy, c_x, c_y, ratio_ppm,
+           CAST(rank AS BIGINT) AS rank
+    FROM k WHERE rank <= {PMI_TOP_K}"""
 
 # LAG over (user, event-time) order; ratio is a floor division of
 # non-negative integers, safe for DuckDB //
