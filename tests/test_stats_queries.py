@@ -268,3 +268,34 @@ def test_token_pmi_planted_collocation(tmp_path):
     assert top["c_xy"] == 5 and top["c_x"] == 5 and top["c_y"] == 10
     # 82 tokens/doc → 81 bigram slots/doc → B = 405
     assert top["ratio_ppm"] == (1_000_000 * 405 * 5) // (5 * 10)
+
+
+def test_csv_roundtrip_resume_and_quoting(tmp_path):
+    # quoting-hostile text (commas, quotes, newline-free) must survive
+    # the CSV hop; a second call hits the marker and skips the export
+    import glob
+    import os
+    import time
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ['a,b "quoted" c', "plain text"],
+        "lang": ["en", "de"], "source": "s", "n_chars": 5})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = (queries.csv_roundtrip(str(tmp_path)).to_pandas()
+           .set_index("lang").sort_index())
+    from westa_ocr_ray import dedup
+    assert out.loc["en", "fold"] == int(
+        dedup.md5_hex('a,b "quoted" c')[:8], 16)
+    assert out.loc["de", "id_sum"] == 2
+
+    st = os.stat(tmp_path / "documents.parquet")
+    key = dedup.md5_hex(
+        f"csvrt|{tmp_path}|{st.st_size}|{st.st_mtime_ns}")[:12]
+    files = glob.glob(f"/tmp/westa_csv_rt/{key}/*.csv")
+    mtime = max(os.path.getmtime(f) for f in files)
+    out2 = queries.csv_roundtrip(str(tmp_path)).to_pandas()
+    assert max(os.path.getmtime(f)
+               for f in glob.glob(f"/tmp/westa_csv_rt/{key}/*.csv")) \
+        == mtime  # marker hit: no rewrite
+    assert len(out2) == 2

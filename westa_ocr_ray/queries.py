@@ -5498,6 +5498,49 @@ def token_pmi(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
+def csv_roundtrip(sf_dir: str) -> rd.Dataset:
+    """VALUE-level CSV sink+source round trip (the jsonl_roundtrip
+    twin for the other interchange format): export the documents table
+    with ray.data's write_csv (Arrow CSV writer handles quoting),
+    read it back through read_csv, and fold per language into
+    (count, doc_id sum, text md5 fold) — the SQL oracle computes the
+    same fold from the ORIGINAL parquet, so any quoting/parse mangling
+    in either direction breaks the hash. Crash-safe resume: a
+    marker-less output dir is wiped and rewritten whole (the ADVICE
+    atomic-sink rule); a marker hit skips the export."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = dedup.md5_hex(f"csvrt|{sf_dir}|{st.st_size}|{st.st_mtime_ns}")[:12]
+    out = f"/tmp/westa_csv_rt/{key}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        if os.path.isdir(out):
+            _shutil.rmtree(out)   # leftovers of a crashed export
+        rp(sf_dir, "documents",
+           ["doc_id", "text", "lang"]).write_csv(out)
+        with open(marker, "w") as f:
+            f.write("")
+    files = sorted(_glob.glob(os.path.join(out, "*.csv")))
+    with _READ_LOCK:
+        back = rd.read_csv(files)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter((int(dedup.md5_hex(t)[:8], 16) for t in df["text"]),
+                        dtype=np.int64, count=len(df))
+        return pd.DataFrame({"lang": df["lang"].to_numpy(),
+                             "n": np.ones(len(df), dtype=np.int64),
+                             "id_sum": df["doc_id"].to_numpy(dtype=np.int64),
+                             "fold": h})
+
+    return partial_aggregate(back.map_batches(fold, batch_format="pandas"),
+                             ["lang"], {"n": ("sum", "n"),
+                                        "id_sum": ("sum", "id_sum"),
+                                        "fold": ("sum", "fold")})
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5794,6 +5837,7 @@ QUERIES = {
     "length_gini_by_lang": length_gini_by_lang,
     "event_transitions": event_transitions,
     "token_pmi": token_pmi,
+    "csv_roundtrip": csv_roundtrip,
 }
 
 # ------------------------------------------------------------ the window
@@ -8273,6 +8317,13 @@ ORACLE_SQL["events_regression"] = """
 ORACLE_SQL["rrf_fusion"] = _rrf_fusion_oracle_sql()
 ORACLE_SQL["kcore_dups"] = _kcore_oracle_sql()
 ORACLE_SQL["kmeans_embeddings"] = _kmeans_oracle_sql()
+
+ORACLE_SQL["csv_roundtrip"] = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT))
+             AS BIGINT) AS fold
+    FROM documents GROUP BY lang"""
 
 ORACLE_SQL["token_pmi"] = f"""
     WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
