@@ -299,3 +299,22 @@ def test_csv_roundtrip_resume_and_quoting(tmp_path):
                for f in glob.glob(f"/tmp/westa_csv_rt/{key}/*.csv")) \
         == mtime  # marker hit: no rewrite
     assert len(out2) == 2
+
+
+def test_dup_source_matrix_counts_cross_and_within(tmp_path):
+    # docs 1/2 share a prefix across sources s1/s2; docs 3/4/5 share a
+    # prefix inside s1 (3 within-pairs); doc 6 is unique
+    pre = "p q r s"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [f"{pre} one", f"{pre} two x",
+                 "a b c d 1", "a b c d 2", "a b c d 3",
+                 "u v w z"],
+        "lang": "en",
+        "source": ["s1", "s2", "s1", "s1", "s1", "s3"], "n_chars": 5})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = (queries.dup_source_matrix(str(tmp_path)).to_pandas()
+           .set_index(["source_a", "source_b"]))
+    assert out.loc[("s1", "s2"), "n_pairs"] == 1
+    assert out.loc[("s1", "s1"), "n_pairs"] == 3
+    assert len(out) == 2

@@ -5541,6 +5541,47 @@ def csv_roundtrip(sf_dir: str) -> rd.Dataset:
                                         "fold": ("sum", "fold")})
 
 
+def dup_source_matrix(sf_dir: str) -> rd.Dataset:
+    """Cross-source duplication matrix: for every unordered source
+    pair, how many near-duplicate DOC pairs span it — the
+    mirror-detection statistic that tells a curation pipeline which
+    crawls are re-serving each other's content (including the
+    diagonal: within-source duplication). Dup key = the 4-token prefix
+    hash (the dedup_prefix rule, the duplication actually planted in
+    the fixture corpus; swap in full-text md5 for exact dups — the
+    shape is identical). Only (doc_id, source, hash) rows shuffle;
+    per-hash pairs expand through the coarse-bucketed pair path
+    carrying source as a payload column (same cap discipline as the
+    other pair generators — a hash shared by more docs than the cap
+    truncates with the counted-drop option), then fold to the
+    ≤ |sources|² matrix. Returns (source_a, source_b, n_pairs) with
+    source_a <= source_b."""
+    docs = rp(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "source": df["source"].to_numpy(),
+            "h": [dedup.md5_hex(" ".join(t.split(" ")[:4]))
+                  for t in df["text"]]})
+
+    pairs = dedup._within_bucket_pairs(
+        docs.map_batches(hashed, batch_format="pandas"), ["h"], "doc_id",
+        payload_cols=["source"], size_hint_bytes=_doc_size_hint(sf_dir))
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        sa = df["source_a"].to_numpy()
+        sb = df["source_b"].to_numpy()
+        lo = np.where(sa <= sb, sa, sb)
+        hi = np.where(sa <= sb, sb, sa)
+        return pd.DataFrame({"source_a": lo, "source_b": hi})
+
+    return partial_aggregate(
+        pairs.map_batches(canon, batch_format="pandas"),
+        ["source_a", "source_b"], {"n_pairs": ("count", None)},
+        num_buckets=8)
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5838,6 +5879,7 @@ QUERIES = {
     "event_transitions": event_transitions,
     "token_pmi": token_pmi,
     "csv_roundtrip": csv_roundtrip,
+    "dup_source_matrix": dup_source_matrix,
 }
 
 # ------------------------------------------------------------ the window
@@ -8317,6 +8359,17 @@ ORACLE_SQL["events_regression"] = """
 ORACLE_SQL["rrf_fusion"] = _rrf_fusion_oracle_sql()
 ORACLE_SQL["kcore_dups"] = _kcore_oracle_sql()
 ORACLE_SQL["kmeans_embeddings"] = _kmeans_oracle_sql()
+
+ORACLE_SQL["dup_source_matrix"] = """
+    WITH d AS (SELECT doc_id, source,
+                      md5(array_to_string(
+                        string_split(text, ' ')[1:4], ' ')) AS h
+               FROM documents),
+    p AS (SELECT a.source AS sa, b.source AS sb
+          FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id)
+    SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1, 2"""
 
 ORACLE_SQL["csv_roundtrip"] = """
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
