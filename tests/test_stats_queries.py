@@ -318,3 +318,23 @@ def test_dup_source_matrix_counts_cross_and_within(tmp_path):
     assert out.loc[("s1", "s2"), "n_pairs"] == 1
     assert out.loc[("s1", "s1"), "n_pairs"] == 3
     assert len(out) == 2
+
+
+def test_user_rfm_quintile_assignment(tmp_path):
+    # 5 users with strictly ordered metrics: user i has i events of
+    # value i at time i → every tile is the user's rank (tile k = one
+    # user per quintile), best (user 5) gets segment 111
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for _ in range(u):
+            rows.append((eid, u, "t", u * 1_000_000, float(u), ""))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                     "ts_us", "value", "props"])
+    sf = _write_events(tmp_path, df)
+    out = (queries.user_rfm(sf).to_pandas()
+           .set_index("user_id").sort_index())
+    assert list(out["segment"]) == [555, 444, 333, 222, 111]
+    assert out.loc[5, "frequency"] == 5
+    assert out.loc[5, "monetary_cents"] == 5 * 500
