@@ -338,3 +338,23 @@ def test_user_rfm_quintile_assignment(tmp_path):
     assert list(out["segment"]) == [555, 444, 333, 222, 111]
     assert out.loc[5, "frequency"] == 5
     assert out.loc[5, "monetary_cents"] == 5 * 500
+
+
+def test_events_ks_drift_detects_planted_shift(tmp_path):
+    # first half all value 1.00, second half all 2.00: F diverges
+    # maximally at 100 cents → ks_ppm = 1e6, at_cents = 100
+    df = pd.DataFrame({
+        "event_id": range(8), "user_id": 1, "event_type": "t",
+        "ts_us": [1, 2, 3, 4, 101, 102, 103, 104],
+        "value": [1.0] * 4 + [2.0] * 4, "props": ""})
+    df["ts_us"] = df["ts_us"] * 1_000_000
+    sf = _write_events(tmp_path, df)
+    row = queries.events_ks_drift(sf).to_pandas().iloc[0]
+    assert (row["n_first"], row["n_second"]) == (4, 4)
+    assert row["ks_ppm"] == 1_000_000 and row["at_cents"] == 100
+
+    # identical halves → ks 0
+    df2 = df.copy()
+    df2["value"] = 1.0
+    sf2 = _write_events(tmp_path, df2)
+    assert queries.events_ks_drift(sf2).to_pandas().iloc[0]["ks_ppm"] == 0

@@ -5661,6 +5661,60 @@ def user_rfm(sf_dir: str) -> rd.Dataset:
     return j.map_batches(seg, batch_format="pandas")
 
 
+def events_ks_drift(sf_dir: str) -> rd.Dataset:
+    """EXACT two-sample Kolmogorov-Smirnov drift statistic between the
+    first and second half of the event stream (split at the integer
+    midpoint of the ts range) over value-cents — the
+    distribution-drift gate a pipeline runs before trusting a new
+    ingest window. Exactness: KS = max |F₁-F₂| evaluates on the
+    BOUNDED (half, cents, count) histogram (the exact_median
+    argument), and the comparison cross-multiplies instead of
+    dividing — |c₁·n₂ - c₂·n₁| in python ints — so there is no float
+    anywhere; ks_ppm = 1e6·max_diff // (n₁·n₂), argmax ties to the
+    lowest value. Shape: one bounds pass + one bucketed histogram
+    pass; the fold is sketch-sized. Returns one row
+    (n_first, n_second, ks_ppm, at_cents)."""
+    ev = rp(sf_dir, "events", ["ts", "value"])
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "t": df["ts"].astype("int64").to_numpy(),
+            "cents": _cents(df["value"]).to_numpy()})
+
+    b = ev.map_batches(base, batch_format="pandas").materialize()
+    bounds = partial_aggregate(
+        b.map_batches(lambda df: df.assign(__g=np.int32(0)),
+                      batch_format="pandas"),
+        ["__g"], {"mn": ("min", "t"), "mx": ("max", "t")}).to_pandas()
+    mid = (int(bounds["mn"][0]) + int(bounds["mx"][0])) // 2
+
+    hist = partial_aggregate(
+        b.map_batches(
+            lambda df: pd.DataFrame({
+                "half": (df["t"].to_numpy() > mid).astype(np.int64),
+                "cents": df["cents"].to_numpy()}),
+            batch_format="pandas"),
+        ["half", "cents"], {"c": ("count", None)}).to_pandas()
+
+    piv = (hist.pivot_table(index="cents", columns="half", values="c",
+                            aggfunc="sum", fill_value=0)
+           .reindex(columns=[0, 1], fill_value=0).sort_index())
+    c1 = piv[0].to_numpy(dtype=np.int64)
+    c2 = piv[1].to_numpy(dtype=np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    f1, f2 = np.cumsum(c1), np.cumsum(c2)
+    # python ints: c·n products exceed int64 at corpus scale
+    diffs = [abs(int(a) * n2 - int(bb) * n1)
+             for a, bb in zip(f1, f2)]
+    best = max(range(len(diffs)), key=lambda i: (diffs[i], -i))
+    return rd.from_pandas(pd.DataFrame({
+        "n_first": np.array([n1], dtype=np.int64),
+        "n_second": np.array([n2], dtype=np.int64),
+        "ks_ppm": np.array([(1_000_000 * diffs[best]) // (n1 * n2)],
+                           dtype=np.int64),
+        "at_cents": np.array([int(piv.index[best])], dtype=np.int64)}))
+
+
 # Registration order is DELIBERATE: the driver records CORRECTNESS rows
 # for exactly the first 50 registered queries (a count/time budget — the
 # suite itself runs in ~90 s), so every hash-checkable (oracle-bearing)
@@ -5961,6 +6015,7 @@ QUERIES = {
     "dup_source_matrix": dup_source_matrix,
     "kmeans_cluster_stats": kmeans_cluster_stats,
     "user_rfm": user_rfm,
+    "events_ks_drift": events_ks_drift,
 }
 
 # ------------------------------------------------------------ the window
@@ -8445,6 +8500,37 @@ ORACLE_SQL["kmeans_cluster_stats"] = f"""
            CAST(SUM(dist2) AS BIGINT) AS inertia
     FROM ({_kmeans_oracle_sql()})
     GROUP BY cluster"""
+
+ORACLE_SQL["events_ks_drift"] = """
+    WITH b AS (
+      SELECT epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    m AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM b),
+    h AS (
+      SELECT CASE WHEN t > (SELECT mid FROM m) THEN 1 ELSE 0 END
+               AS half,
+             cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2),
+    g AS (
+      SELECT cents,
+             SUM(CASE WHEN half = 0 THEN c ELSE 0 END) AS c1,
+             SUM(CASE WHEN half = 1 THEN c ELSE 0 END) AS c2
+      FROM h GROUP BY cents),
+    w AS (
+      SELECT cents,
+             SUM(c1) OVER (ORDER BY cents) AS f1,
+             SUM(c2) OVER (ORDER BY cents) AS f2,
+             SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+      FROM g),
+    d AS (SELECT cents, ABS(f1 * n2 - f2 * n1) AS diff, n1, n2 FROM w),
+    k AS (SELECT *, row_number() OVER (ORDER BY diff DESC, cents) AS rn
+          FROM d)
+    SELECT CAST(n1 AS BIGINT) AS n_first,
+           CAST(n2 AS BIGINT) AS n_second,
+           CAST((1000000 * diff) // (n1 * n2) AS BIGINT) AS ks_ppm,
+           CAST(cents AS BIGINT) AS at_cents
+    FROM k WHERE rn = 1"""
 
 ORACLE_SQL["user_rfm"] = f"""
     WITH b AS (
