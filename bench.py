@@ -61,7 +61,7 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 second-continuation additions
                  "events_regression", "user_diversity", "triangle_degree",
                  "rrf_fusion", "lexical_stats_by_source",
-                 "kmeans_embeddings"]
+                 "kmeans_embeddings", "token_pmi", "user_rfm"]
 
 
 def _warm_workers(ncpu: int) -> None:
