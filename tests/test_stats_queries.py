@@ -5,7 +5,6 @@ fixture-scale oracle run may never exercise."""
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from westa_ocr_ray import queries
 
@@ -275,7 +274,6 @@ def test_csv_roundtrip_resume_and_quoting(tmp_path):
     # the CSV hop; a second call hits the marker and skips the export
     import glob
     import os
-    import time
 
     docs = pd.DataFrame({
         "doc_id": [1, 2],
