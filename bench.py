@@ -61,7 +61,11 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 second-continuation additions
                  "events_regression", "user_diversity", "triangle_degree",
                  "rrf_fusion", "lexical_stats_by_source",
-                 "kmeans_embeddings", "token_pmi", "user_rfm"]
+                 "kmeans_embeddings", "token_pmi", "user_rfm",
+                 # round-4 third-batch additions
+                 "embedding_quantize", "vocab_coverage_by_lang",
+                 "user_burstiness", "hits_user_event",
+                 "next_token_top1", "events_cusum", "embedding_top_pc"]
 
 
 def _warm_workers(ncpu: int) -> None:

@@ -356,3 +356,148 @@ def test_events_ks_drift_detects_planted_shift(tmp_path):
     df2["value"] = 1.0
     sf2 = _write_events(tmp_path, df2)
     assert queries.events_ks_drift(sf2).to_pandas().iloc[0]["ks_ppm"] == 0
+
+
+def test_embedding_quantize_zero_dim_and_sign_split(tmp_path):
+    # dim 2 is all-zero (qmax = 0 → code 0); dims 0/1 carry planted
+    # values where max-abs scaling and the sign-split floor division
+    # are hand-checkable: q = [1000, -500, 0] in dim 0 (qmax 1000) →
+    # codes [127, -63, 0]; dim 1 = [-2000, 2000, 1000] (qmax 2000) →
+    # codes [-127, 127, 63]
+    emb = pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, -2.0, 0.0], [-0.5, 2.0, 0.0],
+                      [0.0, 1.0, 0.0]],
+        "label": np.int32(0)})
+    emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    out = (queries.embedding_quantize(str(tmp_path)).to_pandas()
+           .set_index("vec_id").sort_index())
+    assert out.loc[1, "code_sum"] == 127 - 127
+    assert out.loc[1, "code_l1"] == 127 + 127
+    assert out.loc[2, "code_sum"] == -63 + 127
+    assert out.loc[3, "code_sum"] == 0 + 63
+    # exact scaling (qmax divides q exactly): recon error only where
+    # 127 doesn't divide — vec 3 dim 1: code 63, recon 63*2000//127 =
+    # 992, err 8 → sse 64
+    assert out.loc[1, "sse_q"] == 0
+    assert out.loc[3, "sse_q"] == 64
+
+
+def test_vocab_coverage_boundary_exact_hit(tmp_path):
+    # lang en: counts [6, 3, 1] over tokens (a×6, b×3, c×1), total 10,
+    # s = ceil(9*10/10) = 9 == 6+3 exactly → n_tokens_90 = 2,
+    # boundary class count = 3
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a a a a a a b", "b b c"],
+        "lang": "en", "source": "s", "n_chars": 5})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    row = queries.vocab_coverage_by_lang(str(tmp_path)).to_pandas().iloc[0]
+    assert (row["total_tokens"], row["vocab_size"]) == (10, 3)
+    assert (row["n_tokens_90"], row["boundary_count"]) == (2, 3)
+
+
+def test_vocab_coverage_single_token_lang(tmp_path):
+    docs = pd.DataFrame({
+        "doc_id": [1], "text": ["x x x x"], "lang": "zz",
+        "source": "s", "n_chars": 4})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    row = queries.vocab_coverage_by_lang(str(tmp_path)).to_pandas().iloc[0]
+    assert (row["total_tokens"], row["vocab_size"],
+            row["n_tokens_90"]) == (4, 1, 1)
+
+
+def test_user_burstiness_periodic_and_degenerate(tmp_path):
+    # user 1: perfectly periodic (gaps 10,10,10 s) → sigma=0 →
+    # B = -1 exactly → -1_000_000; user 2: all gaps zero → 0/0 branch
+    # → 0; user 3: single event → no gaps, absent from output
+    df = pd.DataFrame({
+        "event_id": np.arange(8),
+        "user_id": [1, 1, 1, 1, 2, 2, 2, 3],
+        "event_type": "t",
+        "ts_us": [0, 10_000_000, 20_000_000, 30_000_000,
+                  5_000_000, 5_000_000, 5_000_000, 9_000_000],
+        "value": 1.0, "props": ""})
+    sf = _write_events(tmp_path, df)
+    out = (queries.user_burstiness(sf).to_pandas()
+           .set_index("user_id").sort_index())
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "n_gaps"] == 3 and out.loc[1, "sum_gap_s"] == 30
+    assert out.loc[1, "burst_ppm"] == -1_000_000
+    assert out.loc[2, "burst_ppm"] == 0 and out.loc[2, "sum_gap_s"] == 0
+
+
+def test_hits_star_graph_hub_and_authority(tmp_path):
+    # user 1 touches types a,b,c (the hub); users 2,3 touch only a
+    # (making a the authority). After round 1: a(a)=3M, a(b)=a(c)=1M →
+    # normalized a=[1M, 333333, 333333]; h(1)=1M+333k+333k, h(2)=h(3)
+    # =1M → hub 1 normalizes to 1M, others to 600000 =
+    # 1M*1M//1666666. Round 3 preserves the ordering (fixed point).
+    df = pd.DataFrame({
+        "event_id": np.arange(5),
+        "user_id": [1, 1, 1, 2, 3],
+        "event_type": ["a", "b", "c", "a", "a"],
+        "ts_us": np.arange(5) * 1_000_000, "value": 1.0, "props": ""})
+    sf = _write_events(tmp_path, df)
+    out = queries.hits_user_event(sf).to_pandas()
+    hubs = out[out["kind"] == "hub"].set_index("node")["score_ppm"]
+    auths = out[out["kind"] == "auth"].set_index("node")["score_ppm"]
+    assert hubs["1"] == 1_000_000 and hubs["2"] == hubs["3"]
+    assert hubs["2"] < 1_000_000
+    assert auths["a"] == 1_000_000
+    assert auths["b"] == auths["c"] and auths["b"] < 1_000_000
+
+
+def test_next_token_top1_tie_breaks_to_lowest_successor(tmp_path):
+    # token a: (a,b)x2 beats (a,c)x1 → p_ppm = 2_000_000 // 3;
+    # token x: (x,y) and (x,z) tie at 1 → successor asc picks y
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a c", "a b", "x y", "x z"],
+        "lang": "en", "source": "s", "n_chars": 7})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = (queries.next_token_top1(str(tmp_path)).to_pandas()
+           .set_index("token"))
+    assert out.loc["a", "next_token"] == "b"
+    assert (out.loc["a", "n_pair"], out.loc["a", "n_total"]) == (2, 3)
+    assert out.loc["a", "p_ppm"] == 666_666
+    assert out.loc["x", "next_token"] == "y"
+    assert out.loc["x", "p_ppm"] == 500_000
+
+
+def test_events_cusum_finds_planted_level_shift(tmp_path):
+    # 10 events: cents 0 for the first five, 1000 after → T = 5000,
+    # dev_k = |10*P_k - 5000k| peaks at k=5 (25000) exactly where the
+    # level shifts
+    df = pd.DataFrame({
+        "event_id": np.arange(10), "user_id": 1, "event_type": "t",
+        "ts_us": np.arange(10) * 1_000_000,
+        "value": [0.0] * 5 + [10.0] * 5, "props": ""})
+    sf = _write_events(tmp_path, df)
+    row = queries.events_cusum(sf).to_pandas().iloc[0]
+    assert (row["n_events"], row["at_k"]) == (10, 5)
+    assert row["at_ts_us"] == 4_000_000
+    assert row["cusum_abs"] == 25_000
+
+
+def test_embedding_top_pc_zero_matrix_and_planted_axis(tmp_path):
+    # all-equal embeddings → centered scatter is the zero matrix →
+    # every dim emits 0
+    emb = pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 2.0]] * 3, "label": np.int32(0)})
+    emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    out = (queries.embedding_top_pc(str(tmp_path)).to_pandas()
+           .set_index("dim").sort_index())
+    assert list(out["pc_ppm"]) == [0, 0]
+    # variance confined to dim 1 → the dominant direction is the unit
+    # vector on dim 1 (positive by the all-ones start)
+    emb2 = pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[0.5, -1.0], [0.5, 0.0], [0.5, 1.0]],
+        "label": np.int32(0)})
+    emb2.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    out2 = (queries.embedding_top_pc(str(tmp_path)).to_pandas()
+            .set_index("dim").sort_index())
+    assert out2.loc[0, "pc_ppm"] == 0
+    assert out2.loc[1, "pc_ppm"] == 1_000_000

@@ -6041,8 +6041,8 @@ _WINDOW_R4 = [
     # the in-window fold of the parked trivial shapes (pinned)
     "combined_small_shapes",
     # rotated-in veterans: dedup / versioning
-    "dup_clusters", "pagerank_dups", "dedup_cdc", "dedup_ngram",
-    "dedup_contained_pairs", "dedup_shared_chunks", "dedup_simhash_pairs",
+    "dup_clusters", "pagerank_dups", "dedup_cdc",
+    "dedup_contained_pairs", "dedup_shared_chunks",
     "dedup_soft", "corpus_diff", "upsert_compact",
     # search / index
     "bm25_search", "bm25_index_search", "text_index_search",
@@ -6051,8 +6051,7 @@ _WINDOW_R4 = [
     "heavy_hitters_exact", "hll_user_registers", "distinct_users_per_type",
     "cms_token_counts",
     # text analysis / LM
-    "text_fingerprint", "zscore_by_lang", "lm_heldout_score", "bpe_encode",
-    "token_count_bpe",
+    "text_fingerprint", "lm_heldout_score", "bpe_encode",
     # packing / shards / mixture
     "pack_greedy", "mixture_sample", "curriculum_rank",
     "train_val_split", "shard_stats",
@@ -6066,9 +6065,17 @@ _WINDOW_R4 = [
     # locally oracle-verified every round via check_queries)
     "events_regression", "user_diversity", "triangle_degree",
     "rrf_fusion",
+    # round-4 third-batch ops (pinned while newest; their four slots
+    # came from one-prior-green veterans dedup_ngram /
+    # dedup_simhash_pairs / zscore_by_lang / token_count_bpe, all still
+    # locally oracle-verified every round via check_queries; these four
+    # names register at the file tail, so the reorder below skips them
+    # and the file-end reorder places them)
+    "embedding_quantize", "vocab_coverage_by_lang",
+    "user_burstiness", "hits_user_event",
 ]
 assert len(_WINDOW_R4) == 50 and len(set(_WINDOW_R4)) == 50
-QUERIES = {**{n: QUERIES[n] for n in _WINDOW_R4},
+QUERIES = {**{n: QUERIES[n] for n in _WINDOW_R4 if n in QUERIES},
            **{n: f for n, f in QUERIES.items() if n not in set(_WINDOW_R4)}}
 
 def _mixture_sample_oracle_sql() -> str:
@@ -8750,3 +8757,663 @@ ORACLE_SQL["user_diversity"] = """
            CAST((1000000 * (n * n - sc2)) // (n * n) AS BIGINT)
              AS simpson_ppm
     FROM u"""
+
+
+# --------------------------------------------------- round-4 third batch
+# (continuation session: embedding compression, vocabulary coverage,
+# inter-arrival burstiness, bipartite HITS — each exact-oracle)
+
+#: shared by engine and oracle: the embedding milli-quantization used by
+#: embedding_moments / kmeans_embeddings (np.round vs SQL ROUND with the
+#: documented no-.5-ties fixture assumption) and the int8 code range
+EQ_SCALE = 1000
+EQ_LEVELS = 127
+
+
+def embedding_quantize(sf_dir: str) -> rd.Dataset:
+    """Scalar int8 quantization of the embedding table — the 4x
+    compression step a 100 TB vector corpus applies before ANN serving
+    (store codes + one per-dimension scale, not float32). Per-dimension
+    symmetric max-abs codes: code = sign(q) * (|q| * 127 // qmax_dim)
+    over the shared milli-quantized q (EQ_SCALE, the embedding_moments
+    treatment), reconstruction recon = sign(code) * (|code| * qmax_dim
+    // 127). EXACT: after the one shared ROUND, everything is integer
+    floor-division on NON-NEGATIVE magnitudes (sign split keeps DuckDB's
+    truncating // identical to numpy's floor //). Distribution shape:
+    pass 1 tree-merges the per-dimension |q| max as a (dim, m) partial
+    (one 64-row table per block, combiner-first); the d-entry scale
+    table broadcasts once via ray.put; pass 2 streams codes and emits
+    per-vector audit sums — at production scale it would write the int8
+    code column itself, same plumbing. Returns
+    (vec_id, code_sum, code_l1, sse_q)."""
+    import ray
+
+    emb = rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def qstack(df: pd.DataFrame) -> np.ndarray:
+        # away-from-zero rounding = DuckDB ROUND exactly (the
+        # embedding_moments convention; np.round's banker's rounding
+        # would diverge on values landing on .5 after scaling)
+        p = (np.stack(df["embedding"].to_numpy()).astype(np.float64)
+             * EQ_SCALE)
+        return (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
+
+    def dim_max(df: pd.DataFrame) -> pd.DataFrame:
+        q = qstack(df)
+        return pd.DataFrame({
+            "i": np.arange(q.shape[1], dtype=np.int64),
+            "m": np.abs(q).max(axis=0).astype(np.int64)})
+
+    mx = partial_aggregate(
+        emb.map_batches(dim_max, batch_format="pandas"),
+        ["i"], {"m": ("max", "m")}).to_pandas()
+    qmax = np.zeros(int(mx["i"].max()) + 1, dtype=np.int64)
+    qmax[mx["i"].to_numpy()] = mx["m"].to_numpy()
+    mref = ray.put(qmax)
+
+    def codes(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(mref)
+        q = qstack(df)
+        sgn = np.sign(q)
+        aq = np.abs(q)
+        safe = np.where(m == 0, 1, m)
+        code = np.where(m == 0, 0, sgn * ((aq * EQ_LEVELS) // safe))
+        recon = np.sign(code) * ((np.abs(code) * m) // EQ_LEVELS)
+        err = q - recon
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype(np.int64).to_numpy(),
+            "code_sum": code.sum(axis=1).astype(np.int64),
+            "code_l1": np.abs(code).sum(axis=1).astype(np.int64),
+            "sse_q": (err * err).sum(axis=1).astype(np.int64)})
+
+    return emb.map_batches(codes, batch_format="pandas")
+
+
+QUERIES["embedding_quantize"] = embedding_quantize
+ORACLE_SQL["embedding_quantize"] = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+             CAST(ROUND(CAST(x AS DOUBLE) * {EQ_SCALE}) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)),
+    mx AS (SELECT i, MAX(ABS(q)) AS m FROM e GROUP BY i),
+    c AS (SELECT vec_id, q, m,
+                 CASE WHEN m = 0 THEN 0
+                      WHEN q >= 0 THEN (q * {EQ_LEVELS}) // m
+                      ELSE -((-q * {EQ_LEVELS}) // m) END AS code
+          FROM e JOIN mx USING (i)),
+    r AS (SELECT vec_id, code, q,
+                 CASE WHEN code >= 0 THEN (code * m) // {EQ_LEVELS}
+                      ELSE -((-code * m) // {EQ_LEVELS}) END AS recon
+          FROM c)
+    SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+           CAST(SUM(ABS(code)) AS BIGINT) AS code_l1,
+           CAST(SUM((q - recon) * (q - recon)) AS BIGINT) AS sse_q
+    FROM r GROUP BY vec_id"""
+
+
+#: coverage target shared with the oracle: the smallest head vocabulary
+#: whose cumulative token mass reaches 90% of each language's corpus
+VC_NUM, VC_DEN = 9, 10
+
+
+def vocab_coverage_by_lang(sf_dir: str) -> rd.Dataset:
+    """Per-language head-vocabulary size covering 90% of token mass —
+    the Zipf-head statistic that sizes a tokenizer / vocabulary per
+    language before BPE training. EXACT without ranking token
+    identities: order tokens by count desc and the k-th token's
+    contribution depends only on the (count value, #tokens-at-count)
+    histogram, so n_tokens_90 = full-count-classes + a ceil division at
+    the boundary class — tie-invariant, all-integer. Distribution
+    shape: (lang, token) counts via the bucketed combiner; the count
+    HISTOGRAM (lang, c, m) collapses that to |langs| x |distinct count
+    values| rows (the exact_median boundedness argument) and the fold
+    runs per-lang in map_groups over the sketch-sized table. Returns
+    (lang, total_tokens, vocab_size, n_tokens_90, boundary_count)."""
+    docs = rp(sf_dir, "documents", ["lang", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].str.split(" ")
+        n = s.map(len).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "lang": np.repeat(df["lang"].to_numpy(), n),
+            "token": np.concatenate(s.to_numpy())})
+
+    tf = partial_aggregate(
+        docs.map_batches(toks, batch_format="pandas")
+        .map_batches(lambda df: df[df["token"] != ""],
+                     batch_format="pandas"),
+        ["lang", "token"], {"c": ("count", None)})
+    hist = partial_aggregate(
+        tf.map_batches(lambda df: df[["lang", "c"]],
+                       batch_format="pandas"),
+        ["lang", "c"], {"m": ("count", None)})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("c", ascending=False, ignore_index=True)
+        c = df["c"].to_numpy(dtype=np.int64)
+        m = df["m"].to_numpy(dtype=np.int64)
+        total = int((c * m).sum())
+        vocab = int(m.sum())
+        s = (VC_NUM * total + VC_DEN - 1) // VC_DEN
+        cum = np.cumsum(c * m)
+        ntok = np.cumsum(m)
+        b = int(np.argmax(cum >= s))     # first class reaching s
+        before = int(cum[b]) - int(c[b]) * int(m[b])
+        n90 = int(ntok[b]) - int(m[b]) \
+            + (s - before + int(c[b]) - 1) // int(c[b])
+        return pd.DataFrame({
+            "lang": [df["lang"].iloc[0]],
+            "total_tokens": np.array([total], dtype=np.int64),
+            "vocab_size": np.array([vocab], dtype=np.int64),
+            "n_tokens_90": np.array([n90], dtype=np.int64),
+            "boundary_count": np.array([int(c[b])], dtype=np.int64)})
+
+    return hist.groupby("lang").map_groups(fold, batch_format="pandas")
+
+
+QUERIES["vocab_coverage_by_lang"] = vocab_coverage_by_lang
+ORACLE_SQL["vocab_coverage_by_lang"] = f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tf AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks WHERE token <> '' GROUP BY lang, token),
+    hist AS (SELECT lang, c, CAST(COUNT(*) AS BIGINT) AS m
+             FROM tf GROUP BY lang, c),
+    tot AS (SELECT lang, SUM(c * m) AS total, SUM(m) AS vocab
+            FROM hist GROUP BY lang),
+    w AS (SELECT h.lang, h.c, h.m, t.total, t.vocab,
+                 SUM(h.c * h.m) OVER (PARTITION BY h.lang
+                                      ORDER BY h.c DESC) AS cum,
+                 SUM(h.m) OVER (PARTITION BY h.lang
+                                ORDER BY h.c DESC) AS ntok,
+                 ({VC_NUM} * t.total + {VC_DEN} - 1) // {VC_DEN} AS s
+          FROM hist h JOIN tot t USING (lang)),
+    bnd AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                         ORDER BY c DESC) AS rn
+            FROM w WHERE cum >= s)
+    SELECT lang, CAST(total AS BIGINT) AS total_tokens,
+           CAST(vocab AS BIGINT) AS vocab_size,
+           CAST(ntok - m + (s - (cum - c * m) + c - 1) // c AS BIGINT)
+             AS n_tokens_90,
+           CAST(c AS BIGINT) AS boundary_count
+    FROM bnd WHERE rn = 1"""
+
+
+def user_burstiness(sf_dir: str) -> rd.Dataset:
+    """Per-user burstiness B = (sigma - mu) / (sigma + mu) of
+    inter-event gaps (Goh & Barabasi's measure: -1 = periodic, 0 =
+    Poisson, +1 = maximally bursty) — the temporal-pattern feature that
+    separates bots (periodic) from humans (bursty) in a training-data
+    user filter. Exactness: gaps are integer seconds (floor of the
+    microsecond delta); the per-user sufficient statistics
+    (n, sum g, sum g^2) are exact int64; sigma and mu share the
+    denominator n so B = (sqrt(D) - s1) / (sqrt(D) + s1) with
+    D = n*s2 - s1^2 — IEEE sqrt of an integer is correctly rounded, and
+    the engine mirrors the oracle's double-op sequence token for token,
+    so the floored ppm agrees bit-for-bit. Degenerate branch pinned in
+    tests: D = 0 and s1 = 0 (all gaps zero) emits 0. Shape: per-user
+    ordered-log buckets (_bucketed_by_user) emit only the three
+    sufficient statistics per user. Returns users with >= 2 events:
+    (user_id, n_gaps, sum_gap_s, burst_ppm)."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        # gaps subtract in int64: epoch-µs values exceed float64's
+        # exact-integer range, so a float path would corrupt the gap
+        prev = df.groupby("user_id")["ts"].shift()
+        mask = prev.notna().to_numpy()
+        gap_us = (df["ts"].astype("int64").to_numpy()[mask]
+                  - prev[mask].astype("int64").to_numpy())
+        g64 = gap_us // 1_000_000
+        agg = (pd.DataFrame({"user_id": df["user_id"].to_numpy()[mask],
+                             "g": g64, "g2": g64 * g64})
+               .groupby("user_id", as_index=False)
+               .agg(n_gaps=("g", "size"), s1=("g", "sum"),
+                    s2=("g2", "sum")))
+        if agg.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "n_gaps": pd.Series(dtype=np.int64),
+                                 "sum_gap_s": pd.Series(dtype=np.int64),
+                                 "burst_ppm": pd.Series(dtype=np.int64)})
+        n = agg["n_gaps"].to_numpy(dtype=np.int64)
+        s1 = agg["s1"].to_numpy(dtype=np.int64)
+        s2 = agg["s2"].to_numpy(dtype=np.int64)
+        d = (n * s2 - s1 * s1).astype(np.float64)
+        sd = np.sqrt(d)
+        s1f = s1.astype(np.float64)
+        denom = sd + s1f
+        ppm = np.where(denom == 0.0, 0.0,
+                       np.floor(1_000_000 * (sd - s1f) / denom))
+        return pd.DataFrame({
+            "user_id": agg["user_id"].astype(np.int64),
+            "n_gaps": n, "sum_gap_s": s1,
+            "burst_ppm": ppm.astype(np.int64)})
+
+    return _bucketed_by_user(ev, fn)
+
+
+QUERIES["user_burstiness"] = user_burstiness
+ORACLE_SQL["user_burstiness"] = """
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))
+               // 1000000 AS gs
+      FROM events),
+    a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(gs) AS BIGINT) AS s1,
+                 CAST(SUM(gs * gs) AS BIGINT) AS s2
+          FROM g WHERE gs IS NOT NULL GROUP BY user_id)
+    SELECT user_id, n AS n_gaps, s1 AS sum_gap_s,
+           CAST(CASE WHEN sqrt(n * s2 - s1 * s1) + s1 = 0 THEN 0
+                ELSE FLOOR(1000000 * (sqrt(n * s2 - s1 * s1) - s1)
+                           / (sqrt(n * s2 - s1 * s1) + s1))
+                END AS BIGINT) AS burst_ppm
+    FROM a"""
+
+
+#: HITS fixed-point geometry shared with the generated oracle
+HITS_ROUNDS = 3
+HITS_UNIT = 1_000_000
+
+
+def hits_user_event(sf_dir: str) -> rd.Dataset:
+    """HITS hubs-and-authorities over the user -> event_type bipartite
+    graph (Kleinberg's algorithm, the directed-graph companion to
+    pagerank_dups): a hub is a user touching many authoritative event
+    types, an authority a type touched by many strong hubs. All-integer
+    fixed point: scores start at HITS_UNIT, each half-round sums the
+    opposite side's scores over the DISTINCT edge list and renormalizes
+    by floor-dividing by the side's max (values stay positive, so
+    DuckDB's truncating // equals floor). The oracle replays every
+    round verbatim (generated CTE chain, the kmeans/pagerank pattern).
+    Distribution shape: hubs stay a Dataset keyed by user (partitioned
+    hash_join edge<-hub each round); authorities are |event types| rows
+    — the classic small side — broadcast back via ray.put for the hub
+    update; per-round maxima are single-row folds. Returns
+    (kind, node, score_ppm) for both sides after HITS_ROUNDS rounds."""
+    import ray
+
+    ev = rp(sf_dir, "events", ["user_id", "event_type"])
+    edges = partial_aggregate(ev, ["user_id", "event_type"],
+                              {"c": ("count", None)}) \
+        .map_batches(lambda df: df[["user_id", "event_type"]],
+                     batch_format="pandas").materialize()
+
+    # h0 = HITS_UNIT per distinct user, as a Dataset
+    h = partial_aggregate(edges, ["user_id"], {"d": ("count", None)}) \
+        .map_batches(lambda df: pd.DataFrame({
+            "user_id": df["user_id"].astype(np.int64),
+            "h": np.full(len(df), HITS_UNIT, dtype=np.int64)}),
+        batch_format="pandas")
+
+    auth = None
+    for _ in range(HITS_ROUNDS):
+        # authority update: a(t) = sum_{(u,t)} h(u)  (partitioned join)
+        ar = partial_aggregate(
+            hash_join(edges, h, "user_id", "user_id",
+                      left_cols=["user_id", "event_type"],
+                      right_cols=["user_id", "h"]),
+            ["event_type"], {"a": ("sum", "h")}).to_pandas()
+        amax = int(ar["a"].max())
+        ar["a"] = (ar["a"].astype(np.int64) * HITS_UNIT) // amax
+        aref = ray.put(dict(zip(ar["event_type"], ar["a"])))
+
+        # hub update: h(u) = sum_{(u,t)} a(t)  (small side broadcast)
+        def with_a(df: pd.DataFrame) -> pd.DataFrame:
+            amap = ray.get(aref)
+            return pd.DataFrame({
+                "user_id": df["user_id"].astype(np.int64),
+                "h": df["event_type"].map(amap).astype(np.int64)})
+
+        hr = partial_aggregate(
+            edges.map_batches(with_a, batch_format="pandas"),
+            ["user_id"], {"h": ("sum", "h")})
+        hmax = int(partial_aggregate(
+            hr.map_batches(lambda df: df.assign(__g=np.int32(0)),
+                           batch_format="pandas"),
+            ["__g"], {"mx": ("max", "h")}).to_pandas()["mx"][0])
+        h = hr.map_batches(
+            lambda df, hm=hmax: pd.DataFrame({
+                "user_id": df["user_id"].astype(np.int64),
+                "h": (df["h"].astype(np.int64) * HITS_UNIT) // hm}),
+            batch_format="pandas")
+        auth = ar
+
+    hubs = h.map_batches(
+        lambda df: pd.DataFrame({
+            "kind": np.full(len(df), "hub"),
+            "node": df["user_id"].astype(str),
+            "score_ppm": df["h"].astype(np.int64)}),
+        batch_format="pandas").to_pandas()
+    auths = pd.DataFrame({
+        "kind": np.full(len(auth), "auth"),
+        "node": auth["event_type"].astype(str),
+        "score_ppm": auth["a"].astype(np.int64)})
+    return rd.from_pandas(pd.concat([hubs, auths], ignore_index=True))
+
+
+def _hits_oracle_sql(n_rounds: int = HITS_ROUNDS,
+                     unit: int = HITS_UNIT) -> str:
+    parts = ["""edges AS (
+      SELECT DISTINCT user_id, event_type FROM events)""",
+             f"""h0 AS (
+      SELECT user_id, CAST({unit} AS BIGINT) AS h
+      FROM (SELECT DISTINCT user_id FROM edges))"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""a{r}r AS (
+      SELECT event_type, CAST(SUM(h) AS BIGINT) AS a
+      FROM edges JOIN h{r - 1} USING (user_id) GROUP BY event_type)""")
+        parts.append(f"""a{r} AS (
+      SELECT event_type,
+             (a * {unit}) // (SELECT MAX(a) FROM a{r}r) AS a
+      FROM a{r}r)""")
+        parts.append(f"""h{r}r AS (
+      SELECT user_id, CAST(SUM(a) AS BIGINT) AS h
+      FROM edges JOIN a{r} USING (event_type) GROUP BY user_id)""")
+        parts.append(f"""h{r} AS (
+      SELECT user_id,
+             (h * {unit}) // (SELECT MAX(h) FROM h{r}r) AS h
+      FROM h{r}r)""")
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT 'hub' AS kind, CAST(user_id AS VARCHAR) AS node,
+           CAST(h AS BIGINT) AS score_ppm
+    FROM h{n_rounds}
+    UNION ALL
+    SELECT 'auth', event_type, CAST(a AS BIGINT) FROM a{n_rounds}"""
+
+
+QUERIES["hits_user_event"] = hits_user_event
+ORACLE_SQL["hits_user_event"] = _hits_oracle_sql()
+
+
+# final window reorder: the third-batch names above registered after the
+# mid-file reorder ran, so re-apply it now that every name exists (the
+# driver records CORRECTNESS rows for the FIRST 50 registered queries)
+QUERIES = {**{n: QUERIES[n] for n in _WINDOW_R4},
+           **{n: f for n, f in QUERIES.items() if n not in set(_WINDOW_R4)}}
+
+
+def next_token_top1(sf_dir: str) -> rd.Dataset:
+    """Per-token most-likely successor over the corpus bigram stream —
+    the greedy next-token table of a count-based LM (the eval a
+    tokenizer/LM pipeline sanity-checks corpus statistics with). Exact:
+    counts are integers, the winner per token is (count desc, successor
+    asc), and the conditional probability is a floor-division ppm.
+    Shape: per-batch Counter partials fold through the bucketed
+    combiner (the top_bigrams exchange); the per-token argmax runs in
+    grouped_topk (block-local candidates, never a global sort); the
+    per-token totals join back PARTITIONED (hash_join), so nothing
+    vocabulary-sized hits the driver. Returns
+    (token, next_token, n_pair, n_total, p_ppm)."""
+    docs = rp(sf_dir, "documents", ["text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for text in df["text"]:
+            toks = [t for t in text.split(" ") if t]
+            counts.update(zip(toks, toks[1:]))
+        ks = list(counts.keys())
+        return pd.DataFrame({
+            "token": [a for a, _ in ks],
+            "next_token": [b for _, b in ks],
+            "n_pair": np.fromiter(counts.values(), dtype=np.int64,
+                                  count=len(counts))})
+
+    bg = partial_aggregate(
+        docs.map_batches(pairs, batch_format="pandas"),
+        ["token", "next_token"], {"n_pair": ("sum", "n_pair")})
+    best = grouped_topk(bg, ["token"], ["n_pair", "next_token"], k=1,
+                        ascending=[False, True]) \
+        .map_batches(lambda df: df.drop(columns="rk"),
+                     batch_format="pandas")
+    totals = partial_aggregate(
+        bg.map_batches(lambda df: df[["token", "n_pair"]]
+                       .rename(columns={"n_pair": "n_total"}),
+                       batch_format="pandas"),
+        ["token"], {"n_total": ("sum", "n_total")})
+    joined = hash_join(best, totals, "token", "token",
+                       left_cols=["token", "next_token", "n_pair"],
+                       right_cols=["token", "n_total"])
+    return joined.map_batches(
+        lambda df: df.assign(
+            n_pair=df["n_pair"].astype(np.int64),
+            n_total=df["n_total"].astype(np.int64),
+            p_ppm=(1_000_000 * df["n_pair"].astype(np.int64))
+            // df["n_total"].astype(np.int64)),
+        batch_format="pandas")
+
+
+QUERIES["next_token_top1"] = next_token_top1
+ORACLE_SQL["next_token_top1"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bg AS (
+      SELECT a AS token, b AS next_token,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM (SELECT unnest(ts[1:len(ts)-1]) AS a,
+                   unnest(ts[2:len(ts)]) AS b
+            FROM toks)
+      WHERE a <> '' AND b <> '' GROUP BY a, b),
+    tot AS (SELECT token, CAST(SUM(n_pair) AS BIGINT) AS n_total
+            FROM bg GROUP BY token),
+    best AS (
+      SELECT token, next_token, n_pair,
+             row_number() OVER (PARTITION BY token
+                                ORDER BY n_pair DESC, next_token) AS rn
+      FROM bg)
+    SELECT b.token, b.next_token, b.n_pair, t.n_total,
+           (1000000 * b.n_pair) // t.n_total AS p_ppm
+    FROM best b JOIN tot t USING (token) WHERE rn = 1"""
+
+
+def events_cusum(sf_dir: str) -> rd.Dataset:
+    """Exact CUSUM change-point over the globally (ts, event_id)-ordered
+    value stream: the k maximizing |n*P_k - k*T| (cross-multiplied
+    deviation of the running sum from the global mean line — the KS
+    companion that reports WHERE the level shifted, not just whether).
+    Ties break to the lowest k. Shape: NO global sort — order-preserving
+    ts-range buckets (one bounds pass), per-bucket local prefix sums
+    shifted by driver-prefix-summed bucket totals (the pack_stream
+    machinery: the driver folds num_buckets scalars, then one row per
+    bucket). int64 envelope: n * max|P| must stay < 2^63 — asserted,
+    holds to ~1e9 events x 1e9 summed cents; past that the per-bucket
+    fold switches to python ints (same rule as events_ks_drift).
+    Returns one row (n_events, at_k, at_ts_us, cusum_abs)."""
+    import ray
+
+    ev = rp(sf_dir, "events", ["event_id", "ts", "value"])
+    NB = 64
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "t": df["ts"].astype("int64").to_numpy(),
+            "eid": df["event_id"].astype("int64").to_numpy(),
+            "cents": _cents(df["value"]).to_numpy()})
+
+    b = ev.map_batches(base, batch_format="pandas").materialize()
+    bounds = partial_aggregate(
+        b.map_batches(lambda df: df.assign(__g=np.int32(0)),
+                      batch_format="pandas"),
+        ["__g"], {"mn": ("min", "t"), "mx": ("max", "t")}).to_pandas()
+    mn, mx = int(bounds["mn"][0]), int(bounds["mx"][0])
+    span = max(mx - mn + 1, 1)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__rb=((df["t"].to_numpy() - mn) * NB
+                               // span).astype(np.int64))
+
+    tagged = b.map_batches(tag, batch_format="pandas").materialize()
+    sums = partial_aggregate(
+        tagged.map_batches(lambda df: df[["__rb", "cents"]]
+                           .assign(one=np.int64(1)),
+                           batch_format="pandas"),
+        ["__rb"], {"s": ("sum", "cents"), "c": ("sum", "one")}
+    ).to_pandas().sort_values("__rb")
+    csum = np.zeros(NB, dtype=np.int64)
+    ccnt = np.zeros(NB, dtype=np.int64)
+    csum[sums["__rb"].to_numpy()] = sums["s"].to_numpy()
+    ccnt[sums["__rb"].to_numpy()] = sums["c"].to_numpy()
+    total = int(csum.sum())
+    n = int(ccnt.sum())
+    off_s = np.concatenate([[0], np.cumsum(csum)[:-1]])
+    off_c = np.concatenate([[0], np.cumsum(ccnt)[:-1]])
+    ref = ray.put((off_s, off_c, n, total))
+
+    def local_best(df: pd.DataFrame) -> pd.DataFrame:
+        o_s, o_c, nn, tt = ray.get(ref)
+        rb = int(df["__rb"].iloc[0])
+        df = df.sort_values(["t", "eid"], ignore_index=True)
+        p = o_s[rb] + np.cumsum(df["cents"].to_numpy())
+        k = o_c[rb] + np.arange(1, len(df) + 1, dtype=np.int64)
+        assert abs(nn) * max(1, int(np.abs(p).max())) < (1 << 62), \
+            "int64 CUSUM envelope exceeded; switch to python ints"
+        dev = np.abs(nn * p - k * tt)
+        i = int(np.lexsort((k, -dev))[0])     # max dev, tie lowest k
+        return pd.DataFrame({
+            "at_k": np.array([k[i]], dtype=np.int64),
+            "at_ts_us": np.array([df["t"].iloc[i]], dtype=np.int64),
+            "cusum_abs": np.array([dev[i]], dtype=np.int64)})
+
+    cand = (tagged.groupby("__rb")
+            .map_groups(local_best, batch_format="pandas").to_pandas())
+    best = cand.sort_values(["cusum_abs", "at_k"],
+                            ascending=[False, True]).iloc[0]
+    return rd.from_pandas(pd.DataFrame({
+        "n_events": np.array([n], dtype=np.int64),
+        "at_k": np.array([best["at_k"]], dtype=np.int64),
+        "at_ts_us": np.array([best["at_ts_us"]], dtype=np.int64),
+        "cusum_abs": np.array([best["cusum_abs"]], dtype=np.int64)}))
+
+
+QUERIES["events_cusum"] = events_cusum
+ORACLE_SQL["events_cusum"] = """
+    WITH o AS (SELECT epoch_us(ts) AS t, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c
+               FROM events),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s FROM o),
+    w AS (SELECT t,
+                 CAST(SUM(c) OVER (ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS p,
+                 CAST(row_number() OVER (ORDER BY t, event_id)
+                      AS BIGINT) AS k
+          FROM o)
+    SELECT tot.n AS n_events, w.k AS at_k, w.t AS at_ts_us,
+           ABS(tot.n * w.p - w.k * tot.s) AS cusum_abs
+    FROM w, tot
+    ORDER BY ABS(tot.n * w.p - w.k * tot.s) DESC, w.k LIMIT 1"""
+
+
+#: power-iteration geometry shared with the generated oracle
+PC_ROUNDS = 4
+PC_UNIT = 1_000_000
+
+
+def embedding_top_pc(sf_dir: str) -> rd.Dataset:
+    """Dominant principal direction of the embedding table by
+    ALL-INTEGER power iteration on the centered scatter matrix — the
+    PCA step a whitening / semantic-dedup pipeline runs, made
+    hash-exact: the centered scatter C = n*M - s*s^T derives from
+    embedding_moments' integer rows (the ONLY corpus pass — everything
+    after is d x d, sketch-sized), C normalizes to ppm by its max |cell|
+    (sign-split floor division), and PC_ROUNDS rounds of v <- C v
+    renormalize the same way from the all-ones start. Driver math runs
+    in python ints (no overflow at any n); the generated oracle replays
+    every round with HUGEINT intermediates. Zero-matrix guard: all-equal
+    embeddings emit pc_ppm = 0. Returns (dim, pc_ppm)."""
+    emb = rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mom = similarity.embedding_moments(emb).to_pandas()
+    n = int(mom.loc[(mom["i"] == -1) & (mom["j"] == -1), "v"].iloc[0])
+    srows = mom[(mom["j"] == -1) & (mom["i"] >= 0)]
+    s = {int(r): int(v) for r, v in zip(srows["i"], srows["v"])}
+    d = max(s) + 1
+    mrows = mom[mom["j"] >= 0]
+    C = [[0] * d for _ in range(d)]
+    for i, j, v in zip(mrows["i"], mrows["j"], mrows["v"]):
+        i, j, v = int(i), int(j), int(v)
+        cij = n * v - s[i] * s[j]
+        C[i][j] = cij
+        C[j][i] = cij
+
+    def norm(vec):
+        mxa = max(abs(x) for x in vec)
+        if mxa == 0:
+            return [0] * len(vec)
+        return [(1 if x >= 0 else -1) * (abs(x) * PC_UNIT // mxa)
+                for x in vec]
+
+    # normalize by the GLOBAL max cell (one shared scale)
+    mx = max(abs(x) for row in C for x in row)
+    A = [[(1 if x >= 0 else -1) * (abs(x) * PC_UNIT // mx)
+          if mx else 0 for x in row] for row in C]
+    v = [PC_UNIT] * d
+    for _ in range(PC_ROUNDS):
+        w = [sum(A[i][j] * v[j] for j in range(d)) for i in range(d)]
+        v = norm(w)
+    return rd.from_pandas(pd.DataFrame({
+        "dim": np.arange(d, dtype=np.int64),
+        "pc_ppm": np.array(v, dtype=np.int64)}))
+
+
+def _top_pc_oracle_sql(n_rounds: int = PC_ROUNDS,
+                       unit: int = PC_UNIT) -> str:
+    parts = ["""e AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings))""",
+             """m AS (SELECT a.i, b.i AS j,
+                    CAST(SUM(a.q * b.q) AS BIGINT) AS v
+             FROM e a JOIN e b ON a.vec_id = b.vec_id
+             GROUP BY a.i, b.i)""",
+             """s AS (SELECT i, CAST(SUM(q) AS BIGINT) AS v
+             FROM e GROUP BY i)""",
+             """nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT)
+                       AS n FROM e)""",
+             """cm AS (SELECT m.i, m.j,
+                     CAST(nn.n AS HUGEINT) * m.v
+                     - CAST(si.v AS HUGEINT) * sj.v AS v
+              FROM m CROSS JOIN nn
+              JOIN s si ON si.i = m.i JOIN s sj ON sj.i = m.j)""",
+             f"""a AS (SELECT i, j,
+                     CASE WHEN (SELECT MAX(ABS(v)) FROM cm) = 0 THEN 0
+                          WHEN v >= 0
+                          THEN CAST((v * {unit})
+                               // (SELECT MAX(ABS(v)) FROM cm)
+                               AS BIGINT)
+                          ELSE -CAST(((-v) * {unit})
+                               // (SELECT MAX(ABS(v)) FROM cm)
+                               AS BIGINT) END AS v
+              FROM cm)""",
+             f"""v0 AS (SELECT DISTINCT i, CAST({unit} AS BIGINT) AS v
+               FROM a)"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""w{r} AS (
+      SELECT a.i, CAST(SUM(a.v * v{r - 1}.v) AS HUGEINT) AS w
+      FROM a JOIN v{r - 1} ON a.j = v{r - 1}.i GROUP BY a.i)""")
+        parts.append(f"""v{r} AS (
+      SELECT i,
+             CASE WHEN (SELECT MAX(ABS(w)) FROM w{r}) = 0 THEN 0
+                  WHEN w >= 0
+                  THEN CAST((w * {unit})
+                       // (SELECT MAX(ABS(w)) FROM w{r}) AS BIGINT)
+                  ELSE -CAST(((-w) * {unit})
+                       // (SELECT MAX(ABS(w)) FROM w{r}) AS BIGINT)
+             END AS v
+      FROM w{r})""")
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT i AS dim, CAST(v AS BIGINT) AS pc_ppm FROM v{n_rounds}"""
+
+
+QUERIES["embedding_top_pc"] = embedding_top_pc
+ORACLE_SQL["embedding_top_pc"] = _top_pc_oracle_sql()
