@@ -65,7 +65,10 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 third-batch additions
                  "embedding_quantize", "vocab_coverage_by_lang",
                  "user_burstiness", "hits_user_event",
-                 "next_token_top1", "events_cusum", "embedding_top_pc"]
+                 "next_token_top1", "events_cusum", "embedding_top_pc",
+                 # round-4 fourth-batch additions
+                 "ngram_novelty", "linkpred_dups", "blocklist_filter",
+                 "dedup_priority"]
 
 
 def _warm_workers(ncpu: int) -> None:

@@ -501,3 +501,65 @@ def test_embedding_top_pc_zero_matrix_and_planted_axis(tmp_path):
             .set_index("dim").sort_index())
     assert out2.loc[0, "pc_ppm"] == 0
     assert out2.loc[1, "pc_ppm"] == 1_000_000
+
+
+def test_common_neighbor_counts_open_wedges_only():
+    import ray.data as rd
+
+    from westa_ocr_ray import graph
+
+    # path 3-2-1-4 plus the closed triangle 5-6-7: open pairs are
+    # (1,3) via 2 and (2,4) via 1; triangle pairs are all adjacent and
+    # must not appear
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": [1, 2, 1, 5, 6, 5],
+        "dst": [2, 3, 4, 6, 7, 7]}))
+    out = (graph.common_neighbor_counts(edges, num_buckets=4)
+           .to_pandas().sort_values(["a", "b"], ignore_index=True))
+    assert list(map(tuple, out.to_numpy())) == [(1, 3, 1), (2, 4, 1)]
+
+
+def test_ngram_novelty_ties_award_smaller_id(tmp_path):
+    # doc 1: shingles {"a b c d", "b c d e"} — both first here;
+    # doc 2: {"a b c d", "b c d x"} — one stolen by doc 1, one novel
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b c d e", "a b c d x"],
+        "lang": "en", "source": "s", "n_chars": 9})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = (queries.ngram_novelty(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert (out.loc[1, "n_shingles"], out.loc[1, "n_novel"]) == (2, 2)
+    assert (out.loc[2, "n_shingles"], out.loc[2, "n_novel"]) == (2, 1)
+
+
+def test_blocklist_filter_counts_and_keep(tmp_path):
+    # doc 1 hits 'scan' twice + 'key' once (3 hits, 2 terms); doc 2 is
+    # clean (keep); 'scanner' must NOT count (token-boundary matching)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["scan the key then scan again", "scanner keys only"],
+        "lang": "en", "source": "s", "n_chars": 10})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = (queries.blocklist_filter(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert (out.loc[1, "n_hits"], out.loc[1, "n_terms"],
+            out.loc[1, "keep"]) == (3, 2, 0)
+    assert (out.loc[2, "n_hits"], out.loc[2, "keep"]) == (0, 1)
+
+
+def test_dedup_priority_prefers_trusted_source(tmp_path):
+    # three copies of one prefix group: src9/doc 1, src2/doc 5,
+    # src2/doc 7 → keeper is (prio 2, doc 5) even though doc 1 has the
+    # smallest id; a singleton group keeps itself
+    docs = pd.DataFrame({
+        "doc_id": [1, 5, 7, 9],
+        "text": ["p q r s tail1", "p q r s tail2", "p q r s tail3",
+                 "unique w x y"],
+        "lang": "en",
+        "source": ["src9", "src2", "src2", "src4"],
+        "n_chars": 12})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = (queries.dedup_priority(str(tmp_path)).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert list(map(tuple, out.to_numpy())) == [(5, 2, 3), (9, 4, 1)]

@@ -1564,6 +1564,52 @@ def self_overlap(ds: rd.Dataset, n: int = 4, id_col: str = "doc_id",
                              num_buckets=num_buckets)
 
 
+def ngram_novelty(ds: rd.Dataset, n: int = 4, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Novelty audit — self_overlap's forward-looking twin: for every
+    doc, how many of its DISTINCT ``n``-token shingles occur FIRST in
+    this doc (global first occurrence = min id over the whole corpus).
+    The curation statistic behind 'how much new content does each
+    document add' — a crawl snapshot whose new docs score near zero is
+    re-serving old content and can be dropped before any expensive
+    stage. Exact (queries.ORACLE_SQL['ngram_novelty']); returns
+    (id, n_shingles, n_novel).
+
+    Shape mirrors self_overlap: shingle explode → per-(doc, shingle)
+    distinct (bucketed aggregate) → per-shingle MIN(id) aggregate →
+    one partitioned hash join with the per-doc reduce fused into the
+    join buckets. Both shingle-scale tables stay distributed; ties
+    (the same shingle in two docs) award novelty to the smaller id
+    only, so Σ n_novel = |distinct shingles| exactly."""
+
+    sh = shingle_table(ds, n, id_col, text_col)
+    dsh = partial_aggregate(sh, [id_col, "g"], {"_o": ("count", None)},
+                            num_buckets=num_buckets)
+    first = partial_aggregate(
+        dsh.map_batches(lambda df: df[[id_col, "g"]],
+                        batch_format="pandas"),
+        ["g"], {"first_id": ("min", id_col)}, num_buckets=num_buckets)
+
+    def agg(d: pd.DataFrame) -> pd.DataFrame:
+        novel = (d["first_id"].to_numpy() == d[id_col].to_numpy()) \
+            .astype(np.int64)
+        out = pd.DataFrame({id_col: d[id_col].to_numpy(),
+                            "n_shingles": np.ones(len(d), dtype=np.int64),
+                            "n_novel": novel})
+        return (out.groupby(id_col, sort=False, as_index=False)
+                .agg(n_shingles=("n_shingles", "sum"),
+                     n_novel=("n_novel", "sum")).infer_objects())
+
+    j = hash_join(dsh, first, "g", "g",
+                  left_cols=[id_col, "g"], right_cols=["g", "first_id"],
+                  num_buckets=num_buckets, bucket_fn=agg)
+    return partial_aggregate(j, [id_col],
+                             {"n_shingles": ("sum", "n_shingles"),
+                              "n_novel": ("sum", "n_novel")},
+                             num_buckets=num_buckets)
+
+
 def semantic_dedup(emb: rd.Dataset, n_clusters: int = 8,
                    threshold: float = 0.4, id_col: str = "vec_id",
                    vec_col: str = "embedding",

@@ -9417,3 +9417,189 @@ def _top_pc_oracle_sql(n_rounds: int = PC_ROUNDS,
 
 QUERIES["embedding_top_pc"] = embedding_top_pc
 ORACLE_SQL["embedding_top_pc"] = _top_pc_oracle_sql()
+
+
+# --------------------------------------------------- round-4 fourth batch
+# (novelty audit, dup-graph link prediction, blocklist screen,
+# source-priority dedup — each exact-oracle)
+
+def ngram_novelty(sf_dir: str) -> rd.Dataset:
+    """Per-document content novelty (dedup.ngram_novelty): of each
+    doc's distinct 4-token shingles, how many occur FIRST here (global
+    min doc_id) — the 'how much new content does this doc add' curation
+    score; self_overlap's forward-looking twin on the same shingle
+    tables. Exact: ties award novelty to the smaller id only."""
+    return dedup.ngram_novelty(
+        rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+QUERIES["ngram_novelty"] = ngram_novelty
+ORACLE_SQL["ngram_novelty"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS g FROM t,
+           unnest(range(1, greatest(2, len(toks) - 2))) AS u(i)),
+    dsh AS (SELECT DISTINCT doc_id, g FROM sh),
+    f AS (SELECT g, MIN(doc_id) AS first_id FROM dsh GROUP BY g)
+    SELECT dsh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_id = dsh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM dsh JOIN f USING (g) GROUP BY dsh.doc_id"""
+
+
+def linkpred_dups(sf_dir: str) -> rd.Dataset:
+    """Common-neighbor link prediction over the shared-chunk
+    duplication graph (graph.common_neighbor_counts): non-adjacent doc
+    pairs that duplicate the same third document, scored by how many
+    such witnesses they share — the 'mirrors of the same upstream that
+    haven't been caught duplicating each other yet' candidate list a
+    dup audit ranks for a deeper fuzzy comparison. Completes the
+    dup-graph family (pagerank / CC / triangles / k-core) on the same
+    oracle-derivable edge list; the SQL replays chunking, pairing, the
+    wedge count and the open-wedge anti-join verbatim."""
+    from . import graph
+
+    pairs = dedup.shared_chunk_pairs(
+        rp(sf_dir, "documents", ["doc_id", "text"]),
+        size_hint_bytes=_doc_size_hint(sf_dir))
+    cn = graph.common_neighbor_counts(
+        pairs.select_columns(["doc_a", "doc_b"]),
+        "doc_a", "doc_b", num_buckets=8)
+    return cn.map_batches(
+        lambda df: df.rename(columns={"a": "doc_a", "b": "doc_b"}),
+        batch_format="pandas")
+
+
+QUERIES["linkpred_dups"] = linkpred_dups
+ORACLE_SQL["linkpred_dups"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, md5(array_to_string(toks[10*i+1:10*i+10], ' '))
+                   AS ch
+          FROM (SELECT doc_id, toks,
+                       unnest(range(0, len(toks) // 10)) AS i
+                FROM t)),
+    d AS (SELECT DISTINCT doc_id, ch FROM c),
+    e AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.ch = b.ch AND a.doc_id < b.doc_id),
+    sym AS (SELECT a AS m, b AS n FROM e
+            UNION ALL SELECT b, a FROM e),
+    w AS (SELECT l.n AS a, r.n AS c,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sym l JOIN sym r ON l.m = r.m AND l.n < r.n
+          GROUP BY l.n, r.n)
+    SELECT w.a AS doc_a, w.c AS doc_b, w.n_common
+    FROM w WHERE NOT EXISTS (SELECT 1 FROM e
+                             WHERE e.a = w.a AND e.b = w.c)"""
+
+
+#: shared by engine and oracle — drawn from the fixture vocabulary so
+#: hits are dense; a real deployment swaps in its unsafe-term list
+BLOCK_TERMS = ("scan", "window", "merge", "key")
+
+
+def blocklist_filter(sf_dir: str) -> rd.Dataset:
+    """Multi-term blocklist screen — the unsafe-content gate every
+    training-data pipeline runs (toxic/PII/spam term lists): per doc,
+    total blocklist-token occurrences, distinct terms hit, and the
+    keep flag (zero hits). Pure map — ONE pass, no shuffle, nothing on
+    the driver: token explode + np.isin against the tiny constant term
+    array inside map_batches (an Aho-Corasick automaton replaces isin
+    for thousand-term lists; same stage shape). Exact token-boundary
+    matching (substring matching would also flag 'scanner'), mirrored
+    by the oracle's list_filter. Returns
+    (doc_id, n_hits, n_terms, keep)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    terms = np.array(BLOCK_TERMS, dtype=object)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].str.split(" ")
+        n = s.map(len).to_numpy(dtype=np.int64)
+        flat = np.concatenate(s.to_numpy()) if len(df) else \
+            np.array([], dtype=object)
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), n)
+        hits = np.isin(flat, terms)
+        n_hits = np.bincount(doc_idx, weights=hits,
+                             minlength=len(df)).astype(np.int64)
+        n_terms = np.zeros(len(df), dtype=np.int64)
+        for t in BLOCK_TERMS:       # |terms| passes, each vectorized
+            m = np.bincount(doc_idx, weights=(flat == t),
+                            minlength=len(df))
+            n_terms += (m > 0)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64).to_numpy(),
+            "n_hits": n_hits, "n_terms": n_terms,
+            "keep": (n_hits == 0).astype(np.int64)})
+
+    return docs.map_batches(scan, batch_format="pandas")
+
+
+QUERIES["blocklist_filter"] = blocklist_filter
+ORACLE_SQL["blocklist_filter"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         x -> list_contains(
+                           {list(BLOCK_TERMS)!r}, x)) AS hits
+      FROM documents)
+    SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+           CAST(len(list_distinct(hits)) AS BIGINT) AS n_terms,
+           CAST(CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+    FROM t"""
+
+
+#: doc_id packs under the priority in one int64: prio * PRIO_BASE + id
+PRIO_BASE = 10 ** 12
+
+
+def dedup_priority(sf_dir: str) -> rd.Dataset:
+    """Source-priority exact dedup — dedup where the KEPT copy is not
+    the smallest id but the one from the most-trusted source (curated
+    beats crawl), the rule real corpus merges use. Dup key = the
+    4-token-prefix hash (the duplication actually planted in the
+    fixture corpus, the dup_source_matrix rule; swap in full-text md5
+    for byte-exact groups — identical shape). Priority = the source's
+    numeric suffix (src3 → 3, lower wins). ONE bucketed aggregate:
+    each group's argmin over (priority, doc_id) rides a packed int64
+    (prio * PRIO_BASE + doc_id, valid to 10^12 docs and 9.2M sources)
+    through the same combiner as any min — no join-back, no second
+    pass. Returns one row per group:
+    (doc_id, prio, n_copies) for the keeper."""
+    docs = rp(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        prio = df["source"].str.slice(3).astype(np.int64).to_numpy()
+        comb = prio * PRIO_BASE + df["doc_id"].astype(np.int64).to_numpy()
+        return pd.DataFrame({
+            "h": [dedup.md5_hex(" ".join(t.split(" ")[:4]))
+                  for t in df["text"]],
+            "comb": comb})
+
+    g = partial_aggregate(
+        docs.map_batches(keyed, batch_format="pandas"),
+        ["h"], {"n_copies": ("count", None), "mn": ("min", "comb")},
+        size_hint_bytes=_doc_size_hint(sf_dir))
+    return g.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": (df["mn"].to_numpy(np.int64) % PRIO_BASE),
+            "prio": (df["mn"].to_numpy(np.int64) // PRIO_BASE),
+            "n_copies": df["n_copies"].astype(np.int64).to_numpy()}),
+        batch_format="pandas")
+
+
+QUERIES["dedup_priority"] = dedup_priority
+ORACLE_SQL["dedup_priority"] = f"""
+    WITH k AS (
+      SELECT doc_id,
+             CAST(substr(source, 4) AS BIGINT) AS prio,
+             md5(array_to_string((string_split(text, ' '))[1:4], ' '))
+               AS h
+      FROM documents),
+    g AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies,
+                 MIN(prio * {PRIO_BASE} + doc_id) AS mn
+          FROM k GROUP BY h)
+    SELECT CAST(mn % {PRIO_BASE} AS BIGINT) AS doc_id,
+           CAST(mn // {PRIO_BASE} AS BIGINT) AS prio,
+           n_copies
+    FROM g"""
