@@ -68,7 +68,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "next_token_top1", "events_cusum", "embedding_top_pc",
                  # round-4 fourth-batch additions
                  "ngram_novelty", "linkpred_dups", "blocklist_filter",
-                 "dedup_priority"]
+                 "dedup_priority",
+                 # round-4 fifth-batch additions
+                 "mmr_diversify", "session_paths", "embedding_pq"]
 
 
 def _warm_workers(ncpu: int) -> None:

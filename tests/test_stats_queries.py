@@ -563,3 +563,85 @@ def test_dedup_priority_prefers_trusted_source(tmp_path):
     out = (queries.dedup_priority(str(tmp_path)).to_pandas()
            .sort_values("doc_id", ignore_index=True))
     assert list(map(tuple, out.to_numpy())) == [(5, 2, 3), (9, 4, 1)]
+
+
+def _write_emb(tmp_path, ids, vecs):
+    pd.DataFrame({"vec_id": ids,
+                  "embedding": [list(map(float, v)) for v in vecs],
+                  "label": np.int32(0)}) \
+        .to_parquet(tmp_path / "embeddings.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_mmr_diversify_flips_on_redundancy(tmp_path):
+    # query = vec 0 = [1,0,0]. c1/c2 share the query-plus-side-axis
+    # direction (redundant with each other); c3 is less relevant but
+    # diverse. Round 2 must pick c3 over the higher-rel c2:
+    # score(c2) = 2*900000 - 1055000 = 745000 <
+    # score(c3) = 2*800000 - 720000 = 880000. With only 3 candidates
+    # and MMR_K = 6, the early-stop emits exactly 3 picks.
+    sf = _write_emb(tmp_path, [0, 1, 2, 3],
+                    [[1.0, 0.0, 0.0], [0.9, 0.5, 0.0],
+                     [0.9, 0.49, 0.0], [0.8, 0.0, 0.5]])
+    out = queries.mmr_diversify(sf).to_pandas()
+    assert list(out["vec_id"]) == [1, 3, 2]
+    assert list(out["pick_round"]) == [1, 2, 3]
+    r2 = out[out["pick_round"] == 2].iloc[0]
+    assert (r2["rel"], r2["maxsim"], r2["score"]) \
+        == (800_000, 720_000, 880_000)
+
+
+def test_session_paths_gap_split_and_truncation(tmp_path):
+    # users 1,2 both open with a|b (user 1's later c is its own
+    # session); user 3 fires 7 events inside one session → path
+    # truncates at 5
+    m = 60_000_000
+    df = pd.DataFrame({
+        "event_id": np.arange(11),
+        "user_id": [1, 1, 1, 2, 2] + [3] * 6,
+        "event_type": ["a", "b", "c", "a", "b"] + ["x"] * 6,
+        "ts_us": [0, m, 40 * m, 0, m] + list(np.arange(6) * m),
+        "value": 1.0, "props": ""})
+    sf = _write_events(tmp_path, df)
+    out = (queries.session_paths(sf).to_pandas()
+           .set_index("path").sort_index())
+    assert out.loc["a|b", "n"] == 2 and out.loc["a|b", "rank"] == 1
+    assert out.loc["c", "n"] == 1
+    assert out.loc["x|x|x|x|x", "n"] == 1
+
+
+def test_embedding_pq_identical_vectors_collapse(tmp_path):
+    # five identical 64-dim vectors: the four seed centroids coincide,
+    # ties go to the lowest centroid, empty clusters die → every
+    # vector gets code (0, 0) with zero error
+    v = np.zeros(64)
+    v[3], v[40] = 1.0, -2.0
+    sf = _write_emb(tmp_path, [1, 2, 3, 4, 5], [v] * 5)
+    out = queries.embedding_pq(sf).to_pandas()
+    assert len(out) == 5
+    assert set(out["code_a"]) == {0} and set(out["code_b"]) == {0}
+    assert out["dist2_total"].sum() == 0
+
+
+def test_embedding_pq_error_adds_across_subspaces(tmp_path):
+    # 4 distinct seed vectors quantize error-free onto themselves; a
+    # 5th sits 0.002 off seed 2 in one dim of EACH half → after the
+    # floor-of-mean update the cluster centre lands between the two
+    # members (q 999) and both members sit at dist2 1 per subspace
+    def mk(a_dim_val, b_dim_val):
+        v = np.zeros(64)
+        v[0], v[32] = a_dim_val, b_dim_val
+        return v
+
+    vecs = [mk(1.0, 1.0), mk(-1.0, -1.0), mk(5.0, 5.0), mk(-5.0, -5.0),
+            mk(0.998, 0.998)]
+    sf = _write_emb(tmp_path, [1, 2, 3, 4, 5], vecs)
+    out = (queries.embedding_pq(sf).to_pandas()
+           .set_index("vec_id").sort_index())
+    # vec 5 joins vec 1's cluster (code 0) in both halves
+    assert (out.loc[5, "code_a"], out.loc[5, "code_b"]) == (0, 0)
+    assert out.loc[5, "dist2_a"] == 1 and out.loc[5, "dist2_b"] == 1
+    assert out.loc[1, "dist2_total"] == 2          # pulled centre
+    assert out.loc[3, "dist2_total"] == 0          # untouched seed
+    assert (out["dist2_total"]
+            == out["dist2_a"] + out["dist2_b"]).all()

@@ -9603,3 +9603,334 @@ ORACLE_SQL["dedup_priority"] = f"""
            CAST(mn // {PRIO_BASE} AS BIGINT) AS prio,
            n_copies
     FROM g"""
+
+
+# --------------------------------------------------- round-4 fifth batch
+# (MMR diversified retrieval, session path mining, product quantization)
+
+MMR_K = 6          # picks; oracle CTE chain replays each round
+MMR_REL_W = 2      # score = 2·rel − maxsim (λ = 2/3 in MMR's λ form)
+
+
+def mmr_diversify(sf_dir: str) -> rd.Dataset:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    diversified top-k a RAG stack runs after retrieval so the k
+    passages aren't six copies of the same paragraph. Greedy: each
+    round picks argmax of MMR_REL_W·rel(c) − max_{s∈S} sim(c, s),
+    ties to the lowest vec_id. EXACT and all-integer: vectors are the
+    shared milli-quantization, rel/sim are int64 dot products, so the
+    generated oracle (_mmr_oracle_sql) replays every pick verbatim.
+    Query = the embedding of the smallest vec_id (the semantic_dedup
+    seed trick), excluded from candidates.
+
+    Shape: candidates stay a Dataset throughout — rel computes once
+    in one map (query vector broadcast via ray.put), each round is a
+    constant-group partial top-1 (the driver sees ONE row per round)
+    plus a broadcast maxsim update; K materializes of a (id, rel, ms,
+    q) table. Returns (vec_id, pick_round, rel, maxsim, score)."""
+    import ray
+
+    emb = rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(df: pd.DataFrame) -> np.ndarray:
+        P = (np.stack(df["embedding"].to_numpy()).astype(np.float64)
+             * 1000.0)
+        return (np.sign(P) * np.floor(np.abs(P) + 0.5)).astype(np.int64)
+
+    mn = partial_aggregate(
+        emb.map_batches(
+            lambda df: pd.DataFrame({
+                "__g": np.zeros(len(df), dtype=np.int32),
+                "v": df["vec_id"].astype(np.int64).to_numpy()}),
+            batch_format="pandas"),
+        ["__g"], {"mn": ("min", "v")}).to_pandas()
+    qid = int(mn["mn"].iloc[0])
+    qrow = emb.map_batches(lambda df: df[df["vec_id"] == qid],
+                           batch_format="pandas").to_pandas()
+    qref = ray.put(quant(qrow)[0])
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["vec_id"].to_numpy() != qid
+        if not m.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "rel": pd.Series([], dtype="int64"),
+                                 "ms": pd.Series([], dtype="int64"),
+                                 "q": pd.Series([], dtype=object)})
+        Q = quant(df[m])
+        rel = Q @ ray.get(qref)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy()[m].astype(np.int64),
+            "rel": rel.astype(np.int64),
+            "ms": np.zeros(int(m.sum()), dtype=np.int64),
+            "q": list(Q)})
+
+    cand = emb.map_batches(base, batch_format="pandas").materialize()
+    picks = []
+    for r in range(1, MMR_K + 1):
+        scored = cand.map_batches(
+            lambda df: df.assign(
+                score=MMR_REL_W * df["rel"].to_numpy(np.int64)
+                - df["ms"].to_numpy(np.int64),
+                __g=np.int32(0)),
+            batch_format="pandas")
+        top = grouped_topk(scored, ["__g"], ["score", "vec_id"], 1,
+                           ascending=[False, True],
+                           num_buckets=8).to_pandas()
+        if not len(top):     # fewer candidates than MMR_K: stop early,
+            break            # exactly as the oracle's empty p{r} rounds
+        pid = int(top["vec_id"].iloc[0])
+        picks.append((pid, r, int(top["rel"].iloc[0]),
+                      int(top["ms"].iloc[0]), int(top["score"].iloc[0])))
+        if r == MMR_K:
+            break
+        pref = ray.put(np.asarray(top["q"].iloc[0], dtype=np.int64))
+
+        def upd(df: pd.DataFrame, _pid=pid, _pref=pref) -> pd.DataFrame:
+            d = df[df["vec_id"].to_numpy() != _pid]
+            if not len(d):
+                return d
+            dots = np.stack(d["q"].to_numpy()) @ ray.get(_pref)
+            return d.assign(ms=np.maximum(d["ms"].to_numpy(np.int64),
+                                          dots.astype(np.int64)))
+
+        cand = cand.map_batches(upd, batch_format="pandas").materialize()
+    out = pd.DataFrame(picks, columns=["vec_id", "pick_round", "rel",
+                                       "maxsim", "score"])
+    return rd.from_pandas(out.astype("int64"))
+
+
+def _mmr_oracle_sql(k: int = MMR_K) -> str:
+    parts = ["""e AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings))""",
+             "qid AS (SELECT MIN(vec_id) AS id FROM embeddings)",
+             """rel AS (
+      SELECT c.vec_id, CAST(SUM(c.q * s.q) AS BIGINT) AS rel
+      FROM e c JOIN e s ON c.i = s.i
+      WHERE s.vec_id = (SELECT id FROM qid)
+        AND c.vec_id <> (SELECT id FROM qid)
+      GROUP BY c.vec_id)""",
+             "m0 AS (SELECT vec_id, CAST(0 AS BIGINT) AS ms FROM rel)"]
+    for r in range(1, k + 1):
+        excl = (f" WHERE rel.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})"
+                if r > 1 else "")
+        parts.append(f"""p{r} AS (
+      SELECT rel.vec_id, rel.rel, m{r - 1}.ms,
+             {MMR_REL_W} * rel.rel - m{r - 1}.ms AS score
+      FROM rel JOIN m{r - 1} USING (vec_id){excl}
+      ORDER BY score DESC, rel.vec_id LIMIT 1)""")
+        prev = (f" UNION ALL SELECT vec_id FROM sel{r - 1}"
+                if r > 1 else "")
+        parts.append(f"sel{r} AS (SELECT vec_id FROM p{r}{prev})")
+        if r < k:
+            parts.append(f"""d{r} AS (
+      SELECT c.vec_id, s.vec_id AS sv, CAST(SUM(c.q * s.q) AS BIGINT)
+               AS d
+      FROM e c JOIN e s ON c.i = s.i
+      WHERE s.vec_id IN (SELECT vec_id FROM sel{r})
+        AND c.vec_id <> (SELECT id FROM qid)
+        AND c.vec_id NOT IN (SELECT vec_id FROM sel{r})
+      GROUP BY c.vec_id, s.vec_id)""")
+            parts.append(f"""m{r} AS (
+      SELECT vec_id, MAX(d) AS ms FROM d{r} GROUP BY vec_id)""")
+    finals = "\n    UNION ALL ".join(
+        f"""SELECT vec_id, CAST({r} AS BIGINT) AS pick_round,
+           CAST(rel AS BIGINT) AS rel, CAST(ms AS BIGINT) AS maxsim,
+           CAST(score AS BIGINT) AS score FROM p{r}"""
+        for r in range(1, k + 1))
+    return f"""
+    WITH {', '.join(parts)}
+    {finals}"""
+
+
+QUERIES["mmr_diversify"] = mmr_diversify
+ORACLE_SQL["mmr_diversify"] = _mmr_oracle_sql()
+
+
+SP_GAP_US = 1800 * 10**6   # the events_sessionize inactivity gap
+SP_MAXLEN = 5              # path truncation length
+SP_K = 20                  # top paths reported
+
+
+def session_paths(sf_dir: str) -> rd.Dataset:
+    """Top session paths — frequency mining of the event-type sequence
+    each session opens with (truncated at SP_MAXLEN), the
+    behavioral-funnel mining step after sessionization ("what do the
+    most common first five actions look like"). Exact: sessions follow
+    the events_sessionize 30-min gap rule; paths are '|'-joined in
+    (ts, event_id) order; ranking is (count desc, path asc). Shape:
+    sessionize + path build run per user-bucket in the ordered-log
+    pattern (one row per SESSION leaves the bucket), counts fold
+    through the bucketed combiner, the top-k is the constant-group
+    partial top-k — never a global sort. Returns (path, n, rank)."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts",
+                               "event_type"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        prev = df.groupby("user_id")["ts"].shift()
+        gap = df["ts"].astype("int64") - prev.astype("int64")
+        new_sess = prev.isna() | (gap > SP_GAP_US)
+        sess = (new_sess.groupby(df["user_id"]).cumsum()
+                .astype("int64") - 1)
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "sess": sess.to_numpy(),
+                          "et": df["event_type"].to_numpy()})
+        d["rn"] = d.groupby(["user_id", "sess"]).cumcount()
+        d = d[d["rn"] < SP_MAXLEN]
+        p = d.groupby(["user_id", "sess"], sort=False)["et"] \
+            .agg("|".join)
+        return pd.DataFrame({"path": p.to_numpy(),
+                             "n": np.ones(len(p), dtype=np.int64)})
+
+    counts = partial_aggregate(_bucketed_by_user(ev, fn),
+                               ["path"], {"n": ("sum", "n")})
+    top = grouped_topk(
+        counts.map_batches(lambda df: df.assign(__g=np.int32(0)),
+                           batch_format="pandas"),
+        ["__g"], ["n", "path"], SP_K, ascending=[False, True],
+        num_buckets=8)
+    return top.map_batches(
+        lambda df: pd.DataFrame({"path": df["path"].to_numpy(),
+                                 "n": df["n"].astype(np.int64),
+                                 "rank": df["rk"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+QUERIES["session_paths"] = session_paths
+ORACLE_SQL["session_paths"] = f"""
+    WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+               FROM events),
+    w AS (SELECT *, LAG(t) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id) AS pt FROM o),
+    s AS (SELECT *,
+                 SUM(CASE WHEN pt IS NULL OR t - pt > {SP_GAP_US}
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS UNBOUNDED PRECEDING) - 1 AS sess
+          FROM w),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                                       ORDER BY t, event_id) AS rn
+          FROM s),
+    p AS (SELECT user_id, sess,
+                 string_agg(event_type, '|' ORDER BY t, event_id)
+                   AS path
+          FROM r WHERE rn <= {SP_MAXLEN} GROUP BY user_id, sess),
+    c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p GROUP BY path),
+    k AS (SELECT path, n, row_number() OVER (ORDER BY n DESC, path)
+                   AS rank
+          FROM c)
+    SELECT path, n, CAST(rank AS BIGINT) AS rank
+    FROM k WHERE rank <= {SP_K}"""
+
+
+PQ_K = 4       # centroids per subspace
+PQ_SPLIT = 32  # dims per subspace (two subspaces over the 64-dim table)
+
+
+def embedding_pq(sf_dir: str) -> rd.Dataset:
+    """Product quantization (Jégou et al. 2011) of the embedding table
+    — the ANN compression standard: split each vector into two
+    subspaces and k-means each independently, so a vector stores as
+    two small codes and distances come from code-book lookups. Both
+    subspace clusterings are the existing all-integer Lloyd machinery
+    (similarity.kmeans_lloyd_int: deterministic lowest-id seeds, ties
+    to the lowest centroid, floor-of-mean updates), so the generated
+    oracle replays both round sequences exactly. The two assignment
+    tables join back PARTITIONED on vec_id. Returns
+    (vec_id, code_a, code_b, dist2_a, dist2_b, dist2_total)."""
+
+    emb = rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def half(lo: int, hi: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            M = np.stack(df["embedding"].to_numpy())[:, lo:hi]
+            return pd.DataFrame({
+                "vec_id": df["vec_id"].astype(np.int64).to_numpy(),
+                "embedding": list(M)})
+        return f
+
+    a = similarity.kmeans_lloyd_int(
+        emb.map_batches(half(0, PQ_SPLIT), batch_format="pandas"),
+        k=PQ_K, n_rounds=KMEANS_ROUNDS)
+    b = similarity.kmeans_lloyd_int(
+        emb.map_batches(half(PQ_SPLIT, 2 * PQ_SPLIT),
+                        batch_format="pandas"),
+        k=PQ_K, n_rounds=KMEANS_ROUNDS)
+    j = hash_join(a, b, "vec_id", "vec_id",
+                  left_cols=["vec_id", "cluster", "dist2"],
+                  right_cols=["vec_id", "cluster", "dist2"],
+                  num_buckets=8)
+    return j.map_batches(
+        lambda df: pd.DataFrame({
+            "vec_id": df["vec_id"].astype(np.int64),
+            "code_a": df["cluster"].astype(np.int64),
+            "code_b": df["cluster_r"].astype(np.int64),
+            "dist2_a": df["dist2"].astype(np.int64),
+            "dist2_b": df["dist2_r"].astype(np.int64),
+            "dist2_total": (df["dist2"].astype(np.int64)
+                            + df["dist2_r"].astype(np.int64))}),
+        batch_format="pandas")
+
+
+def _pq_half_sql(p: str, lo: int, hi: int, k: int = PQ_K,
+                 n_rounds: int = KMEANS_ROUNDS) -> list:
+    """CTE parts replaying one subspace's integer k-means (the
+    _kmeans_oracle_sql rounds, name-prefixed and dimension-windowed:
+    1-based parquet dims (lo, hi])."""
+    parts = [f"""{p}e AS (
+      SELECT vec_id, CAST(i - {lo + 1} AS BIGINT) AS i,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+      WHERE i > {lo} AND i <= {hi})""",
+             f"""{p}c0 AS (SELECT s.c, {p}e.i, {p}e.q AS v
+               FROM {p}e JOIN seeds s USING (vec_id))"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""{p}d{r} AS (
+      SELECT {p}e.vec_id, {p}c{r - 1}.c,
+             SUM(({p}e.q - {p}c{r - 1}.v) * ({p}e.q - {p}c{r - 1}.v))
+               AS dist2
+      FROM {p}e JOIN {p}c{r - 1} ON {p}e.i = {p}c{r - 1}.i
+      GROUP BY {p}e.vec_id, {p}c{r - 1}.c)""")
+        parts.append(f"""{p}a{r} AS (
+      SELECT vec_id, c, dist2
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist2, c) AS rn
+            FROM {p}d{r})
+      WHERE rn = 1)""")
+        if r < n_rounds:
+            parts.append(f"""{p}c{r} AS (
+      SELECT {p}a{r}.c, {p}e.i,
+             CAST(FLOOR(CAST(SUM({p}e.q) AS DOUBLE) / COUNT(*))
+                  AS BIGINT) AS v
+      FROM {p}e JOIN {p}a{r} USING (vec_id)
+      GROUP BY {p}a{r}.c, {p}e.i)""")
+    return parts
+
+
+def _pq_oracle_sql(k: int = PQ_K, n_rounds: int = KMEANS_ROUNDS) -> str:
+    parts = [f"""seeds AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS c
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            ORDER BY vec_id LIMIT {k}))"""]
+    parts += _pq_half_sql("xa", 0, PQ_SPLIT, k, n_rounds)
+    parts += _pq_half_sql("xb", PQ_SPLIT, 2 * PQ_SPLIT, k, n_rounds)
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT a.vec_id, CAST(a.c AS BIGINT) AS code_a,
+           CAST(b.c AS BIGINT) AS code_b,
+           CAST(a.dist2 AS BIGINT) AS dist2_a,
+           CAST(b.dist2 AS BIGINT) AS dist2_b,
+           CAST(a.dist2 + b.dist2 AS BIGINT) AS dist2_total
+    FROM xaa{n_rounds} a JOIN xba{n_rounds} b USING (vec_id)"""
+
+
+QUERIES["embedding_pq"] = embedding_pq
+ORACLE_SQL["embedding_pq"] = _pq_oracle_sql()
