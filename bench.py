@@ -70,7 +70,10 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "ngram_novelty", "linkpred_dups", "blocklist_filter",
                  "dedup_priority",
                  # round-4 fifth-batch additions
-                 "mmr_diversify", "session_paths", "embedding_pq"]
+                 "mmr_diversify", "session_paths", "embedding_pq",
+                 # round-4 sixth-batch additions
+                 "q5_local_supplier_volume", "dup_cluster_stats",
+                 "ra_linkpred"]
 
 
 def _warm_workers(ncpu: int) -> None:

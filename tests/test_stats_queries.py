@@ -645,3 +645,77 @@ def test_embedding_pq_error_adds_across_subspaces(tmp_path):
     assert out.loc[3, "dist2_total"] == 0          # untouched seed
     assert (out["dist2_total"]
             == out["dist2_a"] + out["dist2_b"]).all()
+
+
+def test_q5_locality_and_date_window(tmp_path):
+    # one region nation (n1/ASIA-like), one outside (n2). Line A:
+    # customer and supplier both n1, in-window → counted. Line B:
+    # supplier n2 → locality predicate drops it. Order C: out of the
+    # date window → dropped at the read.
+    pd.DataFrame({"r_regionkey": [0, 1],
+                  "r_name": ["ASIA", "EUROPE"]}) \
+        .to_parquet(tmp_path / "region.parquet", index=False)
+    pd.DataFrame({"n_nationkey": np.int32([10, 20]),
+                  "n_name": ["JAPAN", "FRANCE"],
+                  "n_regionkey": np.int32([0, 1])}) \
+        .to_parquet(tmp_path / "nation.parquet", index=False)
+    pd.DataFrame({"c_custkey": [1], "c_name": ["c"],
+                  "c_nationkey": np.int32(10), "c_acctbal": 0.0,
+                  "c_mktsegment": ["X"]}) \
+        .to_parquet(tmp_path / "customer.parquet", index=False)
+    pd.DataFrame({"s_suppkey": [7, 8], "s_name": ["s", "s"],
+                  "s_nationkey": np.int32([10, 20]),
+                  "s_acctbal": 0.0}) \
+        .to_parquet(tmp_path / "supplier.parquet", index=False)
+    pd.DataFrame({"o_orderkey": [100, 101], "o_custkey": 1,
+                  "o_orderstatus": "F", "o_totalprice": 1.0,
+                  "o_orderdate": pd.to_datetime(
+                      ["1996-06-01", "1995-06-01"]),
+                  "o_orderpriority": "1"}) \
+        .to_parquet(tmp_path / "orders.parquet", index=False)
+    pd.DataFrame({"l_orderkey": [100, 100, 101],
+                  "l_partkey": 1, "l_suppkey": [7, 8, 7],
+                  "l_linenumber": np.int32(1), "l_quantity": 1.0,
+                  "l_extendedprice": [100.0, 100.0, 100.0],
+                  "l_discount": [0.25, 0.0, 0.0], "l_tax": 0.0,
+                  "l_returnflag": "N", "l_linestatus": "O",
+                  "l_shipdate": pd.Timestamp("1996-07-01")}) \
+        .to_parquet(tmp_path / "lineitem.parquet", index=False)
+    out = queries.q5_local_supplier_volume(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_name"] == "JAPAN" and row["n_lines"] == 1
+    assert row["revenue_e4"] == 750_000   # 100 * 0.75 * 1e4
+
+
+def test_resource_allocation_discounts_hubs():
+    import ray.data as rd
+
+    from westa_ocr_ray import graph
+
+    # path 1-2-3 plus hub 4 (edges 1-4, 3-4, 4-5): deg(2)=2, deg(4)=3
+    # → (1,3) = 1e6//2 + 1e6//3; (2,4) shares {1,3} both deg 2 → 1e6;
+    # (1,5)/(3,5) via the hub only → 333333
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": [1, 2, 1, 3, 4], "dst": [2, 3, 4, 4, 5]}))
+    out = (graph.common_neighbor_counts(edges, num_buckets=4,
+                                        weight_unit=10**6)
+           .to_pandas().sort_values(["a", "b"], ignore_index=True))
+    assert list(map(tuple, out.to_numpy())) == [
+        (1, 3, 833_333), (1, 5, 333_333), (2, 4, 1_000_000),
+        (3, 5, 333_333)]
+
+
+def test_dup_cluster_stats_histogram(tmp_path):
+    # docs 1,2 share their first 10-token chunk (one size-2 cluster);
+    # doc 3 shares a chunk with nobody → absent from the census
+    shared = " ".join(f"w{i}" for i in range(10))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [shared + " " + " ".join(f"a{i}" for i in range(10)),
+                 shared + " " + " ".join(f"b{i}" for i in range(10)),
+                 " ".join(f"c{i}" for i in range(20))],
+        "lang": "en", "source": "s", "n_chars": 100})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = queries.dup_cluster_stats(str(tmp_path)).to_pandas()
+    assert list(map(tuple, out.to_numpy())) == [(2, 1)]

@@ -208,7 +208,8 @@ def triangle_node_counts(edges: rd.Dataset, src_col: str = "src",
 
 def common_neighbor_counts(edges: rd.Dataset, src_col: str = "src",
                            dst_col: str = "dst",
-                           num_buckets: Optional[int] = None) -> rd.Dataset:
+                           num_buckets: Optional[int] = None,
+                           weight_unit: Optional[int] = None) -> rd.Dataset:
     """Common-neighbor link prediction over an undirected graph: for
     every NON-adjacent node pair at distance exactly 2, the number of
     shared neighbors — the classic "these two mirrors duplicate the
@@ -224,7 +225,15 @@ def common_neighbor_counts(edges: rd.Dataset, src_col: str = "src",
     the Σ deg² wedge volume (the exact-triangle price; cap hub degrees
     upstream if that bound is too hot at 100 TB — deliberately not done
     silently here). Returns (a, b, n_common) with a < b, non-edges
-    only, n_common >= 1."""
+    only, n_common >= 1.
+
+    ``weight_unit``: when set, each wedge through middle node m
+    contributes ``weight_unit // deg(m)`` instead of 1 — the
+    resource-allocation index (Zhou et al. 2009), which discounts
+    common neighbors that are promiscuous hubs; purely rational so the
+    SQL oracle replays it exactly. Costs one extra bounded aggregate
+    (the degree table) and one partitioned join of it onto the
+    adjacency."""
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         a = df[src_col].to_numpy()
@@ -246,16 +255,30 @@ def common_neighbor_counts(edges: rd.Dataset, src_col: str = "src",
     sb = e.map_batches(
         lambda df: sym(df).rename(columns={"m": "m2", "n": "c"}),
         batch_format="pandas")
+    left_cols = ["m", "n"]
+    if weight_unit is not None:
+        deg = partial_aggregate(
+            sa.map_batches(lambda df: df[["m"]], batch_format="pandas"),
+            ["m"], {"deg": ("count", None)}, num_buckets=num_buckets)
+        sa = hash_join(
+            sa, deg, "m", "m", left_cols=["m", "n"],
+            right_cols=["m", "deg"], num_buckets=num_buckets,
+            bucket_fn=lambda df: df.assign(
+                w=weight_unit // df["deg"].to_numpy(np.int64))
+            [["m", "n", "w"]])
+        left_cols = ["m", "n", "w"]
 
     def wedge(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df["n"] < df["c"]]
+        w = (d["w"].to_numpy(np.int64) if weight_unit is not None
+             else np.ones(len(d), dtype=np.int64))
         out = pd.DataFrame({"a": d["n"].to_numpy(),
                             "c": d["c"].to_numpy(),
-                            "n_common": np.ones(len(d), dtype=np.int64)})
+                            "n_common": w})
         return (out.groupby(["a", "c"], sort=False, as_index=False)
                 .agg(n_common=("n_common", "sum")).infer_objects())
 
-    wedges = hash_join(sa, sb, "m", "m2", left_cols=["m", "n"],
+    wedges = hash_join(sa, sb, "m", "m2", left_cols=left_cols,
                        right_cols=["m2", "c"], num_buckets=num_buckets,
                        bucket_fn=wedge)
     cn = partial_aggregate(wedges, ["a", "c"],

@@ -9934,3 +9934,194 @@ def _pq_oracle_sql(k: int = PQ_K, n_rounds: int = KMEANS_ROUNDS) -> str:
 
 QUERIES["embedding_pq"] = embedding_pq
 ORACLE_SQL["embedding_pq"] = _pq_oracle_sql()
+
+
+# --------------------------------------------------- round-4 sixth batch
+# (multi-way snowflake join, dup-cluster census, weighted link
+# prediction)
+
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1996-01-01", "1997-01-01"
+
+
+def q5_local_supplier_volume(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q5 (local supplier volume): revenue per nation where the
+    ordering customer and the line's supplier share the nation, within
+    one region and order-date year — the hardest classic join shape in
+    the suite (two large-large equi-joins PLUS a cross-table equality
+    that is not a join key). Ray-Data-first plan: the date filter
+    prunes orders AT THE READ side of the first join; lineitem ⋈
+    orders and ⋈ customer run PARTITIONED (hash_join) with the
+    region's nation-key set (25 rows max) applied INSIDE the customer
+    join's bucket; the supplier join's bucket applies the
+    c_nationkey = s_nationkey locality predicate and pre-reduces to
+    per-nation partials, so the final exchange is ≤ 25 rows per
+    bucket. Dimension names broadcast as a dict (J1). Revenue uses
+    the q3 e4 integer-cents rule (no .5 ties at 4 decimals). Returns
+    (n_name, n_lines, revenue_e4)."""
+    nat = rp(sf_dir, "nation",
+             ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = rp(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    nat = nat[nat["r_name"] == Q5_REGION]
+    region_keys = frozenset(int(k) for k in nat["n_nationkey"])
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    lo, hi = pd.Timestamp(Q5_FROM), pd.Timestamp(Q5_TO)
+    orders_f = rp(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda df: df[(df["o_orderdate"] >= lo)
+                          & (df["o_orderdate"] < hi)]
+            [["o_orderkey", "o_custkey"]],
+            batch_format="pandas")
+    li = rp(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    j1 = hash_join(li, orders_f, "l_orderkey", "o_orderkey",
+                   left_cols=["l_orderkey", "l_suppkey",
+                              "l_extendedprice", "l_discount"],
+                   right_cols=["o_orderkey", "o_custkey"])
+
+    cust = rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def keep_region(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["c_nationkey"].isin(region_keys)] \
+            [["l_suppkey", "l_extendedprice", "l_discount",
+              "c_nationkey"]]
+
+    j2 = hash_join(j1, cust, "o_custkey", "c_custkey",
+                   left_cols=["l_suppkey", "l_extendedprice",
+                              "l_discount", "o_custkey"],
+                   right_cols=["c_custkey", "c_nationkey"],
+                   bucket_fn=keep_region)
+    supp = rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def local_only(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["c_nationkey"].to_numpy()
+               == df["s_nationkey"].to_numpy()]
+        out = pd.DataFrame({
+            "n_nationkey": d["c_nationkey"].astype("int64").to_numpy(),
+            "n_lines": np.ones(len(d), dtype=np.int64),
+            "revenue_e4": np.round(
+                d["l_extendedprice"].to_numpy()
+                * (1 - d["l_discount"].to_numpy()) * 10**4)
+            .astype(np.int64)})
+        return (out.groupby("n_nationkey", sort=False, as_index=False)
+                .agg(n_lines=("n_lines", "sum"),
+                     revenue_e4=("revenue_e4", "sum")).infer_objects())
+
+    j3 = hash_join(j2, supp, "l_suppkey", "s_suppkey",
+                   left_cols=["l_suppkey", "l_extendedprice",
+                              "l_discount", "c_nationkey"],
+                   right_cols=["s_suppkey", "s_nationkey"],
+                   bucket_fn=local_only)
+    agg = partial_aggregate(j3, ["n_nationkey"],
+                            {"n_lines": ("sum", "n_lines"),
+                             "revenue_e4": ("sum", "revenue_e4")},
+                            num_buckets=8)
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "n_name": df["n_nationkey"].map(names),
+            "n_lines": df["n_lines"].astype(np.int64),
+            "revenue_e4": df["revenue_e4"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+QUERIES["q5_local_supplier_volume"] = q5_local_supplier_volume
+ORACLE_SQL["q5_local_supplier_volume"] = f"""
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT)
+             AS revenue_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 AND s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q5_REGION}'
+      AND o.o_orderdate >= TIMESTAMP '{Q5_FROM}'
+      AND o.o_orderdate < TIMESTAMP '{Q5_TO}'
+    GROUP BY n.n_name"""
+
+
+def dup_cluster_stats(sf_dir: str) -> rd.Dataset:
+    """Cluster-size census of the duplication graph's connected
+    components — the one-line answer to 'is the dup structure a few
+    giant mirror farms or a long tail of pairs', read before choosing
+    a dedup keep rule. Two bounded aggregates on top of dup_clusters'
+    fully partitioned CC labels (sizes per cluster, then clusters per
+    size); the histogram is at most |distinct sizes| rows. Oracle =
+    the dup_clusters recursive-CTE closure wrapped in the same two
+    GROUP BYs. Returns (cluster_size, n_clusters)."""
+    sizes = partial_aggregate(q_dup_clusters(sf_dir), ["cluster_id"],
+                              {"sz": ("count", None)}, num_buckets=8)
+    hist = partial_aggregate(
+        sizes.map_batches(lambda df: df[["sz"]], batch_format="pandas"),
+        ["sz"], {"n_clusters": ("count", None)}, num_buckets=8)
+    return hist.map_batches(
+        lambda df: df.astype({"sz": "int64", "n_clusters": "int64"})
+        .rename(columns={"sz": "cluster_size"}),
+        batch_format="pandas")
+
+
+QUERIES["dup_cluster_stats"] = dup_cluster_stats
+ORACLE_SQL["dup_cluster_stats"] = f"""
+    SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM ({ORACLE_SQL["dup_clusters"]})
+          GROUP BY cluster_id)
+    GROUP BY sz"""
+
+
+RA_UNIT = 10**6
+
+
+def ra_linkpred(sf_dir: str) -> rd.Dataset:
+    """Resource-allocation link prediction (Zhou et al. 2009) over the
+    shared-chunk duplication graph: linkpred_dups' hub-discounted twin
+    — each common neighbor z contributes RA_UNIT // deg(z), so a
+    template page shared by hundreds of docs stops dominating the
+    candidate ranking. Purely rational (floor division of the unit by
+    an integer degree), so the oracle replays it exactly; one extra
+    bounded degree aggregate + one partitioned join vs the unweighted
+    count. Returns (doc_a, doc_b, ra_score) for non-adjacent pairs."""
+    from . import graph
+
+    pairs = dedup.shared_chunk_pairs(
+        rp(sf_dir, "documents", ["doc_id", "text"]),
+        size_hint_bytes=_doc_size_hint(sf_dir))
+    cn = graph.common_neighbor_counts(
+        pairs.select_columns(["doc_a", "doc_b"]),
+        "doc_a", "doc_b", num_buckets=8, weight_unit=RA_UNIT)
+    return cn.map_batches(
+        lambda df: df.rename(columns={"a": "doc_a", "b": "doc_b",
+                                      "n_common": "ra_score"}),
+        batch_format="pandas")
+
+
+QUERIES["ra_linkpred"] = ra_linkpred
+ORACLE_SQL["ra_linkpred"] = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, md5(array_to_string(toks[10*i+1:10*i+10], ' '))
+                   AS ch
+          FROM (SELECT doc_id, toks,
+                       unnest(range(0, len(toks) // 10)) AS i
+                FROM t)),
+    d AS (SELECT DISTINCT doc_id, ch FROM c),
+    e AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.ch = b.ch AND a.doc_id < b.doc_id),
+    sym AS (SELECT a AS m, b AS n FROM e
+            UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY m),
+    w AS (SELECT l.n AS a, r.n AS c,
+                 CAST(SUM({RA_UNIT} // dg.deg) AS BIGINT) AS ra_score
+          FROM sym l JOIN sym r ON l.m = r.m AND l.n < r.n
+          JOIN deg dg ON dg.m = l.m
+          GROUP BY l.n, r.n)
+    SELECT w.a AS doc_a, w.c AS doc_b, w.ra_score
+    FROM w WHERE NOT EXISTS (SELECT 1 FROM e
+                             WHERE e.a = w.a AND e.b = w.c)"""
