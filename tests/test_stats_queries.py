@@ -719,3 +719,23 @@ def test_dup_cluster_stats_histogram(tmp_path):
     docs.to_parquet(tmp_path / "documents.parquet", index=False)
     out = queries.dup_cluster_stats(str(tmp_path)).to_pandas()
     assert list(map(tuple, out.to_numpy())) == [(2, 1)]
+
+
+def test_linkpred_recovers_star_leaf_pairs(tmp_path):
+    # four docs share one 10-token chunk → star edges 1-2, 1-3, 1-4 →
+    # leaf pairs (2,3), (2,4), (3,4) each witnessed by hub 1 (deg 3):
+    # n_common = 1 and ra = 1e6 // 3
+    shared = " ".join(f"w{i}" for i in range(10))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [shared + " " + " ".join(f"x{d}{i}" for i in range(10))
+                 for d in range(4)],
+        "lang": "en", "source": "s", "n_chars": 100})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    cn = (queries.linkpred_dups(str(tmp_path)).to_pandas()
+          .sort_values(["doc_a", "doc_b"], ignore_index=True))
+    assert list(map(tuple, cn.to_numpy())) == [
+        (2, 3, 1), (2, 4, 1), (3, 4, 1)]
+    ra = (queries.ra_linkpred(str(tmp_path)).to_pandas()
+          .sort_values(["doc_a", "doc_b"], ignore_index=True))
+    assert list(ra["ra_score"]) == [333_333] * 3

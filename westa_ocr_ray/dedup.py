@@ -822,6 +822,61 @@ def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = 
     return pairs
 
 
+def chunk_hash_table(ds: rd.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     chunk_tokens: int = 10) -> rd.Dataset:
+    """(id, ch) membership rows: the md5 of every DISTINCT
+    non-overlapping ``chunk_tokens``-token chunk of every doc — the
+    shared derivation under shared_chunk_pairs and chunk_star_edges
+    (and their SQL oracles' toks[10i+1:10i+10] windows)."""
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        for did, text in zip(df[id_col], df[text_col]):
+            toks = text.split(" ")
+            seen = set()
+            for i in range(len(toks) // chunk_tokens):
+                h = md5_hex(" ".join(toks[chunk_tokens * i:chunk_tokens * (i + 1)]))
+                if h not in seen:       # distinct (doc, chunk)
+                    seen.add(h)
+                    ids.append(did)
+                    hashes.append(h)
+        return pd.DataFrame({id_col: ids, "ch": hashes})
+
+    return ds.map_batches(chunk, batch_format="pandas")
+
+
+def chunk_star_edges(ds: rd.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text", chunk_tokens: int = 10,
+                     num_buckets: Optional[int] = None) -> rd.Dataset:
+    """Hub-and-spoke (star) edge encoding of each chunk-sharing group:
+    the group's smallest id is the hub and every other member gets ONE
+    hub-member edge — the O(n)-edge form of "these n docs share this
+    chunk" that a 100 TB dup graph must take (the clique encoding is
+    O(n²) in the group size and the pair cap truncates it). Same
+    connected components as the clique; link-prediction over it scores
+    the leaf-leaf pairs the sparse encoding left implicit. Exact and
+    SQL-expressible (a MIN-per-group window). Returns distinct
+    (doc_a, doc_b) with doc_a = hub < doc_b."""
+    ch = chunk_hash_table(ds, id_col, text_col, chunk_tokens)
+    hubs = partial_aggregate(ch, ["ch"], {"hub": ("min", id_col)},
+                             num_buckets=num_buckets)
+
+    def spokes(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[id_col].to_numpy() != df["hub"].to_numpy()]
+        return pd.DataFrame({
+            "doc_a": d["hub"].astype(np.int64).to_numpy(),
+            "doc_b": d[id_col].astype(np.int64).to_numpy()})
+
+    j = hash_join(ch, hubs, "ch", "ch", left_cols=[id_col, "ch"],
+                  right_cols=["ch", "hub"], num_buckets=num_buckets,
+                  bucket_fn=spokes)
+    return partial_aggregate(j, ["doc_a", "doc_b"],
+                             {"_c": ("count", None)},
+                             num_buckets=num_buckets) \
+        .drop_columns(["_c"])
+
+
 def shared_chunk_pairs(ds: rd.Dataset, id_col: str = "doc_id",
                        text_col: str = "text",
                        chunk_tokens: int = 10, with_stats: bool = False,
@@ -837,20 +892,7 @@ def shared_chunk_pairs(ds: rd.Dataset, id_col: str = "doc_id",
     truncated; ``with_stats=True`` returns the dropped-pair counter
     alongside (counted, never silent)."""
 
-    def chunk(df: pd.DataFrame) -> pd.DataFrame:
-        ids, hashes = [], []
-        for did, text in zip(df[id_col], df[text_col]):
-            toks = text.split(" ")
-            seen = set()
-            for i in range(len(toks) // chunk_tokens):
-                h = md5_hex(" ".join(toks[chunk_tokens * i:chunk_tokens * (i + 1)]))
-                if h not in seen:       # distinct (doc, chunk)
-                    seen.add(h)
-                    ids.append(did)
-                    hashes.append(h)
-        return pd.DataFrame({id_col: ids, "ch": hashes})
-
-    chunks = ds.map_batches(chunk, batch_format="pandas")
+    chunks = chunk_hash_table(ds, id_col, text_col, chunk_tokens)
     if with_stats:
         chunks = chunks.materialize()  # reused by the size counter
     cand = _within_bucket_pairs(chunks, ["ch"], id_col,

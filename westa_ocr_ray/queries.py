@@ -9448,31 +9448,31 @@ ORACLE_SQL["ngram_novelty"] = """
 
 
 def linkpred_dups(sf_dir: str) -> rd.Dataset:
-    """Common-neighbor link prediction over the shared-chunk
-    duplication graph (graph.common_neighbor_counts): non-adjacent doc
-    pairs that duplicate the same third document, scored by how many
-    such witnesses they share — the 'mirrors of the same upstream that
-    haven't been caught duplicating each other yet' candidate list a
-    dup audit ranks for a deeper fuzzy comparison. Completes the
-    dup-graph family (pagerank / CC / triangles / k-core) on the same
-    oracle-derivable edge list; the SQL replays chunking, pairing, the
-    wedge count and the open-wedge anti-join verbatim."""
+    """Common-neighbor link prediction over the STAR-encoded
+    duplication graph (dedup.chunk_star_edges +
+    graph.common_neighbor_counts). The star form is the O(n)-edge
+    encoding a 100 TB dup graph must take (cliques are O(n²) per
+    group), and it leaves every leaf-leaf duplication implicit —
+    link prediction recovers exactly those pairs, scored by shared
+    hubs. (Over the clique-encoded graph the open-wedge set is empty
+    by construction — every witnessed pair is already an edge — which
+    is why this op pairs with the sparse encoding.) Completes the
+    dup-graph family (pagerank / CC / triangles / k-core); the SQL
+    replays chunking, hub pick, star edges, wedge count and the
+    open-wedge anti-join verbatim."""
     from . import graph
 
-    pairs = dedup.shared_chunk_pairs(
-        rp(sf_dir, "documents", ["doc_id", "text"]),
-        size_hint_bytes=_doc_size_hint(sf_dir))
-    cn = graph.common_neighbor_counts(
-        pairs.select_columns(["doc_a", "doc_b"]),
-        "doc_a", "doc_b", num_buckets=8)
+    edges = dedup.chunk_star_edges(
+        rp(sf_dir, "documents", ["doc_id", "text"]), num_buckets=8)
+    cn = graph.common_neighbor_counts(edges, "doc_a", "doc_b",
+                                      num_buckets=8)
     return cn.map_batches(
         lambda df: df.rename(columns={"a": "doc_a", "b": "doc_b"}),
         batch_format="pandas")
 
 
-QUERIES["linkpred_dups"] = linkpred_dups
-ORACLE_SQL["linkpred_dups"] = """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+#: star-edge CTE shared by the two link-prediction oracles
+_STAR_EDGE_CTE = """t AS (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents),
     c AS (SELECT doc_id, md5(array_to_string(toks[10*i+1:10*i+10], ' '))
                    AS ch
@@ -9480,8 +9480,13 @@ ORACLE_SQL["linkpred_dups"] = """
                        unnest(range(0, len(toks) // 10)) AS i
                 FROM t)),
     d AS (SELECT DISTINCT doc_id, ch FROM c),
-    e AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-          FROM d a JOIN d b ON a.ch = b.ch AND a.doc_id < b.doc_id),
+    h AS (SELECT ch, MIN(doc_id) AS hub FROM d GROUP BY ch),
+    e AS (SELECT DISTINCT h.hub AS a, d.doc_id AS b
+          FROM d JOIN h USING (ch) WHERE d.doc_id > h.hub)"""
+
+QUERIES["linkpred_dups"] = linkpred_dups
+ORACLE_SQL["linkpred_dups"] = f"""
+    WITH {_STAR_EDGE_CTE},
     sym AS (SELECT a AS m, b AS n FROM e
             UNION ALL SELECT b, a FROM e),
     w AS (SELECT l.n AS a, r.n AS c,
@@ -10080,21 +10085,21 @@ RA_UNIT = 10**6
 
 def ra_linkpred(sf_dir: str) -> rd.Dataset:
     """Resource-allocation link prediction (Zhou et al. 2009) over the
-    shared-chunk duplication graph: linkpred_dups' hub-discounted twin
-    — each common neighbor z contributes RA_UNIT // deg(z), so a
-    template page shared by hundreds of docs stops dominating the
-    candidate ranking. Purely rational (floor division of the unit by
-    an integer degree), so the oracle replays it exactly; one extra
-    bounded degree aggregate + one partitioned join vs the unweighted
-    count. Returns (doc_a, doc_b, ra_score) for non-adjacent pairs."""
+    star-encoded duplication graph: linkpred_dups' hub-discounted twin
+    — each witness hub z contributes RA_UNIT // deg(z), so a leaf pair
+    under a small tight group outranks one under a giant template hub
+    (exactly the confidence ordering a dedup reviewer wants). Purely
+    rational (floor division of the unit by an integer degree), so the
+    oracle replays it exactly; one extra bounded degree aggregate +
+    partitioned join vs the unweighted count. Returns
+    (doc_a, doc_b, ra_score) for non-adjacent pairs."""
     from . import graph
 
-    pairs = dedup.shared_chunk_pairs(
-        rp(sf_dir, "documents", ["doc_id", "text"]),
-        size_hint_bytes=_doc_size_hint(sf_dir))
-    cn = graph.common_neighbor_counts(
-        pairs.select_columns(["doc_a", "doc_b"]),
-        "doc_a", "doc_b", num_buckets=8, weight_unit=RA_UNIT)
+    edges = dedup.chunk_star_edges(
+        rp(sf_dir, "documents", ["doc_id", "text"]), num_buckets=8)
+    cn = graph.common_neighbor_counts(edges, "doc_a", "doc_b",
+                                      num_buckets=8,
+                                      weight_unit=RA_UNIT)
     return cn.map_batches(
         lambda df: df.rename(columns={"a": "doc_a", "b": "doc_b",
                                       "n_common": "ra_score"}),
@@ -10103,16 +10108,7 @@ def ra_linkpred(sf_dir: str) -> rd.Dataset:
 
 QUERIES["ra_linkpred"] = ra_linkpred
 ORACLE_SQL["ra_linkpred"] = f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-               FROM documents),
-    c AS (SELECT doc_id, md5(array_to_string(toks[10*i+1:10*i+10], ' '))
-                   AS ch
-          FROM (SELECT doc_id, toks,
-                       unnest(range(0, len(toks) // 10)) AS i
-                FROM t)),
-    d AS (SELECT DISTINCT doc_id, ch FROM c),
-    e AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-          FROM d a JOIN d b ON a.ch = b.ch AND a.doc_id < b.doc_id),
+    WITH {_STAR_EDGE_CTE},
     sym AS (SELECT a AS m, b AS n FROM e
             UNION ALL SELECT b, a FROM e),
     deg AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS deg
