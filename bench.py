@@ -73,7 +73,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "mmr_diversify", "session_paths", "embedding_pq",
                  # round-4 sixth-batch additions
                  "q5_local_supplier_volume", "dup_cluster_stats",
-                 "ra_linkpred"]
+                 "ra_linkpred",
+                 # round-4 seventh-batch additions
+                 "kmeans_assign_new", "tokenizer_fertility"]
 
 
 def _warm_workers(ncpu: int) -> None:

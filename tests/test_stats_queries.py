@@ -739,3 +739,46 @@ def test_linkpred_recovers_star_leaf_pairs(tmp_path):
     ra = (queries.ra_linkpred(str(tmp_path)).to_pandas()
           .sort_values(["doc_a", "doc_b"], ignore_index=True))
     assert list(ra["ra_score"]) == [333_333] * 3
+
+
+def test_kmeans_assign_new_routes_to_nearest_centroid(tmp_path):
+    # base: 4 identical-dim-count vectors so each seed is its own
+    # centroid (64 dims, distinctive dim 0); planted new vectors are
+    # the negations of ids 3 and 6... with ids 3,6 % 3 == 0: vec 3 =
+    # [5,...] → new [-5,...] lands on vec 2's centroid [-1] or vec 4's
+    # [-5]: exactly vec 4 (dist 0); vec 6 = copy of vec 1 → new = -1 →
+    # vec 2's centroid, dist 0
+    def mk(x):
+        v = np.zeros(64)
+        v[0] = x
+        return v
+
+    sf = _write_emb(tmp_path, [1, 2, 3, 4, 6],
+                    [mk(1.0), mk(-1.0), mk(5.0), mk(-5.0), mk(1.0)])
+    out = (queries.kmeans_assign_new(sf).to_pandas()
+           .set_index("vec_id").sort_index())
+    # new ids are base + 10^7
+    assert list(out.index) == [10_000_003, 10_000_006]
+    assert out.loc[10_000_003, "dist2"] == 0
+    assert out.loc[10_000_006, "dist2"] == 0
+    # -5 routes to the centroid at -5 (cluster of seed id 4 = index 3);
+    # -1 routes to -1 (seed id 2 = index 1)
+    assert out.loc[10_000_003, "cluster"] == 3
+    assert out.loc[10_000_006, "cluster"] == 1
+
+
+def test_tokenizer_fertility_ratio(tmp_path):
+    # single lang, known segmentation: with zero trained merges every
+    # word splits into its characters... the trained table depends on
+    # the corpus; assert the invariant instead: fertility_ppm ==
+    # (1e6 * n_bpe_tokens) // n_words and tokens >= words
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["aa bb aa bb", "aa aa cc"],
+        "lang": ["en", "en"], "source": "s", "n_chars": 10})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    row = queries.tokenizer_fertility(str(tmp_path)).to_pandas().iloc[0]
+    assert row["n_words"] == 7
+    assert row["n_bpe_tokens"] >= row["n_words"]
+    assert row["fertility_ppm"] == (1_000_000 * row["n_bpe_tokens"]
+                                    ) // row["n_words"]

@@ -5274,8 +5274,10 @@ def kmeans_embeddings(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
 
 
-def _kmeans_oracle_sql(k: int = KMEANS_K,
-                       n_rounds: int = KMEANS_ROUNDS) -> str:
+def _kmeans_cte_parts(k: int = KMEANS_K,
+                      n_rounds: int = KMEANS_ROUNDS) -> list:
+    """The integer-k-means round-replay CTE chain, shared by the
+    kmeans_embeddings oracle and the kmeans_assign_new extension."""
     parts = ["""e AS (
       SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
              CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
@@ -5314,6 +5316,12 @@ def _kmeans_oracle_sql(k: int = KMEANS_K,
                AS v
       FROM e JOIN a{r} USING (vec_id)
       GROUP BY a{r}.c, e.i)""")
+    return parts
+
+
+def _kmeans_oracle_sql(k: int = KMEANS_K,
+                       n_rounds: int = KMEANS_ROUNDS) -> str:
+    parts = _kmeans_cte_parts(k, n_rounds)
     return f"""
     WITH {', '.join(parts)}
     SELECT vec_id, CAST(c AS BIGINT) AS cluster,
@@ -10121,3 +10129,158 @@ ORACLE_SQL["ra_linkpred"] = f"""
     SELECT w.a AS doc_a, w.c AS doc_b, w.ra_score
     FROM w WHERE NOT EXISTS (SELECT 1 FROM e
                              WHERE e.a = w.a AND e.b = w.c)"""
+
+
+# -------------------------------------------------- round-4 seventh batch
+# (incremental k-means assignment, tokenizer fertility report)
+
+def kmeans_assign_new(sf_dir: str) -> rd.Dataset:
+    """Incremental k-means: assign a NEW snapshot's vectors to the
+    EXISTING centroids without re-clustering — the daily-ingest path of
+    a clustered 100 TB embedding store (re-running Lloyd on the union
+    every day is the anti-pattern; assign first, re-cluster on drift).
+    Completes the incremental family (dedup_incremental,
+    text_index_incremental, sim_ann_ivf_incremental) for the k-means
+    side. New snapshot = the planted negated vectors (vec_id % 3 == 0,
+    x → -x, id + 10^7 — negation quantizes to exactly -q on both
+    sides, the corpus_diff planting pattern). The base clustering's
+    final centroid table comes straight out of
+    similarity.kmeans_lloyd_int(return_centroids=True) and broadcasts
+    once; assignment is ONE streaming map over the new vectors. The
+    oracle re-derives the same centroids via the shared
+    _kmeans_cte_parts chain and assigns the negated vectors in SQL.
+    Returns (vec_id, cluster, dist2) for the new rows."""
+    import ray
+
+    emb = rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, C, live = similarity.kmeans_lloyd_int(
+        emb, k=KMEANS_K, n_rounds=KMEANS_ROUNDS, return_centroids=True)
+    cref = ray.put((C, live))
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["vec_id"].to_numpy() % 3) == 0
+        if not m.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "embedding": pd.Series([], dtype=object)})
+        d = df[m]
+        M = np.stack(d["embedding"].to_numpy()).astype(np.float64) * -1.0
+        return pd.DataFrame({
+            "vec_id": d["vec_id"].astype(np.int64).to_numpy()
+            + 10_000_000,
+            "embedding": list(M)})
+
+    new = emb.map_batches(plant, batch_format="pandas")
+
+    class AssignNew:
+        def __init__(self) -> None:
+            self.C, self.live = ray.get(cref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cluster": pd.Series([], dtype="int64"),
+                    "dist2": pd.Series([], dtype="int64")})
+            P = (np.stack(df["embedding"].to_numpy()).astype(np.float64)
+                 * 1000.0)
+            Q = (np.sign(P) * np.floor(np.abs(P) + 0.5)).astype(np.int64)
+            D = ((Q * Q).sum(axis=1)[:, None] - 2 * (Q @ self.C.T)
+                 + (self.C * self.C).sum(axis=1)[None, :])
+            a = np.argmin(D, axis=1)
+            return pd.DataFrame({
+                "vec_id": df["vec_id"].astype(np.int64).to_numpy(),
+                "cluster": self.live[a].astype(np.int64),
+                "dist2": D[np.arange(len(Q)), a].astype(np.int64)})
+
+    return new.map_batches(AssignNew, batch_format="pandas",
+                           concurrency=(1, 4))
+
+
+def _kmeans_assign_new_oracle_sql(k: int = KMEANS_K,
+                                  n_rounds: int = KMEANS_ROUNDS) -> str:
+    parts = _kmeans_cte_parts(k, n_rounds)
+    cN = f"c{n_rounds - 1}"
+    parts.append("""nv AS (
+      SELECT vec_id + 10000000 AS vec_id, i, -q AS q
+      FROM e WHERE vec_id % 3 = 0)""")
+    parts.append(f"""dn AS (
+      SELECT nv.vec_id, {cN}.c,
+             SUM((nv.q - {cN}.v) * (nv.q - {cN}.v)) AS dist2
+      FROM nv JOIN {cN} ON nv.i = {cN}.i
+      GROUP BY nv.vec_id, {cN}.c)""")
+    parts.append("""an AS (
+      SELECT vec_id, c, dist2
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist2, c) AS rn
+            FROM dn)
+      WHERE rn = 1)""")
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT vec_id, CAST(c AS BIGINT) AS cluster,
+           CAST(dist2 AS BIGINT) AS dist2
+    FROM an"""
+
+
+QUERIES["kmeans_assign_new"] = kmeans_assign_new
+ORACLE_SQL["kmeans_assign_new"] = _kmeans_assign_new_oracle_sql()
+
+
+def tokenizer_fertility(sf_dir: str) -> rd.Dataset:
+    """Per-language tokenizer fertility (BPE tokens per whitespace
+    word) under the distributed-trained merge table — the
+    multilingual-tokenizer health metric (a language with fertility 3×
+    another is under-served by the shared vocabulary and will eat 3×
+    the context window). One partitioned join of the bpe_encode
+    per-doc counts onto the documents' lang column with the per-lang
+    reduce fused into the join buckets, then a bounded aggregate;
+    fertility is an exact floor-ppm ratio. Oracle = the serial
+    trainer+apply VALUES table (the bpe_encode oracle) joined to
+    documents and aggregated in SQL. Returns
+    (lang, n_words, n_bpe_tokens, fertility_ppm)."""
+    enc = q_bpe_encode(sf_dir)
+    langs = rp(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["lang", "n_words", "n_bpe_tokens"]]
+        return (out.groupby("lang", sort=False, as_index=False)
+                .agg(n_words=("n_words", "sum"),
+                     n_bpe_tokens=("n_bpe_tokens", "sum"))
+                .infer_objects())
+
+    j = hash_join(enc, langs, "doc_id", "doc_id",
+                  left_cols=["doc_id", "n_words", "n_bpe_tokens"],
+                  right_cols=["doc_id", "lang"],
+                  num_buckets=8, bucket_fn=pre)
+    agg = partial_aggregate(j, ["lang"],
+                            {"n_words": ("sum", "n_words"),
+                             "n_bpe_tokens": ("sum", "n_bpe_tokens")},
+                            num_buckets=8)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["n_words"].to_numpy(np.int64)
+        b = df["n_bpe_tokens"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "lang": df["lang"].to_numpy(),
+            "n_words": w, "n_bpe_tokens": b,
+            "fertility_ppm": np.where(w > 0, (1_000_000 * b)
+                                      // np.where(w > 0, w, 1), 0)
+            .astype(np.int64)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def _tokenizer_fertility_oracle_sql(tier: str = "correctness") -> str:
+    return f"""
+    SELECT d.lang, CAST(SUM(v.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(CASE WHEN SUM(v.n_words) = 0 THEN 0
+                ELSE (1000000 * SUM(v.n_bpe_tokens)) // SUM(v.n_words)
+                END AS BIGINT) AS fertility_ppm
+    FROM ({_bpe_encode_oracle_sql(tier)}) v
+    JOIN documents d USING (doc_id)
+    GROUP BY d.lang"""
+
+
+QUERIES["tokenizer_fertility"] = tokenizer_fertility
+ORACLE_SQL["tokenizer_fertility"] = _tokenizer_fertility_oracle_sql()
+TIER_ORACLE_BUILDERS["tokenizer_fertility"] = _tokenizer_fertility_oracle_sql

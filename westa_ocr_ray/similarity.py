@@ -578,7 +578,7 @@ def embedding_moments(emb: rd.Dataset, id_col: str = "vec_id",
 
 def kmeans_lloyd_int(emb: rd.Dataset, k: int = 8, n_rounds: int = 2,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     scale: int = 1000) -> rd.Dataset:
+                     scale: int = 1000, return_centroids: bool = False):
     """Lloyd's k-means over the embedding column, ALL-INTEGER so a SQL
     oracle can replay every round bit-for-bit
     (queries.ORACLE_SQL['kmeans_embeddings']): vectors quantize to
@@ -667,5 +667,10 @@ def kmeans_lloyd_int(emb: rd.Dataset, k: int = 8, n_rounds: int = 2,
                 "cluster": self.live[a].astype(np.int64),
                 "dist2": D[np.arange(len(Q)), a].astype(np.int64)})
 
-    return emb.map_batches(Assign, batch_format="pandas",
-                           concurrency=(1, 4))
+    out = emb.map_batches(Assign, batch_format="pandas",
+                          concurrency=(1, 4))
+    if return_centroids:
+        # the (C, live) pair the FINAL assignment used — what an
+        # incremental assign-new-data pass needs (kmeans_assign_new)
+        return out, C, live
+    return out

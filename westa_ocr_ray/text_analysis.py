@@ -958,4 +958,8 @@ def bpe_encode(ds: rd.Dataset, merges, id_col: str = "doc_id",
                                  "n_words": n_words,
                                  "n_bpe_tokens": n_bpe})
 
-    return ds.map_batches(Enc, concurrency=4, batch_format="pandas")
+    # elastic pool: a FIXED 4-actor pool next to a downstream shuffle
+    # starves the streaming executor in a 4-CPU session (the
+    # quality_classifier deadlock pattern, NOTES.md round-3 fixes) —
+    # tokenizer_fertility chains this into a hash_join
+    return ds.map_batches(Enc, concurrency=(1, 4), batch_format="pandas")
