@@ -75,7 +75,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "q5_local_supplier_volume", "dup_cluster_stats",
                  "ra_linkpred",
                  # round-4 seventh-batch additions
-                 "kmeans_assign_new", "tokenizer_fertility"]
+                 "kmeans_assign_new", "tokenizer_fertility",
+                 # round-4 eighth-batch additions
+                 "q18_large_orders", "langid_confusion"]
 
 
 def _warm_workers(ncpu: int) -> None:

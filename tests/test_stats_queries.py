@@ -782,3 +782,46 @@ def test_tokenizer_fertility_ratio(tmp_path):
     assert row["n_bpe_tokens"] >= row["n_words"]
     assert row["fertility_ppm"] == (1_000_000 * row["n_bpe_tokens"]
                                     ) // row["n_words"]
+
+
+def test_q18_having_threshold(tmp_path):
+    # order 100 sums to 301 (qualifies), order 101 to exactly 300
+    # (strict > drops it)
+    pd.DataFrame({"l_orderkey": [100, 100, 101, 101],
+                  "l_partkey": 1, "l_suppkey": 1,
+                  "l_linenumber": np.int32(1),
+                  "l_quantity": [150.0, 151.0, 150.0, 150.0],
+                  "l_extendedprice": 1.0, "l_discount": 0.0,
+                  "l_tax": 0.0, "l_returnflag": "N",
+                  "l_linestatus": "O",
+                  "l_shipdate": pd.Timestamp("1996-07-01")}) \
+        .to_parquet(tmp_path / "lineitem.parquet", index=False)
+    pd.DataFrame({"o_orderkey": [100, 101], "o_custkey": [5, 5],
+                  "o_orderstatus": "F", "o_totalprice": [12.34, 1.0],
+                  "o_orderdate": pd.Timestamp("1996-06-01"),
+                  "o_orderpriority": "1"}) \
+        .to_parquet(tmp_path / "orders.parquet", index=False)
+    pd.DataFrame({"c_custkey": [5], "c_name": ["Customer#5"],
+                  "c_nationkey": np.int32(0), "c_acctbal": 0.0,
+                  "c_mktsegment": ["X"]}) \
+        .to_parquet(tmp_path / "customer.parquet", index=False)
+    out = queries.q18_large_orders(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["o_orderkey"], row["sum_qty"], row["total_cents"],
+            row["c_name"]) == (100, 301, 1234, "Customer#5")
+
+
+def test_langid_confusion_diagonal(tmp_path):
+    # unmistakably-English text labeled 'en' lands on the diagonal; a
+    # numbers-only doc has zero profile overlap → pred 'unknown'
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["the quick brown fox and the lazy dog with a the",
+                 "12345 67890 13579"],
+        "lang": ["en", "en"], "source": "s", "n_chars": 20})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = (queries.langid_confusion(str(tmp_path)).to_pandas()
+           .set_index("pred_lang"))
+    assert out.loc["en", "n"] == 1 and out.loc["en", "lang"] == "en"
+    assert out.loc["unknown", "n"] == 1

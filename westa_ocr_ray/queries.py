@@ -10284,3 +10284,102 @@ def _tokenizer_fertility_oracle_sql(tier: str = "correctness") -> str:
 QUERIES["tokenizer_fertility"] = tokenizer_fertility
 ORACLE_SQL["tokenizer_fertility"] = _tokenizer_fertility_oracle_sql()
 TIER_ORACLE_BUILDERS["tokenizer_fertility"] = _tokenizer_fertility_oracle_sql
+
+
+# -------------------------------------------------- round-4 eighth batch
+# (HAVING-filtered join chain, language-ID confusion matrix)
+
+Q18_QTY = 300
+
+
+def q18_large_orders(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds Q18_QTY, joined back to orders and customers —
+    the HAVING-then-join shape (aggregate first, and only the tiny
+    qualifying key set flows into the joins; the wrong plan joins
+    first and aggregates a corpus-sized intermediate). Quantities are
+    integral in the fixture (round → int64, exact). Both joins run
+    partitioned; the HAVING filter is applied right on the bucketed
+    aggregate's output, so join input is |qualifying orders| rows.
+    Returns (c_name, o_custkey, o_orderkey, sum_qty, total_cents)."""
+    li = rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def q(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype(np.int64).to_numpy(),
+            "sum_qty": np.round(df["l_quantity"].to_numpy())
+            .astype(np.int64)})
+
+    agg = partial_aggregate(li.map_batches(q, batch_format="pandas"),
+                            ["l_orderkey"], {"sum_qty": ("sum", "sum_qty")})
+    big = agg.map_batches(lambda df: df[df["sum_qty"] > Q18_QTY],
+                          batch_format="pandas")
+    orders = rp(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_totalprice"])
+    j1 = hash_join(big, orders, "l_orderkey", "o_orderkey",
+                   left_cols=["l_orderkey", "sum_qty"],
+                   right_cols=["o_orderkey", "o_custkey",
+                               "o_totalprice"], num_buckets=8)
+    cust = rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = hash_join(j1, cust, "o_custkey", "c_custkey",
+                   left_cols=["l_orderkey", "sum_qty", "o_custkey",
+                              "o_totalprice"],
+                   right_cols=["c_custkey", "c_name"], num_buckets=8)
+    return j2.map_batches(
+        lambda df: pd.DataFrame({
+            "c_name": df["c_name"].to_numpy(),
+            "o_custkey": df["o_custkey"].astype(np.int64).to_numpy(),
+            "o_orderkey": df["l_orderkey"].astype(np.int64).to_numpy(),
+            "sum_qty": df["sum_qty"].astype(np.int64).to_numpy(),
+            "total_cents": _cents(df["o_totalprice"]).to_numpy()}),
+        batch_format="pandas")
+
+
+QUERIES["q18_large_orders"] = q18_large_orders
+ORACLE_SQL["q18_large_orders"] = f"""
+    WITH s AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > {Q18_QTY})
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, s.sum_qty,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey"""
+
+
+def langid_confusion(sf_dir: str) -> rd.Dataset:
+    """Language-ID confusion matrix: predicted (text_langid's
+    profile-overlap argmax) vs labeled lang, with counts — the
+    classifier-health report a multilingual curation pipeline reads
+    before trusting langid-based routing (which languages bleed into
+    which). One partitioned join of predictions onto labels with the
+    per-cell reduce fused into the join buckets; the matrix is bounded
+    by |langs|². Oracle composes the generated langid replay with the
+    same GROUP BY. Returns (lang, pred_lang, n)."""
+    pred = q_text_langid(sf_dir)
+    actual = rp(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["lang", "pred_lang"]].assign(n=np.int64(1))
+        return (out.groupby(["lang", "pred_lang"], sort=False,
+                            as_index=False).agg(n=("n", "sum"))
+                .infer_objects())
+
+    j = hash_join(pred, actual, "doc_id", "doc_id",
+                  left_cols=["doc_id", "pred_lang"],
+                  right_cols=["doc_id", "lang"],
+                  num_buckets=8, bucket_fn=pre)
+    out = partial_aggregate(j, ["lang", "pred_lang"],
+                            {"n": ("sum", "n")}, num_buckets=8)
+    return out.map_batches(lambda df: df.astype({"n": "int64"}),
+                           batch_format="pandas")
+
+
+QUERIES["langid_confusion"] = langid_confusion
+ORACLE_SQL["langid_confusion"] = f"""
+    SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ({_langid_oracle_sql()}) p
+    JOIN documents d USING (doc_id)
+    GROUP BY d.lang, p.pred_lang"""
