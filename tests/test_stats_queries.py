@@ -825,3 +825,17 @@ def test_langid_confusion_diagonal(tmp_path):
            .set_index("pred_lang"))
     assert out.loc["en", "n"] == 1 and out.loc["en", "lang"] == "en"
     assert out.loc["unknown", "n"] == 1
+
+
+def test_mmr_reports_negative_maxsim(tmp_path):
+    # after pick 1 (c1), candidate c2's only selected-set dot is
+    # NEGATIVE (-40000) — the reported maxsim must be that value, not
+    # a zero clamp from the m0 placeholder (the sf0.001 gate
+    # regression): score = 2*(-100000) - (-40000) = -160000
+    sf = _write_emb(tmp_path, [0, 1, 2],
+                    [[1.0, 0.0, 0.0], [0.9, 0.1, 0.0],
+                     [-0.1, 0.5, 0.8]])
+    out = queries.mmr_diversify(sf).to_pandas()
+    r2 = out[out["pick_round"] == 2].iloc[0]
+    assert (r2["vec_id"], r2["rel"], r2["maxsim"], r2["score"]) \
+        == (2, -100_000, -40_000, -160_000)

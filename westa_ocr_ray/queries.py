@@ -9698,13 +9698,20 @@ def mmr_diversify(sf_dir: str) -> rd.Dataset:
             break
         pref = ray.put(np.asarray(top["q"].iloc[0], dtype=np.int64))
 
-        def upd(df: pd.DataFrame, _pid=pid, _pref=pref) -> pd.DataFrame:
+        # round 1's update REPLACES ms (the 0 init is only the oracle's
+        # m0 placeholder; a max against it would clamp an all-negative
+        # dot row to 0 and diverge — caught by the sf0.001 gate);
+        # later rounds take the running max over the selected set
+        def upd(df: pd.DataFrame, _pid=pid, _pref=pref,
+                _first=(r == 1)) -> pd.DataFrame:
             d = df[df["vec_id"].to_numpy() != _pid]
             if not len(d):
                 return d
-            dots = np.stack(d["q"].to_numpy()) @ ray.get(_pref)
-            return d.assign(ms=np.maximum(d["ms"].to_numpy(np.int64),
-                                          dots.astype(np.int64)))
+            dots = (np.stack(d["q"].to_numpy())
+                    @ ray.get(_pref)).astype(np.int64)
+            if not _first:
+                dots = np.maximum(d["ms"].to_numpy(np.int64), dots)
+            return d.assign(ms=dots)
 
         cand = cand.map_batches(upd, batch_format="pandas").materialize()
     out = pd.DataFrame(picks, columns=["vec_id", "pick_round", "rel",
@@ -9713,14 +9720,18 @@ def mmr_diversify(sf_dir: str) -> rd.Dataset:
 
 
 def _mmr_oracle_sql(k: int = MMR_K) -> str:
-    parts = ["""e AS (
+    # every CTE referenced across rounds is MATERIALIZED — DuckDB
+    # otherwise inlines the whole prior-round chain into each NOT IN /
+    # join re-reference and the plan goes super-linear in k (measured:
+    # minutes at 500 vectors vs seconds materialized)
+    parts = ["""e AS MATERIALIZED (
       SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
              CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
       FROM (SELECT vec_id, unnest(embedding) AS x,
                    generate_subscripts(embedding, 1) AS i
             FROM embeddings))""",
-             "qid AS (SELECT MIN(vec_id) AS id FROM embeddings)",
-             """rel AS (
+             "qid AS MATERIALIZED (SELECT MIN(vec_id) AS id FROM embeddings)",
+             """rel AS MATERIALIZED (
       SELECT c.vec_id, CAST(SUM(c.q * s.q) AS BIGINT) AS rel
       FROM e c JOIN e s ON c.i = s.i
       WHERE s.vec_id = (SELECT id FROM qid)
@@ -9730,14 +9741,15 @@ def _mmr_oracle_sql(k: int = MMR_K) -> str:
     for r in range(1, k + 1):
         excl = (f" WHERE rel.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})"
                 if r > 1 else "")
-        parts.append(f"""p{r} AS (
+        parts.append(f"""p{r} AS MATERIALIZED (
       SELECT rel.vec_id, rel.rel, m{r - 1}.ms,
              {MMR_REL_W} * rel.rel - m{r - 1}.ms AS score
       FROM rel JOIN m{r - 1} USING (vec_id){excl}
       ORDER BY score DESC, rel.vec_id LIMIT 1)""")
         prev = (f" UNION ALL SELECT vec_id FROM sel{r - 1}"
                 if r > 1 else "")
-        parts.append(f"sel{r} AS (SELECT vec_id FROM p{r}{prev})")
+        parts.append(f"sel{r} AS MATERIALIZED "
+                     f"(SELECT vec_id FROM p{r}{prev})")
         if r < k:
             parts.append(f"""d{r} AS (
       SELECT c.vec_id, s.vec_id AS sv, CAST(SUM(c.q * s.q) AS BIGINT)
@@ -9747,7 +9759,7 @@ def _mmr_oracle_sql(k: int = MMR_K) -> str:
         AND c.vec_id <> (SELECT id FROM qid)
         AND c.vec_id NOT IN (SELECT vec_id FROM sel{r})
       GROUP BY c.vec_id, s.vec_id)""")
-            parts.append(f"""m{r} AS (
+            parts.append(f"""m{r} AS MATERIALIZED (
       SELECT vec_id, MAX(d) AS ms FROM d{r} GROUP BY vec_id)""")
     finals = "\n    UNION ALL ".join(
         f"""SELECT vec_id, CAST({r} AS BIGINT) AS pick_round,
