@@ -77,7 +77,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 seventh-batch additions
                  "kmeans_assign_new", "tokenizer_fertility",
                  # round-4 eighth-batch additions
-                 "q18_large_orders", "langid_confusion"]
+                 "q18_large_orders", "langid_confusion",
+                 # round-4 ninth-batch additions
+                 "ann_pq_search"]
 
 
 def _warm_workers(ncpu: int) -> None:

@@ -839,3 +839,24 @@ def test_mmr_reports_negative_maxsim(tmp_path):
     r2 = out[out["pick_round"] == 2].iloc[0]
     assert (r2["vec_id"], r2["rel"], r2["maxsim"], r2["score"]) \
         == (2, -100_000, -40_000, -160_000)
+
+
+def test_ann_pq_search_adc_ranking(tmp_path):
+    # seeds 1..4 with ±1/±5 on dim 0 of each half; vec 5 sits 0.002
+    # off seed 1, pulling cluster 0's centre to q=999 per half. Query =
+    # vec 1 (excluded). ADC per candidate = its code's centre distance
+    # to the query, per half: vec 5 → (1000-999)²·2 = 2; vec 2 →
+    # (1000+1000)²·2 = 8e6; vec 3 → (4000)²·2; vec 4 → (6000)²·2
+    def mk(a, b):
+        v = np.zeros(64)
+        v[0], v[32] = a, b
+        return v
+
+    sf = _write_emb(tmp_path, [1, 2, 3, 4, 5],
+                    [mk(1.0, 1.0), mk(-1.0, -1.0), mk(5.0, 5.0),
+                     mk(-5.0, -5.0), mk(0.998, 0.998)])
+    out = (queries.ann_pq_search(sf).to_pandas()
+           .sort_values("rank", ignore_index=True))
+    assert list(out["vec_id"]) == [5, 2, 3, 4]
+    assert list(out["adc_dist2"]) == [2, 8_000_000, 32_000_000,
+                                      72_000_000]

@@ -10395,3 +10395,139 @@ ORACLE_SQL["langid_confusion"] = f"""
     FROM ({_langid_oracle_sql()}) p
     JOIN documents d USING (doc_id)
     GROUP BY d.lang, p.pred_lang"""
+
+
+# --------------------------------------------------- round-4 ninth batch
+# (PQ asymmetric-distance search — the serving path over the codes)
+
+PQ_SEARCH_K = 10
+
+
+def ann_pq_search(sf_dir: str) -> rd.Dataset:
+    """ANN search over PQ codes by asymmetric distance computation
+    (ADC, Jégou et al. 2011) — the serving path embedding_pq's codes
+    exist for: the query stays full-precision, each subspace
+    pre-computes its |centroids| query→centroid distances ONCE (the
+    distance table), and every database vector costs two table lookups
+    + one add instead of a d-dim dot product. Query = the smallest
+    vec_id's vector (the MMR convention), excluded from candidates.
+    Exact-integer end to end: quantized geometry, integer squared
+    distances, ties (adc, then vec_id). Shape: the two centroid sets
+    + distance tables broadcast once (k × d ints); codes assign and
+    ADC sums in ONE streaming map (no join — the fused serving form);
+    top-k via the constant-group partial top-k. The oracle extends the
+    PQ round-replay chain with the query's distance tables and the
+    same ranking. Returns (vec_id, rank, adc_dist2)."""
+    import ray
+
+    emb = rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def half(lo: int, hi: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            M = np.stack(df["embedding"].to_numpy())[:, lo:hi]
+            return pd.DataFrame({
+                "vec_id": df["vec_id"].astype(np.int64).to_numpy(),
+                "embedding": list(M)})
+        return f
+
+    mn = partial_aggregate(
+        emb.map_batches(
+            lambda df: pd.DataFrame({
+                "__g": np.zeros(len(df), dtype=np.int32),
+                "v": df["vec_id"].astype(np.int64).to_numpy()}),
+            batch_format="pandas"),
+        ["__g"], {"mn": ("min", "v")}).to_pandas()
+    qid = int(mn["mn"].iloc[0])
+    qrow = emb.map_batches(lambda df: df[df["vec_id"] == qid],
+                           batch_format="pandas").to_pandas()
+    qfull = np.asarray(qrow["embedding"].iloc[0], dtype=np.float64)
+
+    tables = []
+    for lo, hi in ((0, PQ_SPLIT), (PQ_SPLIT, 2 * PQ_SPLIT)):
+        _, C, live = similarity.kmeans_lloyd_int(
+            emb.map_batches(half(lo, hi), batch_format="pandas"),
+            k=PQ_K, n_rounds=KMEANS_ROUNDS, return_centroids=True)
+        qh = qfull[lo:hi] * 1000.0
+        qq = (np.sign(qh) * np.floor(np.abs(qh) + 0.5)).astype(np.int64)
+        dq = ((C - qq[None, :]) ** 2).sum(axis=1).astype(np.int64)
+        tables.append((lo, hi, C, dq))
+    tref = ray.put(tables)
+
+    class Adc:
+        def __init__(self) -> None:
+            self.tables = ray.get(tref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["vec_id"].to_numpy() != qid]
+            if not len(d):
+                return pd.DataFrame({
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "adc_dist2": pd.Series([], dtype="int64")})
+            M = np.stack(d["embedding"].to_numpy()).astype(np.float64)
+            adc = np.zeros(len(d), dtype=np.int64)
+            for lo, hi, C, dq in self.tables:
+                P = M[:, lo:hi] * 1000.0
+                Q = (np.sign(P) * np.floor(np.abs(P) + 0.5)) \
+                    .astype(np.int64)
+                D = ((Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T)
+                     + (C * C).sum(axis=1)[None, :])
+                adc += dq[np.argmin(D, axis=1)]
+            return pd.DataFrame({
+                "vec_id": d["vec_id"].astype(np.int64).to_numpy(),
+                "adc_dist2": adc})
+
+    scored = emb.map_batches(Adc, batch_format="pandas",
+                             concurrency=(1, 4))
+    top = grouped_topk(
+        scored.map_batches(lambda df: df.assign(__g=np.int32(0)),
+                           batch_format="pandas"),
+        ["__g"], ["adc_dist2", "vec_id"], PQ_SEARCH_K,
+        ascending=[True, True], num_buckets=8)
+    return top.map_batches(
+        lambda df: pd.DataFrame({
+            "vec_id": df["vec_id"].astype(np.int64).to_numpy(),
+            "rank": df["rk"].astype(np.int64).to_numpy(),
+            "adc_dist2": df["adc_dist2"].astype(np.int64).to_numpy()}),
+        batch_format="pandas")
+
+
+def _ann_pq_oracle_sql(k: int = PQ_K,
+                       n_rounds: int = KMEANS_ROUNDS) -> str:
+    parts = [f"""seeds AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS c
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            ORDER BY vec_id LIMIT {k}))""",
+             "qid AS (SELECT MIN(vec_id) AS id FROM embeddings)"]
+    parts += _pq_half_sql("xa", 0, PQ_SPLIT, k, n_rounds)
+    parts += _pq_half_sql("xb", PQ_SPLIT, 2 * PQ_SPLIT, k, n_rounds)
+    cN = f"c{n_rounds - 1}"
+    for p in ("xa", "xb"):
+        parts.append(f"""{p}dq AS (
+      SELECT {p}{cN}.c,
+             CAST(SUM(({p}{cN}.v - q.q) * ({p}{cN}.v - q.q)) AS BIGINT)
+               AS d
+      FROM {p}{cN}
+      JOIN (SELECT i, q FROM {p}e
+            WHERE vec_id = (SELECT id FROM qid)) q
+        ON {p}{cN}.i = q.i
+      GROUP BY {p}{cN}.c)""")
+    parts.append(f"""adc AS (
+      SELECT a.vec_id, da.d + db.d AS adc_dist2
+      FROM xaa{n_rounds} a JOIN xba{n_rounds} b USING (vec_id)
+      JOIN xadq da ON da.c = a.c
+      JOIN xbdq db ON db.c = b.c
+      WHERE a.vec_id <> (SELECT id FROM qid))""")
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT vec_id, CAST(rank AS BIGINT) AS rank,
+           CAST(adc_dist2 AS BIGINT) AS adc_dist2
+    FROM (SELECT vec_id, adc_dist2,
+                 row_number() OVER (ORDER BY adc_dist2, vec_id) AS rank
+          FROM adc)
+    WHERE rank <= {PQ_SEARCH_K}"""
+
+
+QUERIES["ann_pq_search"] = ann_pq_search
+ORACLE_SQL["ann_pq_search"] = _ann_pq_oracle_sql()
