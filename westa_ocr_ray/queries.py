@@ -5124,17 +5124,22 @@ def _kcore_oracle_sql(k: int = KCORE_K,
                            unnest(range(0, len(toks) // 10)) AS i
                     FROM t))""",
              "d AS (SELECT DISTINCT doc_id, ch FROM c)",
-             """e0 AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+             # each peel round references the prior round's edge set
+             # three times — MATERIALIZED, or DuckDB re-inlines the
+             # whole chain per reference (245 s -> <1 s at sf0.001;
+             # the mmr_diversify lesson)
+             """e0 AS MATERIALIZED (
+               SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
                FROM d a JOIN d b
                  ON a.ch = b.ch AND a.doc_id < b.doc_id)"""]
     for r in range(n_rounds):
         parts.append(
-            f"""d{r} AS (SELECT node, COUNT(*) AS deg
+            f"""d{r} AS MATERIALIZED (SELECT node, COUNT(*) AS deg
                FROM (SELECT a AS node FROM e{r}
                      UNION ALL SELECT b FROM e{r})
                GROUP BY node)""")
         parts.append(
-            f"""e{r + 1} AS (SELECT e.a, e.b FROM e{r} e
+            f"""e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e
                JOIN d{r} da ON da.node = e.a
                JOIN d{r} db ON db.node = e.b
                WHERE da.deg >= {k} AND db.deg >= {k})""")
@@ -9106,23 +9111,26 @@ def hits_user_event(sf_dir: str) -> rd.Dataset:
 
 def _hits_oracle_sql(n_rounds: int = HITS_ROUNDS,
                      unit: int = HITS_UNIT) -> str:
-    parts = ["""edges AS (
+    # round-chained CTEs MATERIALIZED (the embedding_top_pc /
+    # mmr_diversify lesson: DuckDB inlines the prior-round chain into
+    # every scalar-subquery re-reference — 14 s → <1 s at sf0.001)
+    parts = ["""edges AS MATERIALIZED (
       SELECT DISTINCT user_id, event_type FROM events)""",
              f"""h0 AS (
       SELECT user_id, CAST({unit} AS BIGINT) AS h
       FROM (SELECT DISTINCT user_id FROM edges))"""]
     for r in range(1, n_rounds + 1):
-        parts.append(f"""a{r}r AS (
+        parts.append(f"""a{r}r AS MATERIALIZED (
       SELECT event_type, CAST(SUM(h) AS BIGINT) AS a
       FROM edges JOIN h{r - 1} USING (user_id) GROUP BY event_type)""")
-        parts.append(f"""a{r} AS (
+        parts.append(f"""a{r} AS MATERIALIZED (
       SELECT event_type,
              (a * {unit}) // (SELECT MAX(a) FROM a{r}r) AS a
       FROM a{r}r)""")
-        parts.append(f"""h{r}r AS (
+        parts.append(f"""h{r}r AS MATERIALIZED (
       SELECT user_id, CAST(SUM(a) AS BIGINT) AS h
       FROM edges JOIN a{r} USING (event_type) GROUP BY user_id)""")
-        parts.append(f"""h{r} AS (
+        parts.append(f"""h{r} AS MATERIALIZED (
       SELECT user_id,
              (h * {unit}) // (SELECT MAX(h) FROM h{r}r) AS h
       FROM h{r}r)""")
@@ -9373,7 +9381,12 @@ def embedding_top_pc(sf_dir: str) -> rd.Dataset:
 
 def _top_pc_oracle_sql(n_rounds: int = PC_ROUNDS,
                        unit: int = PC_UNIT) -> str:
-    parts = ["""e AS (
+    # round-chained CTEs MATERIALIZED and the per-round MAX(ABS(..))
+    # hoisted into its own materialized one-row CTE — DuckDB otherwise
+    # inlines the whole prior-round chain into every scalar-subquery
+    # re-reference and the plan goes super-linear in rounds (>20 min at
+    # 500 vectors vs ~1 s materialized; the mmr_diversify lesson)
+    parts = ["""e AS MATERIALIZED (
       SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
              CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
       FROM (SELECT vec_id, unnest(embedding) AS x,
@@ -9387,37 +9400,35 @@ def _top_pc_oracle_sql(n_rounds: int = PC_ROUNDS,
              FROM e GROUP BY i)""",
              """nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT)
                        AS n FROM e)""",
-             """cm AS (SELECT m.i, m.j,
+             """cm AS MATERIALIZED (SELECT m.i, m.j,
                      CAST(nn.n AS HUGEINT) * m.v
                      - CAST(si.v AS HUGEINT) * sj.v AS v
               FROM m CROSS JOIN nn
               JOIN s si ON si.i = m.i JOIN s sj ON sj.i = m.j)""",
-             f"""a AS (SELECT i, j,
-                     CASE WHEN (SELECT MAX(ABS(v)) FROM cm) = 0 THEN 0
+             """cmx AS MATERIALIZED (SELECT MAX(ABS(v)) AS x FROM cm)""",
+             f"""a AS MATERIALIZED (SELECT i, j,
+                     CASE WHEN cmx.x = 0 THEN 0
                           WHEN v >= 0
-                          THEN CAST((v * {unit})
-                               // (SELECT MAX(ABS(v)) FROM cm)
-                               AS BIGINT)
-                          ELSE -CAST(((-v) * {unit})
-                               // (SELECT MAX(ABS(v)) FROM cm)
+                          THEN CAST((v * {unit}) // cmx.x AS BIGINT)
+                          ELSE -CAST(((-v) * {unit}) // cmx.x
                                AS BIGINT) END AS v
-              FROM cm)""",
+              FROM cm CROSS JOIN cmx)""",
              f"""v0 AS (SELECT DISTINCT i, CAST({unit} AS BIGINT) AS v
                FROM a)"""]
     for r in range(1, n_rounds + 1):
-        parts.append(f"""w{r} AS (
+        parts.append(f"""w{r} AS MATERIALIZED (
       SELECT a.i, CAST(SUM(a.v * v{r - 1}.v) AS HUGEINT) AS w
       FROM a JOIN v{r - 1} ON a.j = v{r - 1}.i GROUP BY a.i)""")
-        parts.append(f"""v{r} AS (
+        parts.append(f"""wx{r} AS MATERIALIZED (
+      SELECT MAX(ABS(w)) AS x FROM w{r})""")
+        parts.append(f"""v{r} AS MATERIALIZED (
       SELECT i,
-             CASE WHEN (SELECT MAX(ABS(w)) FROM w{r}) = 0 THEN 0
+             CASE WHEN wx{r}.x = 0 THEN 0
                   WHEN w >= 0
-                  THEN CAST((w * {unit})
-                       // (SELECT MAX(ABS(w)) FROM w{r}) AS BIGINT)
-                  ELSE -CAST(((-w) * {unit})
-                       // (SELECT MAX(ABS(w)) FROM w{r}) AS BIGINT)
+                  THEN CAST((w * {unit}) // wx{r}.x AS BIGINT)
+                  ELSE -CAST(((-w) * {unit}) // wx{r}.x AS BIGINT)
              END AS v
-      FROM w{r})""")
+      FROM w{r} CROSS JOIN wx{r})""")
     return f"""
     WITH {', '.join(parts)}
     SELECT i AS dim, CAST(v AS BIGINT) AS pc_ppm FROM v{n_rounds}"""
