@@ -858,7 +858,11 @@ def chunk_star_edges(ds: rd.Dataset, id_col: str = "doc_id",
     the leaf-leaf pairs the sparse encoding left implicit. Exact and
     SQL-expressible (a MIN-per-group window). Returns distinct
     (doc_a, doc_b) with doc_a = hub < doc_b."""
-    ch = chunk_hash_table(ds, id_col, text_col, chunk_tokens)
+    # (id, ch) is consumed TWICE (hub aggregate + spoke join) — left
+    # lazy, the python md5 chunk pass re-executes per consumer
+    # (measured 51 s -> 21-29 s on ra_linkpred at sf0.1, same window)
+    ch = chunk_hash_table(ds, id_col, text_col, chunk_tokens) \
+        .materialize()
     hubs = partial_aggregate(ch, ["ch"], {"hub": ("min", id_col)},
                              num_buckets=num_buckets)
 
