@@ -860,3 +860,21 @@ def test_ann_pq_search_adc_ranking(tmp_path):
     assert list(out["vec_id"]) == [5, 2, 3, 4]
     assert list(out["adc_dist2"]) == [2, 8_000_000, 32_000_000,
                                       72_000_000]
+
+
+def test_embedding_prep_scales_fit_on_kept_set(tmp_path):
+    # vecs 1 and 2 are near-identical (cosine 1 > 0.4 threshold, same
+    # cluster) → SemDeDup drops 2; the OUTLIER magnitude lives only in
+    # the dropped vector's dim 1 value... keep it observable the other
+    # way: vec 3 is orthogonal and kept. The per-dim scale must then
+    # fit the KEPT set {1, 3}: dim 0 qmax = 1000 (not 2000, which only
+    # vec 2 had), so vec 1 dim 0 codes exactly to 127 with zero error.
+    emb = pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 0.0], [2.0, 0.0], [0.0, 1.0]],
+        "label": np.int32(0)})
+    emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    out = queries.embedding_prep(str(tmp_path)).to_pandas()
+    assert out["n_vecs"].sum() == 2          # vec 2 dropped
+    assert out["sum_sse_q"].sum() == 0       # exact codes at qmax
+    assert out["sum_code_l1"].sum() == 254   # 127 per kept vector

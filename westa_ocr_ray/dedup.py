@@ -1732,7 +1732,12 @@ def semantic_dedup(emb: rd.Dataset, n_clusters: int = 8,
         return pd.DataFrame({id_col: ids[~dup].astype(np.int64),
                              "cluster": df["cluster"].to_numpy()[order][~dup]})
 
-    assigned = emb.map_batches(Assign, concurrency=4, batch_format="pandas")
+    # elastic pool: a FIXED 4-actor pool next to downstream shuffles
+    # starves the streaming executor in a 4-CPU session (the
+    # bpe_encode / quality_classifier pattern) — embedding_prep chains
+    # this into a semi filter + aggregates
+    assigned = emb.map_batches(Assign, concurrency=(1, 4),
+                               batch_format="pandas")
     return assigned.groupby("cluster").map_groups(
         keep_fn, batch_format="pandas")
 

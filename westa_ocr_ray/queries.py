@@ -10542,3 +10542,136 @@ def _ann_pq_oracle_sql(k: int = PQ_K,
 
 QUERIES["ann_pq_search"] = ann_pq_search
 ORACLE_SQL["ann_pq_search"] = _ann_pq_oracle_sql()
+
+
+# --------------------------------------------------- round-4 tenth batch
+# (the embedding-side composed end-to-end chain)
+
+EP_SHARDS = 8
+
+
+def embedding_prep(sf_dir: str) -> rd.Dataset:
+    """The composed EMBEDDING-corpus preparation chain — the vector
+    counterpart of training_prep / rag_prep / mm_prep, gated end to end
+    by ONE composed DuckDB oracle: SemDeDup near-dup drop → per-dim
+    int8 max-abs quantization of the KEPT set (scales derive from the
+    kept vectors only — dropping dups before fitting the scale is the
+    point of ordering the chain this way) → content-addressed shard
+    manifest (md5(vec_id) % EP_SHARDS, the rag_prep shard rule).
+    Shapes all audited upstream: the kept set joins partitioned, the
+    (dim, m) scale table tree-merges and broadcasts once, codes stream
+    in one map, and the manifest is a bounded aggregate — the driver
+    sees EP_SHARDS rows. Returns
+    (shard, n_vecs, sum_code_l1, sum_sse_q)."""
+    import ray
+
+    from .relops import semi_anti_filter_scalable
+
+    kept = q_semantic_dedup(sf_dir)
+    # the embedding column must cross a groupby shuffle here, and
+    # ray's TensorArray pandas extension cannot concat its blocks
+    # (object-ndarray-of-ndarrays TypeError) — re-type it to plain
+    # object lists first; qstack's np.stack accepts both forms
+    emb = rp(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "vec_id": df["vec_id"].astype("int64").to_numpy(),
+                "embedding": [np.asarray(v, dtype=np.float64).tolist()
+                              for v in df["embedding"]]}),
+            batch_format="pandas")
+    # semi join (not hash_join): a join's tag/union None-fill would
+    # also choke on the list column; the Bloom-prefiltered semi filter
+    # moves only vec_id keys. Kept ids are unique (a groupby output),
+    # so the key-dedup exchange is skipped.
+    ke = semi_anti_filter_scalable(
+        emb, "vec_id", kept.map_batches(
+            lambda df: df[["vec_id"]], batch_format="pandas"),
+        cols=["vec_id", "embedding"],
+        keys_unique=True).materialize()   # consumed twice
+
+    def qstack(df: pd.DataFrame) -> np.ndarray:
+        # the embedding_quantize kernel (away-from-zero ROUND parity)
+        p = (np.stack(df["embedding"].to_numpy()).astype(np.float64)
+             * EQ_SCALE)
+        return (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
+
+    def dim_max(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"i": pd.Series([], dtype="int64"),
+                                 "m": pd.Series([], dtype="int64")})
+        q = qstack(df)
+        return pd.DataFrame({
+            "i": np.arange(q.shape[1], dtype=np.int64),
+            "m": np.abs(q).max(axis=0).astype(np.int64)})
+
+    mx = partial_aggregate(
+        ke.map_batches(dim_max, batch_format="pandas"),
+        ["i"], {"m": ("max", "m")}).to_pandas()
+    qmax = np.zeros(int(mx["i"].max()) + 1, dtype=np.int64)
+    qmax[mx["i"].to_numpy()] = mx["m"].to_numpy()
+    mref = ray.put(qmax)
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "shard": pd.Series([], dtype="int64"),
+                "n_vecs": pd.Series([], dtype="int64"),
+                "sum_code_l1": pd.Series([], dtype="int64"),
+                "sum_sse_q": pd.Series([], dtype="int64")})
+        m = ray.get(mref)
+        q = qstack(df)
+        sgn, aq = np.sign(q), np.abs(q)
+        safe = np.where(m == 0, 1, m)
+        code = np.where(m == 0, 0, sgn * ((aq * EQ_LEVELS) // safe))
+        recon = np.sign(code) * ((np.abs(code) * m) // EQ_LEVELS)
+        err = q - recon
+        shard = np.fromiter(
+            (int(dedup.md5_hex(str(int(v)))[:8], 16) % EP_SHARDS
+             for v in df["vec_id"]), dtype=np.int64, count=len(df))
+        out = pd.DataFrame({
+            "shard": shard,
+            "n_vecs": np.ones(len(df), dtype=np.int64),
+            "sum_code_l1": np.abs(code).sum(axis=1).astype(np.int64),
+            "sum_sse_q": (err * err).sum(axis=1).astype(np.int64)})
+        return (out.groupby("shard", sort=False, as_index=False)
+                .agg(n_vecs=("n_vecs", "sum"),
+                     sum_code_l1=("sum_code_l1", "sum"),
+                     sum_sse_q=("sum_sse_q", "sum")).infer_objects())
+
+    return partial_aggregate(
+        ke.map_batches(audit, batch_format="pandas"),
+        ["shard"], {"n_vecs": ("sum", "n_vecs"),
+                    "sum_code_l1": ("sum", "sum_code_l1"),
+                    "sum_sse_q": ("sum", "sum_sse_q")}, num_buckets=8)
+
+
+QUERIES["embedding_prep"] = embedding_prep
+ORACLE_SQL["embedding_prep"] = f"""
+    WITH k AS MATERIALIZED ({ORACLE_SQL["semantic_dedup"]}),
+    e AS MATERIALIZED (
+      SELECT s.vec_id, CAST(i - 1 AS BIGINT) AS i,
+             CAST(ROUND(CAST(x AS DOUBLE) * {EQ_SCALE}) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings) s
+      WHERE s.vec_id IN (SELECT vec_id FROM k)),
+    mx AS (SELECT i, MAX(ABS(q)) AS m FROM e GROUP BY i),
+    c AS (SELECT vec_id, q, m,
+                 CASE WHEN m = 0 THEN 0
+                      WHEN q >= 0 THEN (q * {EQ_LEVELS}) // m
+                      ELSE -((-q * {EQ_LEVELS}) // m) END AS code
+          FROM e JOIN mx USING (i)),
+    r AS (SELECT vec_id, code, q, m,
+                 CASE WHEN code >= 0 THEN (code * m) // {EQ_LEVELS}
+                      ELSE -((-code * m) // {EQ_LEVELS}) END AS recon
+          FROM c),
+    a AS (SELECT vec_id,
+                 CAST(SUM(ABS(code)) AS BIGINT) AS code_l1,
+                 CAST(SUM((q - recon) * (q - recon)) AS BIGINT) AS sse_q
+          FROM r GROUP BY vec_id)
+    SELECT CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) % {EP_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(code_l1) AS BIGINT) AS sum_code_l1,
+           CAST(SUM(sse_q) AS BIGINT) AS sum_sse_q
+    FROM a GROUP BY 1"""
