@@ -79,7 +79,11 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 eighth-batch additions
                  "q18_large_orders", "langid_confusion",
                  # round-4 ninth-batch additions
-                 "ann_pq_search"]
+                 "ann_pq_search",
+                 # round-4 tenth-batch additions
+                 "embedding_prep",
+                 # round-4 eleventh-batch additions
+                 "boolean_search", "ranking_eval", "canonical_docs"]
 
 
 def _warm_workers(ncpu: int) -> None:

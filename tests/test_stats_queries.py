@@ -878,3 +878,75 @@ def test_embedding_prep_scales_fit_on_kept_set(tmp_path):
     assert out["n_vecs"].sum() == 2          # vec 2 dropped
     assert out["sum_sse_q"].sum() == 0       # exact codes at qmax
     assert out["sum_code_l1"].sum() == 254   # 127 per kept vector
+
+
+def _write_docs(tmp_path, texts, ids=None) -> str:
+    ids = list(range(len(texts))) if ids is None else ids
+    pd.DataFrame({
+        "doc_id": np.asarray(ids, dtype=np.int64),
+        "text": texts,
+        "lang": "en", "source": "s0",
+        "n_chars": np.asarray([len(t) for t in texts], dtype=np.int64),
+    }).to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_boolean_search_clause_logic(tmp_path):
+    # doc 0: hash+window (clause1), doc 1: hash+window+vector (the NOT
+    # kills clause1), doc 2: stream+merge (clause2), doc 3: hash only
+    # (neither), doc 4: hash+window AND stream+merge (both clauses)
+    sf = _write_docs(tmp_path, [
+        "hash window x", "hash window vector", "stream merge y",
+        "hash z", "hash window stream merge"])
+    out = (queries.boolean_search(sf).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert list(out["doc_id"]) == [0, 2, 4]
+    assert list(out["clause1"]) == [1, 0, 1]
+    assert list(out["clause2"]) == [0, 1, 1]
+
+
+def test_ranking_eval_perfect_prefix(tmp_path):
+    # 3 relevant docs (dup+line => rel, and 'dup' df=3/10 keeps every
+    # probe idf positive) rank 1-3; 7 irrelevant docs carry none of the
+    # probe terms. AP is 1.0 at every cutoff; hits cap at R=3.
+    sf = _write_docs(tmp_path,
+                     ["dup line a", "dup line b", "dup line hash"]
+                     + ["scan table join"] * 7)
+    out = queries.ranking_eval(sf).sort_values("k", ignore_index=True)
+    assert list(out["k"]) == [5, 10, 25, 50]
+    assert list(out["hits"]) == [3, 3, 3, 3]
+    assert list(out["ap_micro"]) == [1_000_000] * 4
+    assert out["prec_micro"].iloc[0] == 3 * 1_000_000 // 5
+
+
+def test_canonical_docs_survivor_rule(tmp_path):
+    # docs 1 and 2 share their first 10-token chunk => one cluster;
+    # doc 2 is longer so it is canonical; doc 7 has no dup partner and
+    # must NOT appear.
+    chunk = "a b c d e f g h i j"
+    sf = _write_docs(
+        tmp_path,
+        [chunk + " tail", chunk + " much longer tail here",
+         "lone wolf document with no duplicate chunk at all"],
+        ids=[1, 2, 7])
+    out = queries.canonical_docs(sf).to_pandas()
+    assert len(out) == 1
+    assert int(out["cluster_id"][0]) == 1
+    assert int(out["canonical_id"][0]) == 2   # longest wins
+    assert int(out["n_members"][0]) == 2
+    assert int(out["max_chars"][0]) == len(chunk + " much longer tail here")
+
+
+def test_q6_filter_edges(tmp_path):
+    # rows: inside every bound / discount too low / qty at the open
+    # bound (24 excluded) / shipdate one day past the year end
+    df = pd.DataFrame({
+        "l_shipdate": pd.to_datetime(["1996-06-01", "1996-06-01",
+                                      "1996-06-01", "1997-01-01"]),
+        "l_discount": [0.06, 0.04, 0.07, 0.06],
+        "l_quantity": [10.0, 10.0, 24.0, 10.0],
+        "l_extendedprice": [100.0, 100.0, 100.0, 100.0]})
+    df.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    out = queries.q6_forecast_revenue(str(tmp_path)).to_pandas()
+    assert int(out["n_lines"][0]) == 1
+    assert int(out["revenue_e4"][0]) == 10000 * 6   # cents * centi-disc

@@ -10675,3 +10675,273 @@ ORACLE_SQL["embedding_prep"] = f"""
            CAST(SUM(code_l1) AS BIGINT) AS sum_code_l1,
            CAST(SUM(sse_q) AS BIGINT) AS sum_sse_q
     FROM a GROUP BY 1"""
+
+
+# ------------------------------------------------- round-4 eleventh batch
+
+#: boolean retrieval probe: (hash AND window AND NOT vector) OR
+#: (stream AND merge) — clause terms chosen from the corpus vocabulary
+BOOL_AND1 = ("hash", "window")
+BOOL_NOT1 = "vector"
+BOOL_AND2 = ("stream", "merge")
+_BOOL_TERMS = tuple(sorted({*BOOL_AND1, BOOL_NOT1, *BOOL_AND2}))
+
+
+def boolean_search(sf_dir: str) -> rd.Dataset:
+    """Boolean retrieval (AND / OR / NOT) through the PERSISTED inverted
+    index: the probe terms' postings come from ONLY their hash-bucket
+    partitions (5 terms touch <=5/64 of the index files at any corpus
+    size), per-doc term membership folds to one bitmask row per
+    candidate doc in a bucketed aggregate, and the clause logic is a
+    pure bit test on that mask — the corpus text is never re-read.
+    NOT is evaluated within a conjunctive clause (candidates all come
+    from positive-term postings, so the negative term only ever REMOVES
+    docs — the classic safe-NOT rule of boolean IR). Returns
+    (doc_id, clause1, clause2) for matching docs."""
+    from . import search
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    out = _text_index_dir(sf_dir)
+    search.build_text_index(docs, out, num_buckets=64)
+    post = search.text_index_postings(out, _BOOL_TERMS, num_buckets=64)
+    bit = {t: 1 << i for i, t in enumerate(_BOOL_TERMS)}
+
+    def to_bits(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "mask": df["token"].map(bit).astype("int64")})
+
+    masks = partial_aggregate(post.map_batches(to_bits, batch_format="pandas"),
+                              ["doc_id"], {"mask": ("sum", "mask")})
+    m1 = bit[BOOL_AND1[0]] | bit[BOOL_AND1[1]]
+    mn = bit[BOOL_NOT1]
+    m2 = bit[BOOL_AND2[0]] | bit[BOOL_AND2[1]]
+
+    def clauses(df: pd.DataFrame) -> pd.DataFrame:
+        mk = df["mask"].to_numpy(dtype=np.int64)
+        c1 = ((mk & m1) == m1) & ((mk & mn) == 0)
+        c2 = (mk & m2) == m2
+        keep = c1 | c2
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64)[keep],
+            "clause1": c1[keep].astype(np.int64),
+            "clause2": c2[keep].astype(np.int64)})
+
+    return masks.map_batches(clauses, batch_format="pandas")
+
+
+QUERIES["boolean_search"] = boolean_search
+ORACLE_SQL["boolean_search"] = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE token IN ({', '.join(repr(t) for t in _BOOL_TERMS)})),
+    m AS (SELECT doc_id,
+                 MAX(CASE WHEN token = '{BOOL_AND1[0]}' THEN 1 ELSE 0 END) AS a1,
+                 MAX(CASE WHEN token = '{BOOL_AND1[1]}' THEN 1 ELSE 0 END) AS a2,
+                 MAX(CASE WHEN token = '{BOOL_NOT1}' THEN 1 ELSE 0 END) AS nt,
+                 MAX(CASE WHEN token = '{BOOL_AND2[0]}' THEN 1 ELSE 0 END) AS b1,
+                 MAX(CASE WHEN token = '{BOOL_AND2[1]}' THEN 1 ELSE 0 END) AS b2
+          FROM tok GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(CASE WHEN a1 = 1 AND a2 = 1 AND nt = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS clause1,
+           CAST(CASE WHEN b1 = 1 AND b2 = 1 THEN 1 ELSE 0 END
+                AS BIGINT) AS clause2
+    FROM m
+    WHERE (a1 = 1 AND a2 = 1 AND nt = 0) OR (b1 = 1 AND b2 = 1)"""
+
+
+#: eval probe includes the one genuinely RARE corpus token ('dup',
+#: ~5% df) so BM25's idf is positive for it and the ranking actually
+#: surfaces the relevant set (the 75%-df tokens all carry negative idf
+#: and would push relevant docs to the bottom — a degenerate all-zero
+#: eval)
+RANK_TERMS = ("dup", "line", "hash")
+REL_MIN_TERMS = 2   # a doc is "relevant" iff it has >= 2 of the 3 probe terms
+RANK_EVAL_KS = (5, 10, 25, 50)
+
+
+def ranking_eval(sf_dir: str) -> pd.DataFrame:
+    """Retrieval-quality evaluation of the BM25 ranking against a
+    corpus-derived relevance set (rel = doc carries >= REL_MIN_TERMS of
+    the probe terms): hits@k, precision@k and average-precision@k for
+    each cutoff, all exact integers. Scale shape: the ranking is the
+    bounded BM25 top-50, relevance flags come from the probe terms'
+    bucket-pruned index postings (one row per candidate doc through a
+    bucketed aggregate — the corpus never moves), R folds to one row,
+    and only the <=50 (rank, rel) rows ever reach the driver. The
+    quantization (micro-floor per position, then floor by min(R, k))
+    is replayed verbatim by the SQL oracle."""
+    from . import search
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    out = _text_index_dir(sf_dir)
+    search.build_text_index(docs, out, num_buckets=64)
+    post = search.text_index_postings(out, RANK_TERMS, num_buckets=64)
+    nt = partial_aggregate(
+        post.map_batches(lambda df: df[["doc_id"]].astype("int64"),
+                         batch_format="pandas"),
+        ["doc_id"], {"nt": ("count", None)})
+    _empty_ids = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    rel = nt.map_batches(
+        lambda df: (df[df["nt"] >= REL_MIN_TERMS][["doc_id"]]
+                    if len(df) else _empty_ids),
+        batch_format="pandas")
+    r_total = int(partial_aggregate(
+        rel.map_batches(lambda df: df.assign(__g=np.int32(0)),
+                        batch_format="pandas"),
+        ["__g"], {"r": ("count", None)}).to_pandas()["r"][0])
+
+    top = search.bm25_topk(docs, RANK_TERMS, k=50).to_pandas()
+    top_ids = set(top["doc_id"].astype("int64"))
+    rt = rel.map_batches(
+        lambda df: (df[df["doc_id"].isin(top_ids)]
+                    if len(df) else _empty_ids),
+        batch_format="pandas").to_pandas()
+    # an all-empty result loses its schema on the way to pandas
+    rel_top = (set(rt["doc_id"].astype("int64"))
+               if "doc_id" in rt.columns else set())
+
+    top = top.sort_values("rank", ignore_index=True)
+    is_rel = top["doc_id"].astype("int64").isin(rel_top).to_numpy()
+    ranks = top["rank"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(is_rel.astype(np.int64))
+    p_micro = cum * 1_000_000 // ranks          # precision@i, micro-floored
+    rows = []
+    for k in RANK_EVAL_KS:
+        at = ranks <= k
+        hits = int(cum[at][-1]) if at.any() else 0
+        ap = int(p_micro[at & is_rel].sum()) // max(1, min(r_total, k))
+        rows.append((k, hits, hits * 1_000_000 // k, ap))
+    return pd.DataFrame(rows, columns=["k", "hits", "prec_micro",
+                                       "ap_micro"]).astype("int64")
+
+
+QUERIES["ranking_eval"] = ranking_eval
+ORACLE_SQL["ranking_eval"] = f"""
+    WITH top AS MATERIALIZED ({search.bm25_oracle_sql(RANK_TERMS, k=50)}),
+    nt AS (
+      SELECT doc_id, COUNT(DISTINCT token) AS nt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE token IN ({', '.join(repr(t) for t in sorted(RANK_TERMS))})
+      GROUP BY doc_id),
+    rel AS MATERIALIZED (
+      SELECT doc_id FROM nt WHERE nt >= {REL_MIN_TERMS}),
+    rtot AS MATERIALIZED (SELECT COUNT(*) AS r FROM rel),
+    rr AS MATERIALIZED (
+      SELECT t.rank,
+             CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel,
+             SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END)
+               OVER (ORDER BY t.rank) AS cum
+      FROM top t LEFT JOIN rel r USING (doc_id)),
+    pm AS MATERIALIZED (
+      SELECT rank, is_rel, cum, (cum * 1000000) // rank AS p_micro
+      FROM rr),
+    ks(k) AS (VALUES (5), (10), (25), (50))
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COALESCE((SELECT MAX(cum) FROM pm WHERE rank <= k), 0)
+                AS BIGINT) AS hits,
+           CAST(COALESCE((SELECT MAX(cum) FROM pm WHERE rank <= k), 0)
+                * 1000000 // k AS BIGINT) AS prec_micro,
+           CAST(COALESCE((SELECT SUM(p_micro) FROM pm
+                          WHERE rank <= k AND is_rel = 1), 0)
+                // GREATEST(1, LEAST((SELECT r FROM rtot), k))
+                AS BIGINT) AS ap_micro
+    FROM ks"""
+
+
+def canonical_docs(sf_dir: str) -> rd.Dataset:
+    """Dedup SURVIVORSHIP — the step a real pipeline runs after
+    connected components: per duplicate cluster pick the canonical
+    representative by (longest n_chars, then smallest doc_id) and
+    report the cluster census. Scale shape: the CC label table (dup
+    nodes only — orders of magnitude smaller than the corpus) joins
+    the doc metadata partitioned, the per-cluster arg-max rides
+    grouped_topk's two bounded stages, and the member count is a
+    bucketed aggregate; both outputs are one row per CLUSTER and join
+    partitioned. Returns (cluster_id, canonical_id, max_chars,
+    n_members)."""
+    labels = q_dup_clusters(sf_dir)
+    meta = rp(sf_dir, "documents", ["doc_id", "n_chars"])
+    j = hash_join(labels, meta, left_on="doc_id", right_on="doc_id",
+                  right_cols=["doc_id", "n_chars"])
+    top1 = grouped_topk(j, ["cluster_id"], ["n_chars", "doc_id"], k=1,
+                        ascending=[False, True])
+    top1 = top1.map_batches(
+        lambda df: pd.DataFrame({
+            "cluster_id": df["cluster_id"].astype("int64"),
+            "canonical_id": df["doc_id"].astype("int64"),
+            "max_chars": df["n_chars"].astype("int64")}),
+        batch_format="pandas")
+    census = partial_aggregate(labels, ["cluster_id"],
+                               {"n_members": ("count", None)})
+    out = hash_join(top1, census, left_on="cluster_id",
+                    right_on="cluster_id")
+    cols = ["cluster_id", "canonical_id", "max_chars", "n_members"]
+    return out.map_batches(lambda df: df[cols].astype("int64"),
+                           batch_format="pandas")
+
+
+QUERIES["canonical_docs"] = canonical_docs
+ORACLE_SQL["canonical_docs"] = f"""
+    WITH cc AS MATERIALIZED ({ORACLE_SQL["dup_clusters"]}),
+    j AS (SELECT cc.cluster_id, cc.doc_id, d.n_chars
+          FROM cc JOIN documents d USING (doc_id)),
+    r AS (SELECT cluster_id, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM j)
+    SELECT r.cluster_id,
+           CAST(r.doc_id AS BIGINT) AS canonical_id,
+           CAST(r.n_chars AS BIGINT) AS max_chars,
+           CAST(c.n_members AS BIGINT) AS n_members
+    FROM r JOIN (SELECT cluster_id, COUNT(*) AS n_members
+                 FROM cc GROUP BY cluster_id) c USING (cluster_id)
+    WHERE r.rn = 1"""
+
+
+def q6_forecast_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q6 (forecast revenue change): a pure filter-then-global-sum
+    over lineitem — prune to four columns at the read, filter and
+    partial-sum inside one map stage in exact cents x centi-discount
+    integers, tree-merge one row. Reference analog: the G3-style global
+    counters (SURVEY §2 G-ops); the simplest possible scan shape at
+    100 TB (no shuffle at all)."""
+    li = rp(sf_dir, "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        disc = np.round(df["l_discount"].to_numpy(dtype=np.float64)
+                        * 100).astype(np.int64)
+        keep = ((df["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+                & (df["l_shipdate"] < pd.Timestamp("1997-01-01"))
+                & (disc >= 5) & (disc <= 7)
+                & (df["l_quantity"].to_numpy(dtype=np.float64) < 24))
+        price = _cents(df["l_extendedprice"][keep]).to_numpy()
+        return pd.DataFrame({
+            "__g": np.zeros(int(keep.sum()), dtype=np.int32),
+            "rev": price * disc[keep.to_numpy()],
+            "n": np.ones(int(keep.sum()), dtype=np.int64)})
+
+    out = partial_aggregate(li.map_batches(prep, batch_format="pandas"),
+                            ["__g"], {"revenue_e4": ("sum", "rev"),
+                                      "n_lines": ("sum", "n")})
+    return out.map_batches(
+        lambda df: df[["revenue_e4", "n_lines"]].astype("int64"),
+        batch_format="pandas")
+
+
+QUERIES["q6_forecast_revenue"] = q6_forecast_revenue
+ORACLE_SQL["q6_forecast_revenue"] = """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24"""
