@@ -83,7 +83,10 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 tenth-batch additions
                  "embedding_prep",
                  # round-4 eleventh-batch additions
-                 "boolean_search", "ranking_eval", "canonical_docs"]
+                 "boolean_search", "ranking_eval", "canonical_docs",
+                 # round-4 twelfth-batch additions
+                 "proximity_rerank", "sparse_dot_topk",
+                 "last_touch_attribution", "incremental_agg"]
 
 
 def _warm_workers(ncpu: int) -> None:

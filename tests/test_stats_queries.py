@@ -950,3 +950,62 @@ def test_q6_filter_edges(tmp_path):
     out = queries.q6_forecast_revenue(str(tmp_path)).to_pandas()
     assert int(out["n_lines"][0]) == 1
     assert int(out["revenue_e4"][0]) == 10000 * 6   # cents * centi-disc
+
+
+def test_min_cover_window_fuzz_vs_bruteforce():
+    from itertools import product
+
+    from westa_ocr_ray.search import min_cover_window
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        m = int(rng.integers(1, 4))
+        lists = [np.sort(rng.choice(40, size=int(rng.integers(0, 5)),
+                                    replace=False))
+                 for _ in range(m)]
+        got = min_cover_window(lists)
+        if any(len(p) == 0 for p in lists):
+            assert got is None
+            continue
+        brute = min(max(c) - min(c) + 1 for c in product(*lists))
+        assert got == brute
+
+
+def test_last_touch_strict_before(tmp_path):
+    # purchase at t=100s: the click AT the same microsecond must NOT
+    # attribute (strict <); the click at t=40s does (gap 60s). The
+    # second purchase has no earlier click at all.
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [5, 5, 5, 9],
+        "event_type": ["click", "click", "purchase", "purchase"],
+        "ts_us": [40_000_000, 100_000_000, 100_000_000, 10_000_000],
+        "value": 1.0, "props": "{}"})
+    sf = _write_events(tmp_path, df)
+    out = (queries.last_touch_attribution(sf).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    assert list(out["user_id"]) == [5, 9]
+    assert list(out["n_purch"]) == [1, 1]
+    assert list(out["n_attr"]) == [1, 0]
+    assert list(out["sum_gap_s"]) == [60, 0]
+
+
+def test_incremental_agg_matches_direct(tmp_path):
+    # ids hit every diff branch: 17 (removed), 10 (changed), 25/50
+    # (re-added), plus untouched ids; the delta-maintained table must
+    # equal a from-scratch aggregate of the new snapshot.
+    ids = [1, 2, 10, 17, 25, 34, 50, 99]
+    sf = _write_docs(tmp_path, [f"w{'x ' * (i % 5)}doc {i}" for i in ids],
+                     ids=ids)
+    out = (queries.incremental_agg(sf).to_pandas()
+           .sort_values("g", ignore_index=True))
+    base = pd.read_parquet(tmp_path / "documents.parquet")
+    new = queries._make_next_snapshot(base)
+    direct = (pd.DataFrame({
+        "g": new["doc_id"].to_numpy() % queries.INC_AGG_GROUPS,
+        "n_docs": 1,
+        "sum_tokens": new["text"].str.count(" ").to_numpy() + 1})
+        .groupby("g", as_index=False).sum()
+        .sort_values("g", ignore_index=True))
+    assert list(out["g"]) == list(direct["g"])
+    assert list(out["n_docs"]) == list(direct["n_docs"])
+    assert list(out["sum_tokens"]) == list(direct["sum_tokens"])

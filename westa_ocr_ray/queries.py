@@ -10945,3 +10945,284 @@ ORACLE_SQL["q6_forecast_revenue"] = """
       AND l_shipdate < TIMESTAMP '1997-01-01'
       AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
       AND l_quantity < 24"""
+
+
+# -------------------------------------------------- round-4 twelfth batch
+
+PROX_K = 20
+
+
+def proximity_rerank(sf_dir: str) -> rd.Dataset:
+    """Proximity retrieval (smallest window covering all probe terms)
+    from the positional index sidecar — the slop/SpanNear tier between
+    BM25 and exact phrase. Engine runs the O(occurrences) two-pointer
+    sweep per candidate doc; the oracle writes the O(prod tf) position
+    cross product, mathematically the same minimum. Probe = RANK_TERMS
+    (the rare-token query the eval family shares)."""
+    from . import search
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    out = _text_index_dir(sf_dir)
+    search.build_text_index(docs, out, num_buckets=64)
+    return search.proximity_topk_from_index(out, RANK_TERMS, k=PROX_K,
+                                            num_buckets=64)
+
+
+QUERIES["proximity_rerank"] = proximity_rerank
+ORACLE_SQL["proximity_rerank"] = f"""
+    WITH tok AS (
+      SELECT doc_id, token, CAST(i - 1 AS BIGINT) AS pos
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM documents)),
+    p0 AS (SELECT doc_id, pos FROM tok WHERE token = '{RANK_TERMS[0]}'),
+    p1 AS (SELECT doc_id, pos FROM tok WHERE token = '{RANK_TERMS[1]}'),
+    p2 AS (SELECT doc_id, pos FROM tok WHERE token = '{RANK_TERMS[2]}'),
+    w AS (SELECT a.doc_id,
+                 MIN(GREATEST(a.pos, b.pos, c.pos)
+                     - LEAST(a.pos, b.pos, c.pos) + 1) AS width
+          FROM p0 a
+          JOIN p1 b ON a.doc_id = b.doc_id
+          JOIN p2 c ON a.doc_id = c.doc_id
+          GROUP BY a.doc_id),
+    r AS (SELECT doc_id, width,
+                 ROW_NUMBER() OVER (ORDER BY width, doc_id) AS rank
+          FROM w)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {PROX_K}"""
+
+
+SPARSE_PROBE_IDS = (3, 57, 101)
+SPARSE_K = 5
+
+
+def sparse_dot_topk(sf_dir: str) -> rd.Dataset:
+    """Sparse lexical retrieval: integer idf-weighted dot product
+    between probe documents' tf vectors and every corpus doc (weight =
+    10^6 // df per token — the SPLADE/tf-idf sparse-vector serving
+    shape with an exact integer oracle). Scale: the (token -> weight)
+    table is vocabulary-sized and broadcast; the probe tf vectors are
+    k rows and broadcast; the corpus pass is ONE vectorized explode +
+    per-(doc, probe) partial sums; the final per-probe ranking is
+    grouped_topk's bounded two stages. Returns
+    (probe_id, doc_id, score, rank)."""
+    import ray
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        did = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), lens)
+        flat = (np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                if len(df) else np.array([], dtype=object))
+        out = pd.DataFrame({"doc_id": did, "token": flat})
+        return (out.groupby(["doc_id", "token"], sort=False,
+                            as_index=False).size()
+                .rename(columns={"size": "tf"}))
+
+    tf = docs.map_batches(tok_counts, batch_format="pandas").materialize()
+    dfreq = partial_aggregate(tf, ["token"],
+                              {"df": ("count", None)}).to_pandas()
+    weight = {t: 1_000_000 // int(n)
+              for t, n in zip(dfreq["token"], dfreq["df"])}
+    probes = tf.map_batches(
+        lambda df: df[df["doc_id"].isin(SPARSE_PROBE_IDS)],
+        batch_format="pandas").to_pandas()
+    pvec = {int(p): dict(zip(g["token"], g["tf"].astype(int)))
+            for p, g in probes.groupby("doc_id")}
+    bref = ray.put((weight, pvec))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        w, pv = ray.get(bref)
+        if not len(df):
+            return pd.DataFrame({
+                "probe_id": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="int64")})
+        tfv = df["tf"].to_numpy(dtype=np.int64)
+        wv = df["token"].map(w).to_numpy(dtype=np.int64)
+        frames = []
+        for p, vec in pv.items():
+            ptf = df["token"].map(vec).fillna(0).to_numpy(dtype=np.int64)
+            s = tfv * wv * ptf
+            frames.append(pd.DataFrame({
+                "probe_id": np.full(len(df), p, dtype=np.int64),
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "score": s}))
+        out = pd.concat(frames, ignore_index=True)
+        out = out[(out["score"] > 0) & (out["doc_id"] != out["probe_id"])]
+        return (out.groupby(["probe_id", "doc_id"], sort=False,
+                            as_index=False).agg(score=("score", "sum")))
+
+    scores = partial_aggregate(
+        tf.map_batches(score, batch_format="pandas"),
+        ["probe_id", "doc_id"], {"score": ("sum", "score")})
+    top = grouped_topk(scores, ["probe_id"], ["score", "doc_id"],
+                       SPARSE_K, ascending=[False, True])
+    return top.map_batches(
+        lambda df: df[["probe_id", "doc_id", "score", "rk"]]
+                     .rename(columns={"rk": "rank"}).astype("int64"),
+        batch_format="pandas")
+
+
+QUERIES["sparse_dot_topk"] = sparse_dot_topk
+ORACLE_SQL["sparse_dot_topk"] = f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY doc_id, token),
+    w AS (SELECT token, 1000000 // COUNT(*) AS w FROM tok GROUP BY token),
+    probe AS (SELECT doc_id AS probe_id, token, tf FROM tok
+              WHERE doc_id IN ({', '.join(str(i) for i in SPARSE_PROBE_IDS)})),
+    sc AS (SELECT p.probe_id, t.doc_id,
+                  CAST(SUM(p.tf * t.tf * w.w) AS BIGINT) AS score
+           FROM probe p
+           JOIN tok t ON t.token = p.token AND t.doc_id <> p.probe_id
+           JOIN w ON w.token = p.token
+           GROUP BY 1, 2
+           HAVING SUM(p.tf * t.tf * w.w) > 0),
+    r AS (SELECT probe_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM sc)
+    SELECT CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(doc_id AS BIGINT) AS doc_id, score,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {SPARSE_K}"""
+
+
+def last_touch_attribution(sf_dir: str) -> rd.Dataset:
+    """Last-touch conversion attribution: each purchase attributes to
+    the user's most recent STRICTLY earlier click. Inside the per-user
+    ordered-log bucket it is one searchsorted probe per purchase array
+    (the funnel_conversions shape, pointed backward); no pairwise
+    join. Returns per-user (n_purch, n_attr, sum_gap_s) with the gap
+    floored to whole seconds."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        users, n_p, n_a, gap = [], [], [], []
+        start = np.flatnonzero(df["user_id"].ne(df["user_id"].shift())
+                               .to_numpy())
+        bounds = np.append(start, len(df))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            ct = np.sort(t[a:b][et[a:b] == "click"])
+            pt = t[a:b][et[a:b] == "purchase"]
+            idx = np.searchsorted(ct, pt, side="left") - 1
+            ok = idx >= 0
+            users.append(uid[a])
+            n_p.append(len(pt))
+            n_a.append(int(ok.sum()))
+            gap.append(int(((pt[ok] - ct[idx[ok]]) // 1_000_000).sum()))
+        return pd.DataFrame({
+            "user_id": pd.Series(users, dtype=df["user_id"].dtype),
+            "n_purch": pd.Series(n_p, dtype="int64"),
+            "n_attr": pd.Series(n_a, dtype="int64"),
+            "sum_gap_s": pd.Series(gap, dtype="int64")})
+
+    out = _bucketed_by_user(ev, fn)
+    return out.map_batches(
+        lambda df: df[df["n_purch"] > 0], batch_format="pandas")
+
+
+QUERIES["last_touch_attribution"] = last_touch_attribution
+ORACLE_SQL["last_touch_attribution"] = """
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    a AS (SELECT p.user_id, p.ts,
+                 (SELECT MAX(c.ts) FROM c
+                  WHERE c.user_id = p.user_id AND c.ts < p.ts) AS lc
+          FROM p)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purch,
+           CAST(COUNT(lc) AS BIGINT) AS n_attr,
+           CAST(COALESCE(SUM((epoch_us(ts) - epoch_us(lc)) // 1000000), 0)
+                AS BIGINT) AS sum_gap_s
+    FROM a GROUP BY user_id"""
+
+
+INC_AGG_GROUPS = 7
+
+
+def incremental_agg(sf_dir: str) -> rd.Dataset:
+    """Incremental MAINTENANCE of a materialized aggregate: the
+    per-group (doc_id % 7) doc-count/token-sum table is updated to the
+    next corpus snapshot using ONLY the diff — removed docs subtract,
+    changed docs subtract their old text and add their new, added docs
+    add — while the oracle recomputes the same table from scratch on
+    the new snapshot; equality proves the delta path. Scale shape: the
+    base aggregate is one bucketed pass (already-materialized in the
+    story), the diff moves (id, md5) rows (storage.snapshot_diff), the
+    affected texts come through Bloom-prefiltered semi filters (the
+    base corpus never re-shuffles), and the signed partials tree-merge.
+    Returns (g, n_docs, sum_tokens)."""
+    from .relops import semi_anti_filter_scalable
+    from .storage import snapshot_diff
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    new = docs.map_batches(_make_next_snapshot, batch_format="pandas")
+    diff = snapshot_diff(docs, new).materialize()
+
+    def parts(sign: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({
+                    "g": pd.Series([], dtype="int64"),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "sum_tokens": pd.Series([], dtype="int64")})
+            ids = df["doc_id"].to_numpy(dtype=np.int64)
+            ntok = df["text"].str.count(" ").to_numpy(dtype=np.int64) + 1
+            return pd.DataFrame({
+                "g": ids % INC_AGG_GROUPS,
+                "n_docs": np.full(len(df), sign, dtype=np.int64),
+                "sum_tokens": sign * ntok})
+        return fn
+
+    def status_ids(*statuses):
+        sset = set(statuses)
+        return diff.map_batches(
+            lambda df: (df[df["status"].isin(sset)][["doc_id"]]
+                        if len(df) else
+                        pd.DataFrame({"doc_id":
+                                      pd.Series([], dtype="int64")})),
+            batch_format="pandas")
+
+    minus = semi_anti_filter_scalable(
+        docs, "doc_id", status_ids("removed", "changed"),
+        cols=["doc_id", "text"], keys_unique=True)
+    plus = semi_anti_filter_scalable(
+        new, "doc_id", status_ids("added", "changed"),
+        cols=["doc_id", "text"], keys_unique=True)
+
+    base_agg = docs.map_batches(parts(1), batch_format="pandas")
+    deltas = (minus.map_batches(parts(-1), batch_format="pandas")
+              .union(plus.map_batches(parts(1), batch_format="pandas")))
+    out = partial_aggregate(base_agg.union(deltas), ["g"],
+                            {"n_docs": ("sum", "n_docs"),
+                             "sum_tokens": ("sum", "sum_tokens")})
+    return out.map_batches(
+        lambda df: df[df["n_docs"] > 0].astype("int64"),
+        batch_format="pandas")
+
+
+QUERIES["incremental_agg"] = incremental_agg
+ORACLE_SQL["incremental_agg"] = f"""
+    WITH newt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text
+      FROM documents WHERE doc_id % 25 = 0)
+    SELECT CAST(doc_id % {INC_AGG_GROUPS} AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+    FROM newt GROUP BY 1"""

@@ -574,3 +574,104 @@ def phrase_search_from_index(index_dir: str, terms: Sequence[str],
 
     return (occ.map_batches(tag, batch_format="pandas")
             .groupby("__b").map_groups(per_doc, batch_format="pandas"))
+
+
+def min_cover_window(pos_lists) -> Optional[int]:
+    """Width of the smallest token window containing at least one
+    occurrence of EVERY term, given each term's sorted position list —
+    the classic sorted-merge two-pointer sweep (O(total occurrences)
+    after the merge sort, vs the O(prod tf_i) brute-force cross
+    product the SQL oracle writes). None when some term is absent."""
+    m = len(pos_lists)
+    if any(len(p) == 0 for p in pos_lists):
+        return None
+    pos = np.concatenate([np.asarray(p, dtype=np.int64)
+                          for p in pos_lists])
+    lab = np.concatenate([np.full(len(p), i, dtype=np.int64)
+                          for i, p in enumerate(pos_lists)])
+    o = np.argsort(pos, kind="stable")
+    pos, lab = pos[o], lab[o]
+    cnt = np.zeros(m, dtype=np.int64)
+    have, left, best = 0, 0, None
+    for right in range(len(pos)):
+        c = lab[right]
+        cnt[c] += 1
+        if cnt[c] == 1:
+            have += 1
+        while have == m:
+            w = int(pos[right] - pos[left] + 1)
+            if best is None or w < best:
+                best = w
+            cl = lab[left]
+            cnt[cl] -= 1
+            if cnt[cl] == 0:
+                have -= 1
+            left += 1
+    return best
+
+
+def proximity_topk_from_index(index_dir: str, terms: Sequence[str],
+                              k: int = 20, num_buckets: int = 64,
+                              id_col: str = "doc_id") -> rd.Dataset:
+    """PROXIMITY retrieval from the positional sidecar: candidates are
+    docs containing ALL query terms, ranked by the width of the
+    smallest window covering one occurrence of each (then doc_id) —
+    the Lucene SpanNearQuery / 'slop' shape that sits between
+    bag-of-words BM25 and the exact-phrase query. Same pruned-read
+    plan as phrase_search_from_index (only the query terms' bucket
+    partitions are listed), per-doc occurrence rows co-locate in a
+    bucketed group where the sweep runs, and the final ranking is the
+    constant-group bounded top-k (candidates never assemble globally).
+    Returns (id, width, rank)."""
+    import hashlib
+
+    from .relops import DATASET_CONSTRUCTION_LOCK, auto_buckets
+
+    terms = list(terms)
+    want = sorted({int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                   % num_buckets for t in terms})
+    paths = _gen_paths(index_dir, "positions", buckets=want)
+    empty = pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                          "width": pd.Series([], dtype=np.int64),
+                          "rank": pd.Series([], dtype=np.int64)})
+    if not paths:
+        return rd.from_pandas(empty)
+    tset = set(terms)
+    with DATASET_CONSTRUCTION_LOCK:
+        occ = rd.read_parquet(paths)
+    occ = occ.map_batches(lambda df: df.loc[df["token"].isin(tset),
+                                            ["token", id_col, "pos"]],
+                          batch_format="pandas")
+    nb = auto_buckets(floor=64)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (pd.util.hash_pandas_object(
+            df[id_col].astype(str), index=False).to_numpy()
+            % nb).astype("int32")
+        return df
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_w = [], []
+        for did, g in df.groupby(id_col, sort=False):
+            pos = {t: np.sort(sub["pos"].to_numpy(np.int64))
+                   for t, sub in g.groupby("token", sort=False)}
+            w = min_cover_window([pos.get(t, np.array([], dtype=np.int64))
+                                  for t in terms])
+            if w is not None:
+                out_id.append(did)
+                out_w.append(w)
+        return pd.DataFrame({
+            id_col: pd.Series(out_id, dtype=df[id_col].dtype),
+            "width": pd.Series(out_w, dtype=np.int64),
+            "__g": pd.Series(np.zeros(len(out_id), dtype=np.int32)),
+        })
+
+    cand = (occ.map_batches(tag, batch_format="pandas")
+            .groupby("__b").map_groups(per_doc, batch_format="pandas"))
+    top = grouped_topk(cand, ["__g"], ["width", id_col], k,
+                       ascending=[True, True])
+    return top.map_batches(
+        lambda df: df[[id_col, "width", "rk"]]
+                     .rename(columns={"rk": "rank"}).astype("int64"),
+        batch_format="pandas")
