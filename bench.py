@@ -86,7 +86,10 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "boolean_search", "ranking_eval", "canonical_docs",
                  # round-4 twelfth-batch additions
                  "proximity_rerank", "sparse_dot_topk",
-                 "last_touch_attribution", "incremental_agg"]
+                 "last_touch_attribution", "incremental_agg",
+                 # round-4 thirteenth-batch additions
+                 "zorder_stats", "q4_order_priority", "ewma_activity",
+                 "time_travel"]
 
 
 def _warm_workers(ncpu: int) -> None:

@@ -1009,3 +1009,61 @@ def test_incremental_agg_matches_direct(tmp_path):
     assert list(out["g"]) == list(direct["g"])
     assert list(out["n_docs"]) == list(direct["n_docs"])
     assert list(out["sum_tokens"]) == list(direct["sum_tokens"])
+
+
+def test_time_travel_version_semantics(tmp_path):
+    # id 170 gets upsert AND delete at v2 (divisible by 10 and 17):
+    # delete must win. id 10 shows v2 text, id 25's v3 upsert is
+    # invisible at as-of 2, id 17 is deleted, id 1 stays v1.
+    from westa_ocr_ray.dedup import md5_hex
+    ids = [1, 10, 17, 25, 170]
+    sf = _write_docs(tmp_path, [f"text {i}" for i in ids], ids=ids)
+    out = (queries.time_travel(sf).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert list(out["doc_id"]) == [1, 10, 25]
+    assert out["val"][0] == md5_hex("text 1")
+    assert out["val"][1] == md5_hex("text 10 v2")
+    assert out["val"][2] == md5_hex("text 25")     # not the v3 value
+
+
+def test_ewma_weights_anchor_to_recency_rank(tmp_path):
+    # 2 events: newest weighs 2^(K-1), previous 2^(K-2) — NOT 2^1/2^0
+    df = pd.DataFrame({
+        "event_id": [1, 2], "user_id": 3, "event_type": "view",
+        "ts_us": [1_000_000, 2_000_000],
+        "value": [1.00, 2.00], "props": "{}"})
+    sf = _write_events(tmp_path, df)
+    out = queries.ewma_activity(sf).to_pandas()
+    K = queries.EWMA_K
+    assert int(out["ew_score"][0]) == 200 * (1 << (K - 1)) + 100 * (1 << (K - 2))
+
+
+def test_zorder_ranges_bound_both_dims(tmp_path):
+    # points on one z-range must report tight per-dim spans; build a
+    # tiny grid and verify counts and min/max against a direct replay
+    ts = pd.to_datetime([f"2024-01-{d:02d} 01:00:00"
+                         for d in (1, 2, 3, 17, 18)] * 3)
+    df = pd.DataFrame({
+        "event_id": range(15),
+        "user_id": np.repeat([0, 1, 7], 5),
+        "event_type": "view", "ts_us": ts.astype("int64") // 1000 * 0 + 1,
+        "value": 1.0, "props": "{}"})
+    df = df.drop(columns="ts_us")
+    df["ts"] = ts.astype("datetime64[us]")
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    out = queries.zorder_stats(str(tmp_path)).to_pandas()
+    u = df["user_id"].to_numpy()
+    d = df["ts"].dt.day.to_numpy()
+    z = np.zeros(len(df), dtype=np.int64)
+    for i in range(queries.ZBITS):
+        z |= ((u >> i) & 1) << (2 * i)
+        z |= ((d >> i) & 1) << (2 * i + 1)
+    direct = (pd.DataFrame({"zr": z // queries.ZRANGE_DIV, "u": u, "d": d})
+              .groupby("zr").agg(n=("u", "size"), min_u=("u", "min"),
+                                 max_u=("u", "max"), min_d=("d", "min"),
+                                 max_d=("d", "max")).reset_index())
+    got = out.sort_values("zr", ignore_index=True)
+    assert got[["zr", "n", "min_u", "max_u", "min_d", "max_d"]].astype(
+        "int64").equals(direct.astype("int64"))

@@ -11226,3 +11226,218 @@ ORACLE_SQL["incremental_agg"] = f"""
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
     FROM newt GROUP BY 1"""
+
+
+# ------------------------------------------------ round-4 thirteenth batch
+
+ZBITS = 8          # bits per dimension interleaved into the Z-value
+ZRANGE_DIV = 64    # Z-values group into ranges of 64 consecutive codes
+
+
+def _z_interleave_sql(xcol: str, ycol: str) -> str:
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"(({xcol} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_stats(sf_dir: str) -> rd.Dataset:
+    """Z-ORDER layout audit — the multi-dimensional clustering key a
+    100 TB table would be rewritten under so that range predicates on
+    EITHER dimension prune files: interleave (user_id, day-of-month)
+    bit-by-bit into a Z-value, group into ranges of ZRANGE_DIV codes,
+    and report each range's row count and per-dimension min/max (the
+    file-skipping statistics a lakehouse manifest would store — tight
+    spans per range are exactly what makes the pruning work). One
+    vectorized map + one bounded aggregate; no shuffle of the events
+    themselves beyond the range partials."""
+    ev = rp(sf_dir, "events", ["user_id", "ts"])
+
+    def z(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        d = df["ts"].dt.day.to_numpy(dtype=np.int64)
+        zv = np.zeros(len(df), dtype=np.int64)
+        for i in range(ZBITS):
+            zv |= ((u >> i) & 1) << (2 * i)
+            zv |= ((d >> i) & 1) << (2 * i + 1)
+        return pd.DataFrame({
+            "zr": zv // ZRANGE_DIV, "n": np.ones(len(df), dtype=np.int64),
+            "min_u": u, "max_u": u, "min_d": d, "max_d": d})
+
+    return partial_aggregate(
+        ev.map_batches(z, batch_format="pandas"), ["zr"],
+        {"n": ("sum", "n"),
+         "min_u": ("min", "min_u"), "max_u": ("max", "max_u"),
+         "min_d": ("min", "min_d"), "max_d": ("max", "max_d")})
+
+
+QUERIES["zorder_stats"] = zorder_stats
+ORACLE_SQL["zorder_stats"] = f"""
+    WITH b AS (SELECT user_id AS u, EXTRACT(day FROM ts) AS d FROM events),
+    z AS (SELECT u, d, ({_z_interleave_sql('u', 'd')}) // {ZRANGE_DIV} AS zr
+          FROM b)
+    SELECT CAST(zr AS BIGINT) AS zr, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(u) AS BIGINT) AS min_u, CAST(MAX(u) AS BIGINT) AS max_u,
+           CAST(MIN(d) AS BIGINT) AS min_d, CAST(MAX(d) AS BIGINT) AS max_d
+    FROM z GROUP BY zr"""
+
+
+def q4_order_priority(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q4 shape (order-priority checking): orders in one quarter
+    that HAVE at least one returned lineitem, counted per priority —
+    the EXISTS semi-join expressed as the Bloom-prefiltered exact semi
+    filter (only matching-orderkey KEYS move; lineitem itself never
+    shuffles) followed by a bounded priority aggregate."""
+    from .relops import semi_anti_filter_scalable
+
+    orders = rp(sf_dir, "orders",
+                ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = rp(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def o_window(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ((df["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+                & (df["o_orderdate"] < pd.Timestamp("1996-07-01")))
+        return df[keep][["o_orderkey", "o_orderpriority"]]
+
+    def ret_keys(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["l_returnflag"] == "R"][["l_orderkey"]]
+        return out.rename(columns={"l_orderkey": "o_orderkey"})
+
+    ow = orders.map_batches(o_window, batch_format="pandas")
+    rk = li.map_batches(ret_keys, batch_format="pandas")
+    sem = semi_anti_filter_scalable(ow, "o_orderkey", rk,
+                                    cols=["o_orderkey", "o_orderpriority"])
+    return partial_aggregate(sem, ["o_orderpriority"],
+                             {"order_count": ("count", None)})
+
+
+QUERIES["q4_order_priority"] = q4_order_priority
+ORACLE_SQL["q4_order_priority"] = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority"""
+
+
+EWMA_K = 16   # decay window: newest event weighs 2^15, 16th-newest 2^0
+
+
+def ewma_activity(sf_dir: str) -> rd.Dataset:
+    """Exponentially-decayed activity score per user (the half-life
+    feature a ranking/ML pipeline derives from an event log), kept
+    EXACT in integers: over each user's EWMA_K most recent events,
+    score = sum(cents_j * 2^(K-j)) with j = 1 for the newest — i.e.
+    alpha = 1/2 decay with the irrational normalizer factored out.
+    Runs in the per-user ordered-log buckets (one tail slice + dot
+    product per user, vectorized); recency ties break by event_id,
+    same as the oracle's window ORDER BY."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["value"]).to_numpy()
+        uid = df["user_id"].to_numpy()
+        users, score = [], []
+        start = np.flatnonzero(df["user_id"].ne(df["user_id"].shift())
+                               .to_numpy())
+        bounds = np.append(start, len(df))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            tail = cents[max(a, b - EWMA_K):b]   # oldest..newest
+            n = len(tail)
+            # recency rank j (newest j=1) weighs 2^(K-j) regardless of
+            # how many events the user actually has
+            w = (np.int64(1)
+                 << (np.arange(n, dtype=np.int64) + EWMA_K - n))
+            users.append(uid[a])
+            score.append(int((tail * w).sum()))
+        return pd.DataFrame({
+            "user_id": pd.Series(users, dtype=df["user_id"].dtype),
+            "ew_score": pd.Series(score, dtype="int64")})
+
+    return _bucketed_by_user(ev, fn)
+
+
+QUERIES["ewma_activity"] = ewma_activity
+ORACLE_SQL["ewma_activity"] = f"""
+    WITH r AS (
+      SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id,
+           CAST(SUM(cents * (CAST(1 AS BIGINT) << ({EWMA_K} - rn)))
+                AS BIGINT) AS ew_score
+    FROM r WHERE rn <= {EWMA_K}
+    GROUP BY user_id"""
+
+
+def time_travel(sf_dir: str) -> rd.Dataset:
+    """Lakehouse TIME TRAVEL: reconstruct the table AS OF version 2
+    from an upsert/delete log (planted deterministically from the
+    documents table: v1 = full base, v2 upserts doc_id%10==0 and
+    deletes doc_id%17==0, v3 upserts doc_id%25==0 — v3 must be
+    invisible). Last-write-wins per key via grouped_topk over
+    (version desc) restricted to version <= 2, then delete rows drop
+    out. The log rows (id, version, op, val-md5) are narrow; the
+    replay is two bounded stages regardless of how many versions the
+    log accumulates. Returns (doc_id, val)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def log_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        v1 = pd.DataFrame({
+            "doc_id": ids, "version": np.int64(1), "op": "upsert",
+            "val": [dedup.md5_hex(t) for t in df["text"]]})
+        up2 = df[df["doc_id"] % 10 == 0]
+        v2u = pd.DataFrame({
+            "doc_id": up2["doc_id"].to_numpy(dtype=np.int64),
+            "version": np.int64(2), "op": "upsert",
+            "val": [dedup.md5_hex(t + " v2") for t in up2["text"]]})
+        del2 = df[df["doc_id"] % 17 == 0]
+        v2d = pd.DataFrame({
+            "doc_id": del2["doc_id"].to_numpy(dtype=np.int64),
+            "version": np.int64(2), "op": "delete", "val": ""})
+        up3 = df[df["doc_id"] % 25 == 0]
+        v3 = pd.DataFrame({
+            "doc_id": up3["doc_id"].to_numpy(dtype=np.int64),
+            "version": np.int64(3), "op": "upsert",
+            "val": [dedup.md5_hex(t + " v3") for t in up3["text"]]})
+        return pd.concat([v1, v2u, v2d, v3], ignore_index=True)
+
+    log = docs.map_batches(log_rows, batch_format="pandas")
+    upto = log.map_batches(lambda df: df[df["version"] <= 2],
+                           batch_format="pandas")
+    # within one version a delete outranks an upsert ('delete' <
+    # 'upsert' lexically, op ASC): doc_ids divisible by both 10 and 17
+    # get both ops at v2 and must come out deleted
+    last = grouped_topk(upto, ["doc_id"], ["version", "op"], 1,
+                        ascending=[False, True])
+    return last.map_batches(
+        lambda df: df[df["op"] == "upsert"][["doc_id", "val"]]
+                     .astype({"doc_id": "int64"}),
+        batch_format="pandas")
+
+
+QUERIES["time_travel"] = time_travel
+ORACLE_SQL["time_travel"] = """
+    WITH log AS (
+      SELECT doc_id, 1 AS version, 'upsert' AS op, md5(text) AS val
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 2, 'upsert', md5(text || ' v2')
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id, 2, 'delete', '' FROM documents WHERE doc_id % 17 = 0
+      UNION ALL
+      SELECT doc_id, 3, 'upsert', md5(text || ' v3')
+      FROM documents WHERE doc_id % 25 = 0),
+    last AS (
+      SELECT doc_id, op, val,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY version DESC, op) AS rn
+      FROM log WHERE version <= 2)
+    SELECT doc_id, val FROM last WHERE rn = 1 AND op = 'upsert'"""
