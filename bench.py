@@ -89,7 +89,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "last_touch_attribution", "incremental_agg",
                  # round-4 thirteenth-batch additions
                  "zorder_stats", "q4_order_priority", "ewma_activity",
-                 "time_travel"]
+                 "time_travel",
+                 # round-4 fourteenth-batch additions
+                 "scd2_intervals", "fk_integrity", "score_bias_audit"]
 
 
 def _warm_workers(ncpu: int) -> None:

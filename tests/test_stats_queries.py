@@ -1067,3 +1067,42 @@ def test_zorder_ranges_bound_both_dims(tmp_path):
     got = out.sort_values("zr", ignore_index=True)
     assert got[["zr", "n", "min_u", "max_u", "min_d", "max_d"]].astype(
         "int64").equals(direct.astype("int64"))
+
+
+def test_scd2_intervals_delete_and_reopen(tmp_path):
+    # id 425 (%17 and %25, not %10): v1 interval closes at the v2
+    # delete, a NEW current interval opens at v3. id 17: closed, never
+    # current. id 10: two intervals, the v2 one current. id 1: single
+    # current interval.
+    from westa_ocr_ray.dedup import md5_hex
+    ids = [1, 10, 17, 425]
+    sf = _write_docs(tmp_path, [f"text {i}" for i in ids], ids=ids)
+    out = (queries.scd2_intervals(sf).to_pandas()
+           .sort_values(["doc_id", "v_from"], ignore_index=True))
+    got = list(zip(out["doc_id"], out["v_from"], out["v_to"],
+                   out["is_current"]))
+    C = queries.SCD_CURRENT
+    assert got == [(1, 1, C, 1),
+                   (10, 1, 2, 0), (10, 2, C, 1),
+                   (17, 1, 2, 0),
+                   (425, 1, 2, 0), (425, 3, C, 1)]
+    assert out["val"][5] == md5_hex("text 425 v3")
+
+
+def test_fk_integrity_detects_planted_violations(tmp_path):
+    pd.DataFrame({
+        "l_orderkey": np.array([1, 1, 99], dtype=np.int64),  # 99 orphan
+        "l_quantity": [5.0, 0.0, -2.0],                      # two bad
+    }).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    pd.DataFrame({
+        "o_orderkey": np.array([1], dtype=np.int64),
+        "o_custkey": np.array([77], dtype=np.int64),         # orphan
+        "o_totalprice": [-1.0],                              # negative
+    }).to_parquet(tmp_path / "orders.parquet", index=False)
+    pd.DataFrame({
+        "c_custkey": np.array([5], dtype=np.int64),
+    }).to_parquet(tmp_path / "customer.parquet", index=False)
+    out = queries.fk_integrity(str(tmp_path))
+    got = dict(zip(out["chk"], out["n_violations"]))
+    assert got == {"orphan_lineitem": 1, "orphan_order": 1,
+                   "nonpositive_qty": 2, "negative_total": 1}

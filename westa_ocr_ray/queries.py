@@ -11441,3 +11441,224 @@ ORACLE_SQL["time_travel"] = """
                                 ORDER BY version DESC, op) AS rn
       FROM log WHERE version <= 2)
     SELECT doc_id, val FROM last WHERE rn = 1 AND op = 'upsert'"""
+
+
+# ------------------------------------------------ round-4 fourteenth batch
+
+SCD_CURRENT = 9999   # open-interval sentinel for the current version
+
+
+def scd2_intervals(sf_dir: str) -> rd.Dataset:
+    """SCD TYPE-2 dimension history: turn an upsert/delete log into
+    validity intervals — each upsert opens [version, next-op-version)
+    and the newest open interval carries the SCD_CURRENT sentinel; a
+    delete closes the preceding interval without opening one (the
+    LEAD() formulation, so engine and oracle share one rule with no
+    special cases). Planted log: v1 = full base, v2 upserts %10==0 and
+    deletes %17==0 (minus the %10 overlap — SCD history wants
+    single-op versions), v3 upserts %25==0, so deletes, re-opens after
+    delete and multi-interval docs all occur. Per-doc ordering runs in
+    hash buckets with a vectorized groupby-shift; no per-row Python.
+    Returns (doc_id, val, v_from, v_to, is_current)."""
+    from .relops import auto_buckets
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def log_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        v1 = pd.DataFrame({
+            "doc_id": ids, "version": np.int64(1), "op": "upsert",
+            "val": [dedup.md5_hex(t) for t in df["text"]]})
+        up2 = df[df["doc_id"] % 10 == 0]
+        v2u = pd.DataFrame({
+            "doc_id": up2["doc_id"].to_numpy(dtype=np.int64),
+            "version": np.int64(2), "op": "upsert",
+            "val": [dedup.md5_hex(t + " v2") for t in up2["text"]]})
+        del2 = df[(df["doc_id"] % 17 == 0) & (df["doc_id"] % 10 != 0)]
+        v2d = pd.DataFrame({
+            "doc_id": del2["doc_id"].to_numpy(dtype=np.int64),
+            "version": np.int64(2), "op": "delete", "val": ""})
+        up3 = df[df["doc_id"] % 25 == 0]
+        v3 = pd.DataFrame({
+            "doc_id": up3["doc_id"].to_numpy(dtype=np.int64),
+            "version": np.int64(3), "op": "upsert",
+            "val": [dedup.md5_hex(t + " v3") for t in up3["text"]]})
+        return pd.concat([v1, v2u, v2d, v3], ignore_index=True)
+
+    log = docs.map_batches(log_rows, batch_format="pandas")
+    nb = auto_buckets(floor=32)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["doc_id"] % nb).astype("int32")
+        return df
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns="__b")
+              .sort_values(["doc_id", "version"], ignore_index=True))
+        nxt = df.groupby("doc_id")["version"].shift(-1)
+        v_to = nxt.fillna(SCD_CURRENT).astype("int64")
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "val": df["val"],
+            "v_from": df["version"].astype("int64"),
+            "v_to": v_to,
+            "is_current": (v_to == SCD_CURRENT).astype("int64")})
+        return out[df["op"].to_numpy() == "upsert"]
+
+    return (log.map_batches(tag, batch_format="pandas")
+            .groupby("__b").map_groups(intervals, batch_format="pandas"))
+
+
+QUERIES["scd2_intervals"] = scd2_intervals
+ORACLE_SQL["scd2_intervals"] = f"""
+    WITH log AS (
+      SELECT doc_id, 1 AS version, 'upsert' AS op, md5(text) AS val
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 2, 'upsert', md5(text || ' v2')
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id, 2, 'delete', ''
+      FROM documents WHERE doc_id % 17 = 0 AND doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id, 3, 'upsert', md5(text || ' v3')
+      FROM documents WHERE doc_id % 25 = 0),
+    iv AS (
+      SELECT doc_id, op, val, CAST(version AS BIGINT) AS v_from,
+             CAST(COALESCE(LEAD(version) OVER (PARTITION BY doc_id
+                                               ORDER BY version),
+                           {SCD_CURRENT}) AS BIGINT) AS v_to
+      FROM log)
+    SELECT doc_id, val, v_from, v_to,
+           CAST(CASE WHEN v_to = {SCD_CURRENT} THEN 1 ELSE 0 END
+                AS BIGINT) AS is_current
+    FROM iv WHERE op = 'upsert'"""
+
+
+def fk_integrity(sf_dir: str) -> rd.Dataset:
+    """Referential/data-quality audit — the expectation checks a
+    production pipeline gates loads on: orphan lineitems (orderkey
+    missing from orders), orphan orders (custkey missing from
+    customer), non-positive lineitem quantities and negative order
+    totals, each as ONE violation-count row. The orphan checks run as
+    Bloom-prefiltered exact ANTI joins (only candidate keys move, the
+    fact tables never shuffle); the range checks fold map-side.
+    Returns (chk, n_violations) for every check, zeros included."""
+    from .relops import semi_anti_filter_scalable
+
+    li = rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = rp(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                   "o_totalprice"])
+    cust = rp(sf_dir, "customer", ["c_custkey"])
+
+    def count_of(ds: rd.Dataset, chk: str) -> int:
+        return int(ds.count())
+
+    orphan_li = semi_anti_filter_scalable(
+        li, "l_orderkey",
+        orders.map_batches(lambda df: df[["o_orderkey"]],
+                           batch_format="pandas"),
+        key_col="o_orderkey", anti=True, cols=["l_orderkey"],
+        keys_unique=True)
+    orphan_ord = semi_anti_filter_scalable(
+        orders, "o_custkey",
+        cust.map_batches(lambda df: df[["c_custkey"]],
+                         batch_format="pandas"),
+        key_col="c_custkey", anti=True, cols=["o_custkey"],
+        keys_unique=True)
+
+    def bad_qty(df: pd.DataFrame) -> pd.DataFrame:
+        n = int((df["l_quantity"].to_numpy(dtype=np.float64) <= 0).sum())
+        return pd.DataFrame({"__g": [np.int32(0)],
+                             "n": pd.Series([n], dtype="int64")})
+
+    def bad_total(df: pd.DataFrame) -> pd.DataFrame:
+        n = int((df["o_totalprice"].to_numpy(dtype=np.float64) < 0).sum())
+        return pd.DataFrame({"__g": [np.int32(0)],
+                             "n": pd.Series([n], dtype="int64")})
+
+    nq = partial_aggregate(li.map_batches(bad_qty, batch_format="pandas"),
+                           ["__g"], {"n": ("sum", "n")}).to_pandas()
+    nt = partial_aggregate(
+        orders.map_batches(bad_total, batch_format="pandas"),
+        ["__g"], {"n": ("sum", "n")}).to_pandas()
+    rows = [("orphan_lineitem", count_of(orphan_li, "orphan_lineitem")),
+            ("orphan_order", count_of(orphan_ord, "orphan_order")),
+            ("nonpositive_qty", int(nq["n"][0])),
+            ("negative_total", int(nt["n"][0]))]
+    out = pd.DataFrame(rows, columns=["chk", "n_violations"])
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out
+
+
+QUERIES["fk_integrity"] = fk_integrity
+ORACLE_SQL["fk_integrity"] = """
+    SELECT 'orphan_lineitem' AS chk,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orphan_order',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'nonpositive_qty', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'negative_total', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_totalprice < 0"""
+
+
+QC_CAL_BIN = 500   # score-bin width (milli-units) for the bias audit
+
+
+def score_bias_audit(sf_dir: str) -> rd.Dataset:
+    """Fairness audit of the quality classifier ACROSS LANGUAGES — the
+    check a pretraining pipeline runs before trusting a learned filter
+    (quality classifiers systematically down-score some languages):
+    per (lang, score bin of width QC_CAL_BIN milli-units, floored
+    toward -inf) document counts and keep counts. One extra map over
+    the classifier's streaming output joined map-side with the lang
+    column (the classifier already carries no shuffle); the histogram
+    is a bounded aggregate."""
+    from . import text_analysis
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    scored = text_analysis.quality_classifier(docs)
+    langs = docs.map_batches(lambda df: df[["doc_id", "lang"]],
+                             batch_format="pandas")
+    j = hash_join(scored, langs, "doc_id", "doc_id",
+                  left_cols=["doc_id", "score_mu", "keep"],
+                  right_cols=["doc_id", "lang"])
+
+    def binify(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["score_mu"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "bin": np.floor_divide(s, QC_CAL_BIN),
+            "n": np.ones(len(df), dtype=np.int64),
+            "n_keep": df["keep"].to_numpy(dtype=np.int64)})
+
+    return partial_aggregate(
+        j.map_batches(binify, batch_format="pandas"), ["lang", "bin"],
+        {"n": ("sum", "n"), "n_keep": ("sum", "n_keep")})
+
+
+QUERIES["score_bias_audit"] = score_bias_audit
+ORACLE_SQL["score_bias_audit"] = f"""
+    WITH qc AS MATERIALIZED ({{QC_ORACLE}}),
+    j AS (SELECT d.lang, qc.score_mu, qc.keep
+          FROM qc JOIN documents d USING (doc_id))
+    SELECT lang,
+           CAST(CASE WHEN score_mu >= 0 THEN score_mu // {QC_CAL_BIN}
+                     ELSE -((-score_mu + {QC_CAL_BIN} - 1) // {QC_CAL_BIN})
+                END AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(keep) AS BIGINT) AS n_keep
+    FROM j GROUP BY 1, 2"""
+ORACLE_SQL["score_bias_audit"] = ORACLE_SQL["score_bias_audit"].replace(
+    "{QC_ORACLE}", ORACLE_SQL["quality_classifier"])
