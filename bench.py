@@ -91,7 +91,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "zorder_stats", "q4_order_priority", "ewma_activity",
                  "time_travel",
                  # round-4 fourteenth-batch additions
-                 "scd2_intervals", "fk_integrity", "score_bias_audit"]
+                 "scd2_intervals", "fk_integrity", "score_bias_audit",
+                 # round-4 fifteenth-batch additions
+                 "sim_topk_filtered", "interval_coverage"]
 
 
 def _warm_workers(ncpu: int) -> None:

@@ -1106,3 +1106,38 @@ def test_fk_integrity_detects_planted_violations(tmp_path):
     got = dict(zip(out["chk"], out["n_violations"]))
     assert got == {"orphan_lineitem": 1, "orphan_order": 1,
                    "nonpositive_qty": 2, "negative_total": 1}
+
+
+def test_interval_coverage_islands(tmp_path):
+    # user 1: events at 0s and 30s overlap (one island, 90s coverage);
+    # the 200s event is its own island (60s). user 2: single event.
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [1, 1, 1, 2],
+        "event_type": "view",
+        "ts_us": [0, 30_000_000, 200_000_000, 5_000_000],
+        "value": 1.0, "props": "{}"})
+    sf = _write_events(tmp_path, df)
+    out = (queries.interval_coverage(sf).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    assert list(out["user_id"]) == [1, 2]
+    assert list(out["coverage_us"]) == [150_000_000, 60_000_000]
+    assert list(out["n_islands"]) == [2, 1]
+
+
+def test_sim_topk_filtered_respects_label(tmp_path):
+    # query 0 (label 0): its best cosine match overall is vec 9
+    # (label 1) but the filter restricts to label 0, so vec 2 wins.
+    def v(x, y):
+        return [float(x), float(y)]
+    emb = pd.DataFrame({
+        "vec_id": np.arange(10, dtype=np.int64),
+        "embedding": [v(1, 0), v(0, 1), v(0.9, 0.1), v(-1, 0), v(0.5, 0.5),
+                      v(0, -1), v(-0.5, 0.5), v(0.2, 0.8), v(-0.9, 0.1),
+                      v(1, 0.01)],
+        "label": np.array([0, 0, 0, 0, 0, 1, 1, 1, 1, 1], dtype=np.int32)})
+    emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    out = queries.sim_topk_filtered(str(tmp_path))
+    q0 = out[out["query_id"] == 0].sort_values("rank")
+    assert list(q0["neighbor_id"])[0] == 2          # not 9 (label 1)
+    assert set(q0["neighbor_id"]) <= {1, 2, 3, 4}   # label-0 only

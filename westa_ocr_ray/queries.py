@@ -11662,3 +11662,105 @@ ORACLE_SQL["score_bias_audit"] = f"""
     FROM j GROUP BY 1, 2"""
 ORACLE_SQL["score_bias_audit"] = ORACLE_SQL["score_bias_audit"].replace(
     "{QC_ORACLE}", ORACLE_SQL["quality_classifier"])
+
+
+# ------------------------------------------------- round-4 fifteenth batch
+
+def sim_topk_filtered(sf_dir: str) -> pd.DataFrame:
+    """Filtered vector search: exact cosine top-5 where each query only
+    matches vectors sharing its label — the per-tenant / metadata-
+    predicate ANN serving shape (the filter applies inside the scoring
+    kernel as a mask; candidates stay blocks x nq x (k+1))."""
+    return similarity.filtered_topk(
+        rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        QUERY_VEC_IDS, k=5)
+
+
+QUERIES["sim_topk_filtered"] = sim_topk_filtered
+ORACLE_SQL["sim_topk_filtered"] = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                        e.vec_id) AS rank
+      FROM q JOIN embeddings e
+        ON e.label = q.ql AND e.vec_id <> q.qid)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= 5"""
+
+
+COVER_WINDOW_US = 60 * 10**6   # each event covers [ts, ts + 60 s)
+
+
+def interval_coverage(sf_dir: str) -> rd.Dataset:
+    """Per-user UNION length of overlapping activity windows (each
+    event covers 60 s): merge-overlapping-intervals — the islands-and-
+    gaps classic that rate limiting, billing and uptime all reduce to.
+    Inside the per-user ordered-log bucket the sweep is pure numpy
+    (running max of window ends, island ids by cumsum of gaps); exact
+    microsecond integers end to end. Returns
+    (user_id, coverage_us, n_islands)."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        users, cov, nisl = [], [], []
+        start = np.flatnonzero(df["user_id"].ne(df["user_id"].shift())
+                               .to_numpy())
+        bounds = np.append(start, len(df))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            ts = t[a:b]                      # sorted (log order)
+            end = ts + COVER_WINDOW_US       # nondecreasing
+            cme = np.maximum.accumulate(end)
+            gap = np.ones(len(ts), dtype=bool)
+            gap[1:] = ts[1:] > cme[:-1]
+            isl = np.cumsum(gap) - 1
+            # per island: last cummax end - first start
+            first = np.flatnonzero(gap)
+            last = np.append(first[1:], len(ts)) - 1
+            users.append(uid[a])
+            cov.append(int((cme[last] - ts[first]).sum()))
+            nisl.append(len(first))
+        return pd.DataFrame({
+            "user_id": pd.Series(users, dtype=df["user_id"].dtype),
+            "coverage_us": pd.Series(cov, dtype="int64"),
+            "n_islands": pd.Series(nisl, dtype="int64")})
+
+    return _bucketed_by_user(ev, fn)
+
+
+QUERIES["interval_coverage"] = interval_coverage
+ORACLE_SQL["interval_coverage"] = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             epoch_us(ts) + {COVER_WINDOW_US} AS e
+      FROM events),
+    w AS (
+      SELECT user_id, t, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_cme
+      FROM e),
+    g AS (
+      SELECT user_id, t, e,
+             CASE WHEN prev_cme IS NULL OR t > prev_cme
+                  THEN 1 ELSE 0 END AS new_island
+      FROM w),
+    isl AS (
+      SELECT user_id, t, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+      FROM g),
+    per AS (
+      SELECT user_id, island,
+             MAX(e) - MIN(t) AS cov
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(SUM(cov) AS BIGINT) AS coverage_us,
+           CAST(COUNT(*) AS BIGINT) AS n_islands
+    FROM per GROUP BY user_id"""

@@ -674,3 +674,77 @@ def kmeans_lloyd_int(emb: rd.Dataset, k: int = 8, n_rounds: int = 2,
         # incremental assign-new-data pass needs (kmeans_assign_new)
         return out, C, live
     return out
+
+
+class FilteredBatchTopK:
+    """BatchTopK with a metadata predicate: each query only scores
+    batch rows whose ``label`` equals the query's own label (the
+    filtered-vector-search serving shape — per-tenant / per-shard ANN).
+    Query ids, matrix AND labels broadcast once per actor."""
+
+    def __init__(self, qids_ref, qmat_ref, qlab_ref, k: int,
+                 id_col: str, vec_col: str, label_col: str) -> None:
+        self.qids = ray.get(qids_ref)
+        self.qmat = ray.get(qmat_ref)
+        self.qlab = ray.get(qlab_ref)
+        self.k, self.id_col = k, id_col
+        self.vec_col, self.label_col = vec_col, label_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[self.id_col].to_numpy()
+        labs = df[self.label_col].to_numpy()
+        m = _normalize(_stack(df[self.vec_col]))
+        sims = self.qmat @ m.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            ok = np.flatnonzero(labs == self.qlab[qi])
+            if not len(ok):
+                continue
+            k = min(self.k + 1, len(ok))
+            top = ok[np.argpartition(-sims[qi][ok], k - 1)[:k]]
+            out_q.append(np.full(len(top), self.qids[qi], dtype=np.int64))
+            out_n.append(ids[top])
+            out_s.append(sims[qi][top])
+        if not out_q:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype=np.int64),
+                "neighbor_id": pd.Series([], dtype=np.int64),
+                "sim": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n).astype(np.int64),
+            "sim": np.concatenate(out_s)})
+
+
+def filtered_topk(emb: rd.Dataset, query_ids: Sequence[int], k: int = 5,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  label_col: str = "label") -> pd.DataFrame:
+    """Exact FILTERED cosine top-k: neighbors restricted to the query's
+    own label partition. Same bounded-candidate shape as
+    brute_force_topk (blocks emit per-query partial top-k, the merge
+    sees blocks x nq x (k+1) rows); the label predicate applies INSIDE
+    the scoring kernel, so non-matching rows cost one mask, not a
+    shuffle. Returns (query_id, neighbor_id, rank)."""
+    qset = set(int(q) for q in query_ids)
+    qdf = (emb.map_batches(
+        lambda df: df[df[id_col].isin(qset)][[id_col, vec_col, label_col]],
+        batch_format="pandas").to_pandas())
+    qdf = qdf.sort_values(id_col, ignore_index=True)
+    qids = qdf[id_col].to_numpy()
+    qmat = _normalize(_stack(qdf[vec_col]))
+    qlab = qdf[label_col].to_numpy()
+    cand = emb.map_batches(
+        FilteredBatchTopK,
+        fn_constructor_kwargs=dict(
+            qids_ref=ray.put(qids), qmat_ref=ray.put(qmat),
+            qlab_ref=ray.put(qlab), k=k, id_col=id_col,
+            vec_col=vec_col, label_col=label_col),
+        batch_format="pandas", concurrency=(1, 8), batch_size=4096)
+    df = cand.to_pandas()
+    df = df[df["query_id"] != df["neighbor_id"]]
+    df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                        ascending=[True, False, True], ignore_index=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    out = df[df["rank"] <= k][["query_id", "neighbor_id", "rank"]]
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.reset_index(drop=True)
