@@ -93,7 +93,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 fourteenth-batch additions
                  "scd2_intervals", "fk_integrity", "score_bias_audit",
                  # round-4 fifteenth-batch additions
-                 "sim_topk_filtered", "interval_coverage"]
+                 "sim_topk_filtered", "interval_coverage",
+                 # round-4 sixteenth-batch additions
+                 "events_cube", "type_corr_matrix"]
 
 
 def _warm_workers(ncpu: int) -> None:

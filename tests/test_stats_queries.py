@@ -1141,3 +1141,44 @@ def test_sim_topk_filtered_respects_label(tmp_path):
     q0 = out[out["query_id"] == 0].sort_values("rank")
     assert list(q0["neighbor_id"])[0] == 2          # not 9 (label 1)
     assert set(q0["neighbor_id"]) <= {1, 2, 3, 4}   # label-0 only
+
+
+def test_events_cube_grouping_sets(tmp_path):
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id": [1, 1, 2],
+        "event_type": ["click", "click", "view"],
+        "ts_us": [0, 86_400_000_000, 0],   # days 1, 2, 1
+        "value": [1.00, 2.00, 4.00], "props": "{}"})
+    sf = _write_events(tmp_path, df)
+    out = queries.events_cube(sf).to_pandas()
+    m = {(r.event_type, r.d): (r.n, r.cents) for r in out.itertuples()}
+    assert m[("click", 1)] == (1, 100)
+    assert m[("click", -1)] == (2, 300)       # per-type rollup
+    assert m[("ALL", 1)] == (2, 500)          # per-day rollup
+    assert m[("ALL", -1)] == (3, 700)         # grand total
+    assert len(out) == 3 + 2 + 2 + 1
+
+
+def test_type_corr_matrix_perfect_and_anti(tmp_path):
+    # click counts by day: [2, 1]; view: [4, 2] (perfectly correlated
+    # -> 1e6 - ulp floor = 999999 or 1000000? covn/sqrt==exact 1.0
+    # when series are proportional: floor(1e6 * 1.0) = 1000000);
+    # error counts [1, 2] anti-correlated with click -> -1000000.
+    rows = []
+    eid = 0
+    for day, counts in [(1, {"click": 2, "view": 4, "error": 1}),
+                        (2, {"click": 1, "view": 2, "error": 2})]:
+        for ty, c in counts.items():
+            for _ in range(c):
+                rows.append((eid, 1, ty, (day - 1) * 86_400_000_000 + eid))
+                eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts_us"])
+    df["value"] = 1.0
+    df["props"] = "{}"
+    sf = _write_events(tmp_path, df)
+    out = queries.type_corr_matrix(sf)
+    m = {(r.type_a, r.type_b): r.corr_micro for r in out.itertuples()}
+    assert m[("click", "view")] == 1_000_000
+    assert m[("click", "error")] == -1_000_000

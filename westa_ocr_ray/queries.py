@@ -11764,3 +11764,135 @@ ORACLE_SQL["interval_coverage"] = f"""
            CAST(SUM(cov) AS BIGINT) AS coverage_us,
            CAST(COUNT(*) AS BIGINT) AS n_islands
     FROM per GROUP BY user_id"""
+
+
+# ------------------------------------------------- round-4 sixteenth batch
+
+def events_cube(sf_dir: str) -> rd.Dataset:
+    """CUBE(event_type, day) counts and cent-sums — all four grouping
+    sets from ONE corpus pass: the (type, day) base aggregate is
+    bounded (types x 31 rows), so the three coarser sets derive from
+    IT, not from the events again (the rollup-from-partials rule of
+    corpus_rollup extended to a full cube). Sentinels: 'ALL' for the
+    type dimension, -1 for the day. Returns (event_type, d, n, cents)."""
+    ev = rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "d": df["ts"].dt.day.to_numpy(dtype=np.int64),
+            "n": np.ones(len(df), dtype=np.int64),
+            "cents": _cents(df["value"]).to_numpy()})
+
+    base = partial_aggregate(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["event_type", "d"],
+        {"n": ("sum", "n"), "cents": ("sum", "cents")}).materialize()
+
+    def relabel(ty: Optional[str], dy: Optional[int]):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            if ty is not None:
+                out["event_type"] = ty
+            if dy is not None:
+                out["d"] = np.int64(dy)
+            return out
+        return f
+
+    by_type = partial_aggregate(
+        base.map_batches(relabel(None, -1), batch_format="pandas"),
+        ["event_type", "d"], {"n": ("sum", "n"), "cents": ("sum", "cents")})
+    by_day = partial_aggregate(
+        base.map_batches(relabel("ALL", None), batch_format="pandas"),
+        ["event_type", "d"], {"n": ("sum", "n"), "cents": ("sum", "cents")})
+    total = partial_aggregate(
+        base.map_batches(relabel("ALL", -1), batch_format="pandas"),
+        ["event_type", "d"], {"n": ("sum", "n"), "cents": ("sum", "cents")})
+    return base.union(by_type).union(by_day).union(total)
+
+
+QUERIES["events_cube"] = events_cube
+ORACLE_SQL["events_cube"] = """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           CAST(COALESCE(d, -1) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM (SELECT event_type, EXTRACT(day FROM ts) AS d,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events)
+    GROUP BY CUBE (event_type, d)"""
+
+
+def type_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Pearson correlation of the event types' DAILY count
+    series (zero-filled over the observed day universe) — the
+    cross-metric co-movement screen. The per-(type, day) counts are a
+    bounded aggregate (types x 31 rows at any corpus size), so the
+    matrix derives driver-side from exact int64 sufficient statistics;
+    corr quantizes through the events_regression double tree (floored
+    micro, 0 when either variance is 0). Returns
+    (type_a, type_b, corr_micro) for a < b."""
+    ev = rp(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "d": df["ts"].dt.day.to_numpy(dtype=np.int64),
+            "n": np.ones(len(df), dtype=np.int64)})
+
+    dc = partial_aggregate(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["event_type", "d"], {"n": ("sum", "n")}).to_pandas()
+    days = np.sort(dc["d"].unique())
+    types = np.sort(dc["event_type"].unique())
+    grid = (dc.set_index(["event_type", "d"])["n"]
+            .reindex(pd.MultiIndex.from_product([types, days]),
+                     fill_value=0)
+            .to_numpy(dtype=np.int64).reshape(len(types), len(days)))
+    rows = []
+    n = np.float64(len(days))
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            a, b = grid[i], grid[j]
+            sx, sy = np.float64(a.sum()), np.float64(b.sum())
+            sxx = np.float64((a * a).sum())
+            syy = np.float64((b * b).sum())
+            sxy = np.float64((a * b).sum())
+            covn = n * sxy - sx * sy
+            varx = n * sxx - sx * sx
+            vary = n * syy - sy * sy
+            c = (int(np.floor(1000000.0 * covn / np.sqrt(varx * vary)))
+                 if varx * vary > 0 else 0)
+            rows.append((types[i], types[j], c))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "corr_micro"])
+    out["corr_micro"] = out["corr_micro"].astype("int64")
+    return out
+
+
+QUERIES["type_corr_matrix"] = type_corr_matrix
+ORACLE_SQL["type_corr_matrix"] = """
+    WITH dc AS (SELECT event_type AS ty, EXTRACT(day FROM ts) AS d,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+    days AS (SELECT DISTINCT d FROM dc),
+    types AS (SELECT DISTINCT ty FROM dc),
+    grid AS (SELECT t.ty, dy.d, COALESCE(dc.c, 0) AS c
+             FROM types t CROSS JOIN days dy
+             LEFT JOIN dc ON dc.ty = t.ty AND dc.d = dy.d),
+    p AS (SELECT a.ty AS type_a, b.ty AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(a.c) AS BIGINT) AS sx,
+                 CAST(SUM(b.c) AS BIGINT) AS sy,
+                 CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+                 CAST(SUM(a.c * b.c) AS BIGINT) AS sxy,
+                 CAST(SUM(b.c * b.c) AS BIGINT) AS syy
+          FROM grid a JOIN grid b ON a.d = b.d AND a.ty < b.ty
+          GROUP BY 1, 2)
+    SELECT type_a, type_b,
+           CAST(CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE)
+                          * CAST(n*syy - sy*sy AS DOUBLE) > 0
+                     THEN FLOOR(1000000.0 * CAST(n*sxy - sx*sy AS DOUBLE)
+                                / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                                       * CAST(n*syy - sy*sy AS DOUBLE)))
+                     ELSE 0 END AS BIGINT) AS corr_micro
+    FROM p"""
