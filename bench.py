@@ -95,7 +95,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 fifteenth-batch additions
                  "sim_topk_filtered", "interval_coverage",
                  # round-4 sixteenth-batch additions
-                 "events_cube", "type_corr_matrix"]
+                 "events_cube", "type_corr_matrix",
+                 # round-4 seventeenth-batch additions
+                 "k_anonymity", "multi_pattern_counts", "hive_roundtrip"]
 
 
 def _warm_workers(ncpu: int) -> None:

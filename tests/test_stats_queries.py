@@ -1182,3 +1182,44 @@ def test_type_corr_matrix_perfect_and_anti(tmp_path):
     m = {(r.type_a, r.type_b): r.corr_micro for r in out.itertuples()}
     assert m[("click", "view")] == 1_000_000
     assert m[("click", "error")] == -1_000_000
+
+
+def test_k_anonymity_flags_small_classes(tmp_path):
+    # 6 docs in one (en, s0, bucket 0) class -> safe; a lone (fr, s1)
+    # doc -> violating class of size 1
+    texts = ["short doc"] * 6 + ["lonely one"]
+    df = pd.DataFrame({
+        "doc_id": np.arange(7, dtype=np.int64),
+        "text": texts,
+        "lang": ["en"] * 6 + ["fr"],
+        "source": ["s0"] * 6 + ["s1"],
+        "n_chars": np.array([10] * 6 + [10], dtype=np.int64)})
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = queries.k_anonymity(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out["lang"][0] == "fr" and int(out["n"][0]) == 1
+
+
+def test_multi_pattern_counts_nonoverlapping(tmp_path):
+    sf = _write_docs(tmp_path, [
+        "hash scan hash scan merge",   # 2x 'hash scan', 1x 'scan merge'
+        "table scan only here",        # 1x 'table scan'
+        "nothing at all"])
+    out = queries.multi_pattern_counts(sf)
+    m = {r.pattern: (r.n_occurrences, r.n_docs) for r in out.itertuples()}
+    assert m["hash scan"] == (2, 1)
+    assert m["table scan"] == (1, 1)
+    assert m["scan merge"] == (1, 1)
+
+
+def test_hive_roundtrip_prunes_to_one_partition(tmp_path):
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a", "b", "c", "d"],
+        "lang": ["es", "en", "es", "fr"],
+        "source": "s0",
+        "n_chars": np.int64(1)})
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    out = queries.hive_roundtrip(str(tmp_path)).to_pandas()
+    assert int(out["n"][0]) == 2            # only the lang=es rows
+    assert int(out["id_sum"][0]) == 0 + 2

@@ -11896,3 +11896,147 @@ ORACLE_SQL["type_corr_matrix"] = """
                                        * CAST(n*syy - sy*sy AS DOUBLE)))
                      ELSE 0 END AS BIGINT) AS corr_micro
     FROM p"""
+
+
+# ----------------------------------------------- round-4 seventeenth batch
+
+KANON_K = 5
+KANON_LEN_BUCKET = 100
+
+
+def k_anonymity(sf_dir: str) -> rd.Dataset:
+    """K-ANONYMITY audit over the quasi-identifier tuple (lang, source,
+    length-bucket) — the privacy-governance gate run before releasing
+    a dataset: every equivalence class with fewer than KANON_K members
+    is a re-identification risk and is reported with its size. One
+    bounded aggregate (class count <= langs x sources x buckets);
+    documents never shuffle. Returns (lang, source, len_bucket, n)
+    for the violating classes only."""
+    docs = rp(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"], "source": df["source"],
+            "len_bucket": (df["n_chars"].to_numpy(dtype=np.int64)
+                           // KANON_LEN_BUCKET),
+            "n": np.ones(len(df), dtype=np.int64)})
+
+    classes = partial_aggregate(
+        docs.map_batches(prep, batch_format="pandas"),
+        ["lang", "source", "len_bucket"], {"n": ("sum", "n")})
+    return classes.map_batches(
+        lambda df: df[df["n"] < KANON_K], batch_format="pandas")
+
+
+QUERIES["k_anonymity"] = k_anonymity
+ORACLE_SQL["k_anonymity"] = f"""
+    SELECT lang, source,
+           CAST(n_chars // {KANON_LEN_BUCKET} AS BIGINT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < {KANON_K}"""
+
+
+#: multi-token patterns scanned as raw substrings (with overlaps), the
+#: Aho-Corasick / content-policy scan shape
+SCAN_PATTERNS = ("hash scan", "table scan", "scan merge")
+
+
+def multi_pattern_counts(sf_dir: str) -> pd.DataFrame:
+    """Multi-pattern SUBSTRING scan over the corpus (policy/compliance
+    content scan): total occurrence count and matching-doc count per
+    pattern, left-to-right non-overlapping (regex count and the
+    oracle's replace-length arithmetic share that rule) — one
+    streaming map with a vectorized str.count per pattern (swap in one Aho-Corasick automaton per
+    actor for thousands of patterns; the fold does not change), then a
+    constant-size aggregate. Regex metacharacters are escaped: these
+    are literal substrings."""
+    docs = rp(sf_dir, "documents", ["text"])
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {}
+        for i, p in enumerate(SCAN_PATTERNS):
+            c = df["text"].str.count(re.escape(p)).to_numpy(dtype=np.int64)
+            rows[f"n{i}"] = c
+            rows[f"d{i}"] = (c > 0).astype(np.int64)
+        out = pd.DataFrame(rows)
+        out["__g"] = np.int32(0)
+        return out
+
+    aggs = {}
+    for i in range(len(SCAN_PATTERNS)):
+        aggs[f"n{i}"] = ("sum", f"n{i}")
+        aggs[f"d{i}"] = ("sum", f"d{i}")
+    tot = partial_aggregate(
+        docs.map_batches(scan, batch_format="pandas"),
+        ["__g"], aggs).to_pandas()
+    rows = [(p, int(tot[f"n{i}"][0]), int(tot[f"d{i}"][0]))
+            for i, p in enumerate(SCAN_PATTERNS)]
+    out = pd.DataFrame(rows, columns=["pattern", "n_occurrences",
+                                      "n_docs"])
+    return out.astype({"n_occurrences": "int64", "n_docs": "int64"})
+
+
+QUERIES["multi_pattern_counts"] = multi_pattern_counts
+ORACLE_SQL["multi_pattern_counts"] = "\nUNION ALL\n".join(f"""
+    SELECT '{p}' AS pattern,
+           CAST(SUM((len(text) - len(replace(text, '{p}', '')))
+                    // {len(p)}) AS BIGINT) AS n_occurrences,
+           CAST(SUM(CASE WHEN contains(text, '{p}') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs
+    FROM documents""" for p in SCAN_PATTERNS)
+
+
+def hive_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Hive-partitioned parquet sink + PARTITION-PRUNED read back: the
+    documents table writes partitioned by lang (the layout a 100 TB
+    corpus would live in), then ONLY the lang=es directory is listed
+    and read — the pruning is in the file listing, not a post-read
+    filter — and folded to (n, id_sum, text md5 fold). The oracle
+    computes the same fold from the original parquet WHERE lang='es',
+    so a partition mix-up or value mangling in either direction breaks
+    the hash. Same crash-safe marker rule as csv_roundtrip."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = dedup.md5_hex(f"hivert|{sf_dir}|{st.st_size}|{st.st_mtime_ns}")[:12]
+    out = f"/tmp/westa_hive_rt/{key}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        if os.path.isdir(out):
+            _shutil.rmtree(out)
+        rp(sf_dir, "documents", ["doc_id", "text", "lang"]) \
+            .write_parquet(out, partition_cols=["lang"])
+        with open(marker, "w") as f:
+            f.write("")
+    files = sorted(_glob.glob(os.path.join(out, "lang=es", "*.parquet")))
+    with _READ_LOCK:
+        back = rd.read_parquet(files)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter((int(dedup.md5_hex(t)[:8], 16) for t in df["text"]),
+                        dtype=np.int64, count=len(df))
+        return pd.DataFrame({
+            "n": np.ones(len(df), dtype=np.int64),
+            "id_sum": df["doc_id"].to_numpy(dtype=np.int64),
+            "fold": h, "__g": np.int32(0)})
+
+    res = partial_aggregate(
+        back.map_batches(fold, batch_format="pandas"),
+        ["__g"], {"n": ("sum", "n"), "id_sum": ("sum", "id_sum"),
+                  "fold": ("sum", "fold")})
+    return res.map_batches(
+        lambda df: df[["n", "id_sum", "fold"]].astype("int64"),
+        batch_format="pandas")
+
+
+QUERIES["hive_roundtrip"] = hive_roundtrip
+ORACLE_SQL["hive_roundtrip"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT))
+                AS BIGINT) AS fold
+    FROM documents WHERE lang = 'es'"""
