@@ -97,7 +97,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 sixteenth-batch additions
                  "events_cube", "type_corr_matrix",
                  # round-4 seventeenth-batch additions
-                 "k_anonymity", "multi_pattern_counts", "hive_roundtrip"]
+                 "k_anonymity", "multi_pattern_counts", "hive_roundtrip",
+                 # round-4 eighteenth-batch addition
+                 "range_partitioned_export"]
 
 
 def _warm_workers(ncpu: int) -> None:

@@ -1223,3 +1223,18 @@ def test_hive_roundtrip_prunes_to_one_partition(tmp_path):
     out = queries.hive_roundtrip(str(tmp_path)).to_pandas()
     assert int(out["n"][0]) == 2            # only the lang=es rows
     assert int(out["id_sum"][0]) == 0 + 2
+
+
+def test_range_partitioned_export_disjoint_spans(tmp_path):
+    # 64 docs with heavy key ties: every equal key must land in ONE
+    # part, spans must be disjoint and globally ordered, counts must
+    # sum to the corpus.
+    lens = np.repeat([10, 10, 10, 20, 30, 40, 50, 60], 8)
+    sf = _write_docs(tmp_path, ["x" * int(n) for n in lens])
+    out = (queries.range_partitioned_export(sf).to_pandas()
+           .sort_values("part", ignore_index=True))
+    assert int(out["n"].sum()) == 64
+    assert (out["min_key"] <= out["max_key"]).all()
+    # cross-part monotonic, strictly: ties never straddle parts
+    assert (out["max_key"].to_numpy()[:-1]
+            < out["min_key"].to_numpy()[1:]).all()

@@ -12040,3 +12040,99 @@ ORACLE_SQL["hive_roundtrip"] = """
            CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT))
                 AS BIGINT) AS fold
     FROM documents WHERE lang = 'es'"""
+
+
+RPE_PARTS = 8
+
+
+def range_partitioned_export(sf_dir: str) -> rd.Dataset:
+    """RANGE-PARTITIONED export with a data-skipping manifest — the
+    distributed ORDER-BY-layout writer: split points are EXACT order
+    statistics of the key (deterministic, no sampling — the
+    global_value_rank histogram machinery, so engine and oracle derive
+    identical splits from the same rank rule k_i = max(1, i*n//P)),
+    every row routes to part = #{splits < key}, parts write
+    hive-partitioned, and the manifest read BACK from the files
+    reports per-part (n, min_key, max_key, id_sum, content fold).
+    Disjoint [min,max] spans across parts are what make key-range
+    predicates prune whole directories at 100 TB; the fold proves the
+    written bytes. Returns (part, n, min_key, max_key, id_sum, fold)."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+
+    from .relops import exact_order_statistic
+
+    docs = rp(sf_dir, "documents", ["doc_id", "n_chars"])
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = dedup.md5_hex(
+        f"rpe|{sf_dir}|{st.st_size}|{st.st_mtime_ns}|p{RPE_PARTS}")[:12]
+    out = f"/tmp/westa_rpe/{key}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        if os.path.isdir(out):
+            _shutil.rmtree(out)
+        n = docs.count()
+        splits = np.array(
+            [exact_order_statistic(docs, "n_chars",
+                                   max(1, (i * n) // RPE_PARTS))
+             for i in range(1, RPE_PARTS)], dtype=np.int64)
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            v = df["n_chars"].to_numpy(dtype=np.int64)
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_chars": v,
+                "part": np.searchsorted(splits, v, side="left")
+                          .astype(np.int64)})
+
+        (docs.map_batches(assign, batch_format="pandas")
+             .write_parquet(out, partition_cols=["part"]))
+        with open(marker, "w") as f:
+            f.write("")
+    files = sorted(_glob.glob(os.path.join(out, "part=*", "*.parquet")))
+    with _READ_LOCK:
+        back = rd.read_parquet(files)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["n_chars"].to_numpy(dtype=np.int64)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        h = np.fromiter(
+            (int(dedup.md5_hex(f"{a}:{b}")[:8], 16)
+             for a, b in zip(v, ids)), dtype=np.int64, count=len(df))
+        return pd.DataFrame({
+            "part": df["part"].to_numpy(dtype=np.int64),
+            "n": np.ones(len(df), dtype=np.int64),
+            "min_key": v, "max_key": v, "id_sum": ids, "fold": h})
+
+    return partial_aggregate(
+        back.map_batches(fold, batch_format="pandas"), ["part"],
+        {"n": ("sum", "n"), "min_key": ("min", "min_key"),
+         "max_key": ("max", "max_key"), "id_sum": ("sum", "id_sum"),
+         "fold": ("sum", "fold")})
+
+
+QUERIES["range_partitioned_export"] = range_partitioned_export
+ORACLE_SQL["range_partitioned_export"] = f"""
+    WITH c AS (SELECT COUNT(*) AS n FROM documents),
+    r AS (SELECT n_chars,
+                 ROW_NUMBER() OVER (ORDER BY n_chars) AS rn
+          FROM documents),
+    s AS MATERIALIZED (
+      SELECT i.i,
+             (SELECT n_chars FROM r
+              WHERE rn = GREATEST(1, (i.i * (SELECT n FROM c))
+                                     // {RPE_PARTS})) AS v
+      FROM (SELECT unnest(range(1, {RPE_PARTS})) AS i) i),
+    a AS (SELECT d.doc_id, d.n_chars,
+                 (SELECT COUNT(*) FROM s WHERE s.v < d.n_chars) AS part
+          FROM documents d)
+    SELECT CAST(part AS BIGINT) AS part,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(n_chars) AS BIGINT) AS min_key,
+           CAST(MAX(n_chars) AS BIGINT) AS max_key,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(('0x' || substr(md5(CAST(n_chars AS VARCHAR)
+                    || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT)) AS BIGINT) AS fold
+    FROM a GROUP BY part"""
