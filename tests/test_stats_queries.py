@@ -1238,3 +1238,17 @@ def test_range_partitioned_export_disjoint_spans(tmp_path):
     # cross-part monotonic, strictly: ties never straddle parts
     assert (out["max_key"].to_numpy()[:-1]
             < out["min_key"].to_numpy()[1:]).all()
+
+
+def test_q13_counts_zero_order_customers(tmp_path):
+    pd.DataFrame({
+        "o_orderkey": np.array([1, 2, 3], dtype=np.int64),
+        "o_custkey": np.array([7, 7, 8], dtype=np.int64),
+    }).to_parquet(tmp_path / "orders.parquet", index=False)
+    pd.DataFrame({
+        "c_custkey": np.array([7, 8, 9, 10], dtype=np.int64),
+    }).to_parquet(tmp_path / "customer.parquet", index=False)
+    out = (queries.q13_order_distribution(str(tmp_path)).to_pandas()
+           .sort_values("c_count", ignore_index=True))
+    got = dict(zip(out["c_count"], out["custdist"]))
+    assert got == {0: 2, 1: 1, 2: 1}

@@ -12136,3 +12136,139 @@ ORACLE_SQL["range_partitioned_export"] = f"""
                     || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
                     AS UBIGINT)) AS BIGINT) AS fold
     FROM a GROUP BY part"""
+
+
+# ------------------------------------------------ round-4 nineteenth batch
+
+Q10_K = 20
+
+
+def q10_returned_items(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q10 shape (returned-item reporting): top customers by
+    revenue lost to returned lineitems in a quarter. Plan: returned
+    lineitems pre-aggregate to (orderkey, cents) partials map-side,
+    join PARTITIONED to the quarter's orders (the small filtered
+    side), fold per customer, join customer names, then the bounded
+    constant-group top-k. Revenue in exact cents x (100 - centidisc)
+    integers. Returns (c_custkey, c_name, revenue_e4, rank)."""
+    li = rp(sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    orders = rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = rp(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        r = df[df["l_returnflag"] == "R"]
+        disc = np.round(r["l_discount"].to_numpy(dtype=np.float64)
+                        * 100).astype(np.int64)
+        return (pd.DataFrame({
+            "o_orderkey": r["l_orderkey"].to_numpy(dtype=np.int64),
+            "rev": _cents(r["l_extendedprice"]).to_numpy() * (100 - disc)})
+            .groupby("o_orderkey", sort=False, as_index=False)
+            .agg(rev=("rev", "sum")))
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ((df["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+                & (df["o_orderdate"] < pd.Timestamp("1996-04-01")))
+        return df[keep][["o_orderkey", "o_custkey"]]
+
+    lrev = partial_aggregate(
+        li.map_batches(li_prep, batch_format="pandas"),
+        ["o_orderkey"], {"rev": ("sum", "rev")})
+    j = hash_join(lrev, orders.map_batches(o_prep, batch_format="pandas"),
+                  "o_orderkey", "o_orderkey",
+                  left_cols=["o_orderkey", "rev"],
+                  right_cols=["o_orderkey", "o_custkey"])
+    per_cust = partial_aggregate(j, ["o_custkey"],
+                                 {"revenue_e4": ("sum", "rev")})
+    named = hash_join(per_cust, cust, "o_custkey", "c_custkey",
+                      left_cols=["o_custkey", "revenue_e4"],
+                      right_cols=["c_custkey", "c_name"])
+    _empty_named = pd.DataFrame({
+        "c_custkey": pd.Series([], dtype="int64"),
+        "c_name": pd.Series([], dtype=object),
+        "revenue_e4": pd.Series([], dtype="int64"),
+        "__g": pd.Series([], dtype="int32")})
+    # hash_join renames the right key to the LEFT key's name
+    named = named.map_batches(
+        lambda df: (pd.DataFrame({
+            "c_custkey": df["o_custkey"].astype("int64"),
+            "c_name": df["c_name"],
+            "revenue_e4": df["revenue_e4"].astype("int64"),
+            "__g": np.int32(0)}) if len(df) else _empty_named),
+        batch_format="pandas")
+    top = grouped_topk(named, ["__g"], ["revenue_e4", "c_custkey"], Q10_K,
+                       ascending=[False, True])
+    _empty_out = pd.DataFrame({
+        "c_custkey": pd.Series([], dtype="int64"),
+        "c_name": pd.Series([], dtype=object),
+        "revenue_e4": pd.Series([], dtype="int64"),
+        "rank": pd.Series([], dtype="int64")})
+    return top.map_batches(
+        lambda df: (df[["c_custkey", "c_name", "revenue_e4", "rk"]]
+                    .rename(columns={"rk": "rank"})
+                    .astype({"c_custkey": "int64", "revenue_e4": "int64",
+                             "rank": "int64"})
+                    if len(df) else _empty_out),
+        batch_format="pandas")
+
+
+QUERIES["q10_returned_items"] = q10_returned_items
+ORACLE_SQL["q10_returned_items"] = f"""
+    WITH rev AS (
+      SELECT o.o_custkey,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+               AS revenue_e4
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY o.o_custkey),
+    r AS (SELECT c.c_custkey, c.c_name,
+                 CAST(rev.revenue_e4 AS BIGINT) AS revenue_e4,
+                 ROW_NUMBER() OVER (ORDER BY rev.revenue_e4 DESC,
+                                    c.c_custkey) AS rank
+          FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey)
+    SELECT c_custkey, c_name, revenue_e4, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {Q10_K}"""
+
+
+def q13_order_distribution(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q13 shape (customer distribution): histogram of customers
+    by their order count INCLUDING zero-order customers — the
+    distribution-of-a-distribution double aggregate: per-customer
+    counts fold bucketed, zero-count customers come from the
+    Bloom-prefiltered exact ANTI join (customer never shuffles), and
+    the second aggregate is bounded by the count domain. Returns
+    (c_count, custdist)."""
+    from .relops import semi_anti_filter_scalable
+
+    orders = rp(sf_dir, "orders", ["o_custkey"])
+    cust = rp(sf_dir, "customer", ["c_custkey"])
+    per_cust = partial_aggregate(orders, ["o_custkey"],
+                                 {"c_count": ("count", None)})
+    zeros = semi_anti_filter_scalable(
+        cust, "c_custkey",
+        orders.map_batches(lambda df: df[["o_custkey"]],
+                           batch_format="pandas"),
+        key_col="o_custkey", anti=True, cols=["c_custkey"])
+    zero_rows = zeros.map_batches(
+        lambda df: pd.DataFrame({
+            "c_count": np.zeros(len(df), dtype=np.int64)}),
+        batch_format="pandas")
+    nonzero = per_cust.map_batches(
+        lambda df: df[["c_count"]].astype("int64"), batch_format="pandas")
+    return partial_aggregate(nonzero.union(zero_rows), ["c_count"],
+                             {"custdist": ("count", None)})
+
+
+QUERIES["q13_order_distribution"] = q13_order_distribution
+ORACLE_SQL["q13_order_distribution"] = """
+    WITH pc AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM pc GROUP BY c_count"""
