@@ -101,7 +101,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 eighteenth-batch addition
                  "range_partitioned_export",
                  # round-4 nineteenth-batch additions
-                 "q10_returned_items", "q13_order_distribution"]
+                 "q10_returned_items", "q13_order_distribution",
+                 # round-4 twentieth-batch addition
+                 "eval_prep"]
 
 
 def _warm_workers(ncpu: int) -> None:

@@ -1252,3 +1252,20 @@ def test_q13_counts_zero_order_customers(tmp_path):
            .sort_values("c_count", ignore_index=True))
     got = dict(zip(out["c_count"], out["custdist"]))
     assert got == {0: 2, 1: 1, 2: 1}
+
+
+def test_eval_prep_scrubs_train_overlap(tmp_path):
+    # ids 13 and 26 are pool docs; 13 shares its 4-token prefix with
+    # train doc 1 -> scrubbed; 26 is clean -> kept (4 prompt + 4 cont
+    # tokens of its 8). ids 39/52 are exact dups -> first wins.
+    base = "alpha beta gamma delta"
+    sf = _write_docs(tmp_path, [
+        base + " train tail",             # id 1 (train)
+        base + " eval leak here",         # id 13 (pool, leaked prefix)
+        "clean eval doc with eight total tokens x",  # id 26 (kept)
+        "twin doc", "twin doc"],          # ids 39, 52 (pool dups)
+        ids=[1, 13, 26, 39, 52])
+    out = queries.eval_prep(sf).to_pandas()
+    assert int(out["n_examples"].sum()) == 2     # 26 and one twin
+    assert int(out["sum_prompt_toks"].sum()) == 4 + 1   # 8//2 + 2//2
+    assert int(out["sum_cont_toks"].sum()) == 4 + 1

@@ -12272,3 +12272,121 @@ ORACLE_SQL["q13_order_distribution"] = """
       GROUP BY c.c_custkey)
     SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
     FROM pc GROUP BY c_count"""
+
+
+# ------------------------------------------------- round-4 twentieth batch
+
+EVAL_POOL_MOD = 13   # doc_id % 13 == 0 -> the held-out eval pool
+
+
+def eval_prep(sf_dir: str) -> rd.Dataset:
+    """The composed EVAL-set preparation chain — the fifth end-to-end
+    pipeline (training_prep / rag_prep / mm_prep / embedding_prep are
+    the others), gated by ONE composed DuckDB oracle: carve the
+    held-out pool (doc_id % 13 == 0) → LEAKAGE SCRUB: drop any pool
+    doc whose 4-token-prefix key (the duplication actually planted in
+    the corpus) also appears in the TRAIN split — the reverse
+    direction of `decontaminate`, protecting the eval set from train
+    overlap → exact first-wins dedup inside the pool → prompt /
+    continuation split (first half / rest of the tokens) → per-lang
+    manifest with an id fold. Scale shape: the train side contributes
+    only prefix-HASH keys through the Bloom-prefiltered anti join (the
+    train corpus never shuffles), the dedup keeper set moves ids only,
+    and the manifest is a bounded aggregate."""
+    from .relops import semi_anti_filter_scalable
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def prefix_hash(df: pd.DataFrame, keep_cols) -> pd.DataFrame:
+        out = {c: df[c].to_numpy() for c in keep_cols}
+        out["h"] = [dedup.md5_hex(" ".join(t.split(" ")[:4]))
+                    for t in df["text"]]
+        return pd.DataFrame(out)
+
+    pool = docs.map_batches(
+        lambda df: prefix_hash(df[df["doc_id"] % EVAL_POOL_MOD == 0],
+                               ["doc_id", "text", "lang"]),
+        batch_format="pandas")
+    train_keys = docs.map_batches(
+        lambda df: prefix_hash(df[df["doc_id"] % EVAL_POOL_MOD != 0], [])
+                   [["h"]],
+        batch_format="pandas")
+    scrubbed = semi_anti_filter_scalable(
+        pool, "h", train_keys, anti=True,
+        cols=["doc_id", "text", "lang", "h"]).materialize()
+
+    def text_hash(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "th": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "th": [dedup.md5_hex(t) for t in df["text"]],
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64)})
+
+    keepers = partial_aggregate(
+        scrubbed.map_batches(text_hash, batch_format="pandas"),
+        ["th"], {"doc_id": ("min", "doc_id")}).map_batches(
+        lambda df: (df[["doc_id"]].astype("int64") if len(df) else
+                    pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})),
+        batch_format="pandas")
+    kept = semi_anti_filter_scalable(
+        scrubbed, "doc_id", keepers,
+        cols=["doc_id", "text", "lang"], keys_unique=True)
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype=object),
+                "n_examples": pd.Series([], dtype="int64"),
+                "sum_prompt_toks": pd.Series([], dtype="int64"),
+                "sum_cont_toks": pd.Series([], dtype="int64"),
+                "id_fold": pd.Series([], dtype="int64")})
+        n = df["text"].str.count(" ").to_numpy(dtype=np.int64) + 1
+        p = n // 2
+        fold = np.fromiter(
+            (int(dedup.md5_hex(str(int(i)))[:8], 16)
+             for i in df["doc_id"]), dtype=np.int64, count=len(df))
+        return pd.DataFrame({
+            "lang": df["lang"].to_numpy(),
+            "n_examples": np.ones(len(df), dtype=np.int64),
+            "sum_prompt_toks": p, "sum_cont_toks": n - p,
+            "id_fold": fold})
+
+    return partial_aggregate(
+        kept.map_batches(split, batch_format="pandas"), ["lang"],
+        {"n_examples": ("sum", "n_examples"),
+         "sum_prompt_toks": ("sum", "sum_prompt_toks"),
+         "sum_cont_toks": ("sum", "sum_cont_toks"),
+         "id_fold": ("sum", "id_fold")})
+
+
+QUERIES["eval_prep"] = eval_prep
+ORACLE_SQL["eval_prep"] = f"""
+    WITH ph AS (
+      SELECT doc_id, text, lang,
+             md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS h
+      FROM documents),
+    train AS MATERIALIZED (
+      SELECT DISTINCT h FROM ph WHERE doc_id % {EVAL_POOL_MOD} <> 0),
+    pool AS (
+      SELECT * FROM ph WHERE doc_id % {EVAL_POOL_MOD} = 0),
+    scrub AS MATERIALIZED (
+      SELECT p.* FROM pool p
+      WHERE NOT EXISTS (SELECT 1 FROM train t WHERE t.h = p.h)),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM scrub GROUP BY md5(text)),
+    kept AS (
+      SELECT s.doc_id, s.text, s.lang FROM scrub s
+      WHERE s.doc_id IN (SELECT doc_id FROM keep)),
+    m AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM kept)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_examples,
+           CAST(SUM(n // 2) AS BIGINT) AS sum_prompt_toks,
+           CAST(SUM(n - n // 2) AS BIGINT) AS sum_cont_toks,
+           CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS UBIGINT)) AS BIGINT) AS id_fold
+    FROM m GROUP BY lang"""
