@@ -103,7 +103,10 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 nineteenth-batch additions
                  "q10_returned_items", "q13_order_distribution",
                  # round-4 twentieth-batch addition
-                 "eval_prep"]
+                 "eval_prep",
+                 # round-4 batch-21/22 additions
+                 "weighted_pagerank_dups", "tokenized_export",
+                 "daily_interpolate", "funnel_strict"]
 
 
 def _warm_workers(ncpu: int) -> None:

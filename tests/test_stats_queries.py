@@ -1269,3 +1269,75 @@ def test_eval_prep_scrubs_train_overlap(tmp_path):
     assert int(out["n_examples"].sum()) == 2     # 26 and one twin
     assert int(out["sum_prompt_toks"].sum()) == 4 + 1   # 8//2 + 2//2
     assert int(out["sum_cont_toks"].sum()) == 4 + 1
+
+
+def test_weighted_pagerank_weights_pull_rank(tmp_path):
+    # star: doc 0 shares TWO 10-token chunks with doc 1 but only one
+    # with doc 2 -> after one round doc 1 must out-rank doc 2.
+    import ray.data as rd
+
+    from westa_ocr_ray import graph
+    edges = rd.from_pandas(pd.DataFrame({
+        "doc_a": np.array([0, 0], dtype=np.int64),
+        "doc_b": np.array([1, 2], dtype=np.int64),
+        "n_shared_chunks": np.array([2, 1], dtype=np.int64)}))
+    out = (graph.weighted_pagerank_int(
+        edges, n_iter=1, src_col="doc_a", dst_col="doc_b",
+        w_col="n_shared_chunks").to_pandas()
+        .set_index("node")["rank_mu"])
+    # node 0 (tw=3) sends 666 to 1 and 333 to 2; nodes 1 and 2 send
+    # their whole 1000 back to 0
+    assert out[0] == 150 + (85 * 2000) // 100      # 1850
+    assert out[1] == 150 + (85 * 666) // 100       # 716
+    assert out[2] == 150 + (85 * 333) // 100       # 433
+
+
+def test_tokenized_export_oov_and_fold(tmp_path):
+    sf = _write_docs(tmp_path, ["a a b", "b c"],
+                     ids=[1, 2])
+    out = (queries.tokenized_export(sf).to_pandas()
+           .sort_values("lang", ignore_index=True))
+    # vocab by count desc, token asc: a(2) -> 1, b(2) -> 2, c(1) -> 3
+    assert int(out["n_docs"].sum()) == 2
+    assert int(out["n_tokens"].sum()) == 5
+    assert int(out["id_sum"].sum()) == (1 + 1 + 2) + (2 + 3)
+    assert int(out["n_oov"].sum()) == 0
+
+
+def test_daily_interpolate_fills_interior_gap(tmp_path):
+    # view: day 1 count 4, day 4 count 1 -> days 2, 3 interpolate
+    # toward vp (3, 2); leading/trailing days stay absent.
+    rows = []
+    eid = 0
+    for day, c in [(1, 4), (4, 1)]:
+        for _ in range(c):
+            rows.append((eid, 1, "view",
+                         (day - 1) * 86_400_000_000 + eid))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts_us"])
+    df["value"] = 1.0
+    df["props"] = "{}"
+    sf = _write_events(tmp_path, df)
+    out = (queries.daily_interpolate(sf)
+           .sort_values("d", ignore_index=True))
+    got = list(zip(out["d"], out["n"], out["interpolated"]))
+    assert got == [(1, 4, 0), (2, 3, 1), (3, 2, 1), (4, 1, 0)]
+
+
+def test_funnel_strict_error_interrupts(tmp_path):
+    # user 1: click -> error -> purchase (inside window): NOT strict.
+    # user 2: click -> purchase, error AFTER the purchase: strict.
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id": [1, 1, 1, 2, 2, 2],
+        "event_type": ["click", "error", "purchase",
+                       "click", "purchase", "error"],
+        "ts_us": [0, 1_000_000, 2_000_000,
+                  0, 2_000_000, 3_000_000],
+        "value": 1.0, "props": "{}"})
+    sf = _write_events(tmp_path, df)
+    out = (queries.funnel_strict(sf).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    assert list(out["n_clicks"]) == [1, 1]
+    assert list(out["n_strict"]) == [0, 1]

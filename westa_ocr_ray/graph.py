@@ -310,3 +310,61 @@ def common_neighbor_counts(edges: rd.Dataset, src_col: str = "src",
                      left_cols=["a", "c", "n_common", "ac"],
                      right_cols=["ac", "_edge"],
                      num_buckets=num_buckets, bucket_fn=open_only)
+
+
+def weighted_pagerank_int(edges: rd.Dataset, n_iter: int = 3,
+                          src_col: str = "src", dst_col: str = "dst",
+                          w_col: str = "w",
+                          num_buckets: Optional[int] = None) -> rd.Dataset:
+    """pagerank_int with EDGE WEIGHTS: each node sends
+    (rank_mu * w_edge) // W_node along each edge (W_node = its total
+    outgoing weight), so a 5-shared-chunk duplication pulls five times
+    the rank of an incidental 1-chunk overlap. Same all-integer /
+    Dataset-between-rounds discipline as the unweighted twin; the SQL
+    oracle replays the floor-division chain exactly. Returns
+    (node, rank_mu)."""
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([df[src_col].to_numpy(),
+                                   df[dst_col].to_numpy()]),
+            "dst": np.concatenate([df[dst_col].to_numpy(),
+                                   df[src_col].to_numpy()]),
+            "w": np.concatenate([df[w_col].to_numpy(np.int64),
+                                 df[w_col].to_numpy(np.int64)])})
+
+    e = edges.map_batches(sym, batch_format="pandas").materialize()
+    tw = partial_aggregate(e, ["src"], {"tw": ("sum", "w")},
+                           num_buckets=num_buckets).materialize()
+    ed = hash_join(e, tw, "src", "src",
+                   left_cols=["src", "dst", "w"],
+                   right_cols=["src", "tw"],
+                   num_buckets=num_buckets).materialize()
+
+    ranks = tw.map_batches(
+        lambda df: pd.DataFrame({"node": df["src"].to_numpy(),
+                                 "rank_mu": np.full(len(df), 1000,
+                                                    dtype=np.int64)}),
+        batch_format="pandas").materialize()
+
+    for _ in range(n_iter):
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            c = ((df["rank_mu"].to_numpy(np.int64)
+                  * df["w"].to_numpy(np.int64))
+                 // df["tw"].to_numpy(np.int64))
+            out = pd.DataFrame({"node": df["dst"].to_numpy(), "s": c})
+            return (out.groupby("node", sort=False, as_index=False)
+                    .agg(s=("s", "sum")).infer_objects())
+
+        j = hash_join(ed, ranks, "src", "node",
+                      left_cols=["src", "dst", "w", "tw"],
+                      right_cols=["node", "rank_mu"],
+                      num_buckets=num_buckets, bucket_fn=contrib)
+        s = partial_aggregate(j, ["node"], {"s": ("sum", "s")},
+                              num_buckets=num_buckets)
+        ranks = s.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].to_numpy(),
+                 "rank_mu": 150 + (85 * df["s"].to_numpy(np.int64)) // 100}),
+            batch_format="pandas").materialize()
+    return ranks

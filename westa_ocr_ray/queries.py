@@ -12390,3 +12390,328 @@ ORACLE_SQL["eval_prep"] = f"""
            CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                 AS UBIGINT)) AS BIGINT) AS id_fold
     FROM m GROUP BY lang"""
+
+
+# ---------------------------------------------- round-4 twenty-first batch
+
+def _weighted_pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """Generated CTE chain replaying graph.weighted_pagerank_int over
+    the shared-chunk pair graph with n_shared_chunks edge weights."""
+    levels = []
+    for i in range(1, n_iter + 1):
+        levels.append(f"""r{i} AS MATERIALIZED (
+          SELECT ed.dst AS node,
+                 150 + (85 * SUM((r{i - 1}.rank_mu * ed.w) // ed.tw)) // 100
+                   AS rank_mu
+          FROM ed JOIN r{i - 1} ON r{i - 1}.node = ed.src
+          GROUP BY ed.dst)""")
+    lv = ",\n        ".join(levels)
+    return f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        c AS (
+          SELECT doc_id, md5(array_to_string(toks[10*i+1:10*i+10], ' '))
+                   AS ch
+          FROM (SELECT doc_id, toks,
+                       unnest(range(0, len(toks) // 10)) AS i
+                FROM t)),
+        d AS (SELECT DISTINCT doc_id, ch FROM c),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM d a JOIN d b ON a.ch = b.ch AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        e AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst, w FROM p
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst, w FROM p),
+        tw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw
+               FROM e GROUP BY src),
+        ed AS MATERIALIZED (
+          SELECT e.src, e.dst, e.w, tw.tw FROM e JOIN tw USING (src)),
+        r0 AS (SELECT src AS node, CAST(1000 AS BIGINT) AS rank_mu
+               FROM tw),
+        {lv}
+        SELECT node, CAST(rank_mu AS BIGINT) AS rank_mu FROM r{n_iter}"""
+
+
+def weighted_pagerank_dups(sf_dir: str) -> rd.Dataset:
+    """Weighted PageRank over the shared-chunk duplication graph (edge
+    weight = shared-chunk count): the mirror-farm centrality ranking
+    where heavily-duplicated pairs pull proportionally more rank.
+    Same edge-Dataset shape as pagerank_dups; one extra (src, total
+    weight) join feeds the floor-division contributions."""
+    from . import graph
+
+    pairs = dedup.shared_chunk_pairs(
+        rp(sf_dir, "documents", ["doc_id", "text"]),
+        size_hint_bytes=_doc_size_hint(sf_dir))
+    out = graph.weighted_pagerank_int(
+        pairs, n_iter=3, src_col="doc_a", dst_col="doc_b",
+        w_col="n_shared_chunks")
+    return out.map_batches(
+        lambda df: df.astype({"node": "int64", "rank_mu": "int64"}),
+        batch_format="pandas")
+
+
+QUERIES["weighted_pagerank_dups"] = weighted_pagerank_dups
+ORACLE_SQL["weighted_pagerank_dups"] = _weighted_pagerank_oracle_sql(3)
+
+
+TOKV_SIZE = 256
+
+
+def tokenized_export(sf_dir: str) -> rd.Dataset:
+    """TOKENIZED-dataset sink + read-back fold — the artifact LLM
+    training actually consumes: encode every doc as an id sequence
+    under the top-TOKV_SIZE frequency vocabulary (the vocab_encode
+    rank rule: count desc, token asc; OOV -> id 0), write the id
+    arrays as parquet, read them BACK and fold per lang into
+    (n_docs, n_tokens, id_sum, n_oov). The vocabulary is bounded and
+    broadcast; the corpus makes exactly two streaming passes (count,
+    encode); the oracle derives the same fold from the raw text, so
+    any encode/write/read mangling breaks the hash. Marker-cached
+    like the other sinks."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+
+    import ray
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        flat = (np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                if len(df) else np.array([], dtype=object))
+        out = pd.DataFrame({"token": flat})
+        return (out.groupby("token", sort=False, as_index=False).size()
+                .rename(columns={"size": "cnt"}))
+
+    cnt = partial_aggregate(
+        docs.map_batches(tok_counts, batch_format="pandas"),
+        ["token"], {"cnt": ("sum", "cnt")}).to_pandas()
+    cnt = cnt.sort_values(["cnt", "token"], ascending=[False, True],
+                          ignore_index=True).head(TOKV_SIZE)
+    vocab = {t: i + 1 for i, t in enumerate(cnt["token"])}
+    vref = ray.put(vocab)
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = dedup.md5_hex(
+        f"tokx|{sf_dir}|{st.st_size}|{st.st_mtime_ns}|v{TOKV_SIZE}")[:12]
+    out_dir = f"/tmp/westa_tok_export/{key}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        if os.path.isdir(out_dir):
+            _shutil.rmtree(out_dir)
+
+        def encode(df: pd.DataFrame) -> pd.DataFrame:
+            v = ray.get(vref)
+            ids = [[v.get(t, 0) for t in s.split(" ")]
+                   for s in df["text"]]
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "lang": df["lang"].to_numpy(),
+                "ids": ids})
+
+        docs.map_batches(encode, batch_format="pandas") \
+            .write_parquet(out_dir)
+        with open(marker, "w") as f:
+            f.write("")
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+    with _READ_LOCK:
+        back = rd.read_parquet(files)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        seqs = [np.asarray(x, dtype=np.int64) for x in df["ids"]]
+        return pd.DataFrame({
+            "lang": df["lang"].to_numpy(),
+            "n_docs": np.ones(len(df), dtype=np.int64),
+            "n_tokens": np.array([len(s) for s in seqs], dtype=np.int64),
+            "id_sum": np.array([int(s.sum()) for s in seqs],
+                               dtype=np.int64),
+            "n_oov": np.array([int((s == 0).sum()) for s in seqs],
+                              dtype=np.int64)})
+
+    return partial_aggregate(
+        back.map_batches(fold, batch_format="pandas"), ["lang"],
+        {"n_docs": ("sum", "n_docs"), "n_tokens": ("sum", "n_tokens"),
+         "id_sum": ("sum", "id_sum"), "n_oov": ("sum", "n_oov")})
+
+
+QUERIES["tokenized_export"] = tokenized_export
+ORACLE_SQL["tokenized_export"] = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY token),
+    v AS (SELECT token,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                      AS BIGINT) AS rk
+          FROM c QUALIFY rk <= {TOKV_SIZE})
+    SELECT t.lang,
+           CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(v.rk, 0)) AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN v.rk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov
+    FROM toks t LEFT JOIN v USING (token)
+    GROUP BY t.lang"""
+
+
+# --------------------------------------------- round-4 twenty-second batch
+
+def daily_interpolate(sf_dir: str) -> pd.DataFrame:
+    """Time-series GAP FILL: the per-(type, day) count series with
+    interior missing days filled by integer floor linear interpolation
+    between the nearest observed neighbors (leading/trailing gaps stay
+    absent — there is nothing to anchor them to). The (type, day)
+    aggregate is bounded (types x 31), so the fill itself is
+    driver-side vectorized numpy over the bounded table — the
+    type_corr_matrix discipline. Returns
+    (event_type, d, n, interpolated)."""
+    ev = rp(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "d": df["ts"].dt.day.to_numpy(dtype=np.int64),
+            "n": np.ones(len(df), dtype=np.int64)})
+
+    dc = partial_aggregate(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["event_type", "d"], {"n": ("sum", "n")}).to_pandas()
+    rows = []
+    for ty, g in dc.groupby("event_type"):
+        g = g.sort_values("d", ignore_index=True)
+        ds_ = g["d"].to_numpy(dtype=np.int64)
+        ns = g["n"].to_numpy(dtype=np.int64)
+        for i in range(len(ds_)):
+            rows.append((ty, int(ds_[i]), int(ns[i]), 0))
+            if i + 1 < len(ds_) and ds_[i + 1] > ds_[i] + 1:
+                dp, dn_ = ds_[i], ds_[i + 1]
+                vp, vn = ns[i], ns[i + 1]
+                for d in range(dp + 1, dn_):
+                    # sign-split so a DECREASING gap rounds toward vp
+                    # exactly like the oracle's CASE (numpy's plain //
+                    # would floor the negative product instead)
+                    if vn >= vp:
+                        v = vp + (vn - vp) * (d - dp) // (dn_ - dp)
+                    else:
+                        v = vp - (vp - vn) * (d - dp) // (dn_ - dp)
+                    rows.append((ty, d, int(v), 1))
+    out = pd.DataFrame(rows, columns=["event_type", "d", "n",
+                                      "interpolated"])
+    return out.astype({"d": "int64", "n": "int64",
+                       "interpolated": "int64"})
+
+
+QUERIES["daily_interpolate"] = daily_interpolate
+ORACLE_SQL["daily_interpolate"] = """
+    WITH dc AS (SELECT event_type AS ty, EXTRACT(day FROM ts) AS d,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+    bounds AS (SELECT ty, MIN(d) AS lo, MAX(d) AS hi FROM dc GROUP BY ty),
+    grid AS (SELECT b.ty, b.lo + g.i AS d
+             FROM bounds b,
+                  LATERAL (SELECT unnest(range(0, b.hi - b.lo + 1)) AS i)
+                    AS g),
+    j AS (SELECT grid.ty, grid.d, dc.n FROM grid
+          LEFT JOIN dc ON dc.ty = grid.ty AND dc.d = grid.d),
+    anch AS (
+      SELECT ty, d, n,
+             LAST_VALUE(CASE WHEN n IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY ty ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS dp,
+             LAST_VALUE(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS)
+               OVER (PARTITION BY ty ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS vp,
+             FIRST_VALUE(CASE WHEN n IS NOT NULL THEN d END IGNORE NULLS)
+               OVER (PARTITION BY ty ORDER BY d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS dn,
+             FIRST_VALUE(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS)
+               OVER (PARTITION BY ty ORDER BY d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS vn
+      FROM j)
+    SELECT ty AS event_type, CAST(d AS BIGINT) AS d,
+           CAST(CASE WHEN n IS NOT NULL THEN n
+                     WHEN vn >= vp THEN vp + (vn - vp) * (d - dp) // (dn - dp)
+                     ELSE vp - (vp - vn) * (d - dp) // (dn - dp)
+                END AS BIGINT) AS n,
+           CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS interpolated
+    FROM anch"""
+
+
+def funnel_strict(sf_dir: str) -> rd.Dataset:
+    """STRICT funnel: a click converts only if the user's FIRST
+    purchase within the window arrives with NO intervening 'error'
+    event — the branch-sensitive sequence pattern (A then B within T,
+    unless C interrupts) that plain funnel counting misses. Per
+    ordered-log bucket it is three searchsorted probes per click
+    array (first purchase in window; error count in the open interval
+    (click, purchase)); no pairwise join. Returns
+    (user_id, n_clicks, n_strict)."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        users, n_c, n_s = [], [], []
+        start = np.flatnonzero(df["user_id"].ne(df["user_id"].shift())
+                               .to_numpy())
+        bounds = np.append(start, len(df))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            ct = t[a:b][et[a:b] == "click"]
+            pt = t[a:b][et[a:b] == "purchase"]
+            er = t[a:b][et[a:b] == "error"]
+            lo = np.searchsorted(pt, ct, side="right")
+            hi = np.searchsorted(pt, ct + FUNNEL_WINDOW_US, side="right")
+            conv = hi > lo
+            strict = np.zeros(len(ct), dtype=bool)
+            if conv.any():
+                p1 = pt[np.minimum(lo, len(pt) - 1)]
+                e_lo = np.searchsorted(er, ct, side="right")
+                e_hi = np.searchsorted(er, p1, side="left")
+                strict = conv & (e_hi <= e_lo)
+            users.append(uid[a])
+            n_c.append(len(ct))
+            n_s.append(int(strict.sum()))
+        return pd.DataFrame({
+            "user_id": pd.Series(users, dtype=df["user_id"].dtype),
+            "n_clicks": pd.Series(n_c, dtype="int64"),
+            "n_strict": pd.Series(n_s, dtype="int64")})
+
+    return _bucketed_by_user(ev, fn)
+
+
+QUERIES["funnel_strict"] = funnel_strict
+ORACLE_SQL["funnel_strict"] = f"""
+    WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+          WHERE event_type = 'purchase'),
+    er AS (SELECT user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'error'),
+    fp AS (SELECT c.user_id, c.t,
+                  (SELECT MIN(p.t) FROM p
+                   WHERE p.user_id = c.user_id AND p.t > c.t
+                     AND p.t <= c.t + {FUNNEL_WINDOW_US}) AS p1
+           FROM c),
+    s AS (SELECT user_id, t, p1,
+                 CASE WHEN p1 IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM er
+                        WHERE er.user_id = fp.user_id
+                          AND er.t > fp.t AND er.t < fp.p1)
+                      THEN 1 ELSE 0 END AS strict
+          FROM fp)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(strict) AS BIGINT) AS n_strict
+    FROM s GROUP BY user_id"""
