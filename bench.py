@@ -106,7 +106,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "eval_prep",
                  # round-4 batch-21/22 additions
                  "weighted_pagerank_dups", "tokenized_export",
-                 "daily_interpolate", "funnel_strict"]
+                 "daily_interpolate", "funnel_strict",
+                 # round-4 batch-23 additions
+                 "q7_nation_trade", "daily_new_users"]
 
 
 def _warm_workers(ncpu: int) -> None:

@@ -12715,3 +12715,124 @@ ORACLE_SQL["funnel_strict"] = f"""
            CAST(COUNT(*) AS BIGINT) AS n_clicks,
            CAST(SUM(strict) AS BIGINT) AS n_strict
     FROM s GROUP BY user_id"""
+
+
+# --------------------------------------------- round-4 twenty-third batch
+
+Q7_FROM, Q7_TO = "1996-01-01", "1997-01-01"
+
+
+def q7_nation_trade(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q7 shape (volume shipping): the CROSS-NATION trade matrix
+    — revenue per (supplier nation, customer nation) pair, different
+    nations only, within one ship-date year. Plan: the date filter
+    prunes lineitem AT THE READ; lineitem ⋈ orders ⋈ customer ⋈
+    supplier all run PARTITIONED; the last join's buckets map the two
+    nationkeys to names through the broadcast 25-row dimension and
+    PRE-REDUCE to (supp_nation, cust_nation) partials, so the final
+    exchange is ≤ |nations|² rows. Revenue in exact e4 integers.
+    Returns (supp_nation, cust_nation, revenue_e4, n_lines)."""
+    nat = rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    lo, hi = pd.Timestamp(Q7_FROM), pd.Timestamp(Q7_TO)
+    li = rp(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+             "l_shipdate"]).map_batches(
+        lambda df: (lambda k: pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(dtype=np.int64)[k],
+            "l_suppkey": df["l_suppkey"].to_numpy(dtype=np.int64)[k],
+            "rev": (_cents(df["l_extendedprice"]).to_numpy()
+                    * (100 - np.round(df["l_discount"].to_numpy(
+                        dtype=np.float64) * 100).astype(np.int64)))[k]}))
+        (((df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)).to_numpy()),
+        batch_format="pandas")
+    orders = rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j1 = hash_join(li, orders, "l_orderkey", "o_orderkey",
+                   left_cols=["l_orderkey", "l_suppkey", "rev"],
+                   right_cols=["o_orderkey", "o_custkey"])
+    cust = rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = hash_join(j1, cust, "o_custkey", "c_custkey",
+                   left_cols=["l_suppkey", "rev", "o_custkey"],
+                   right_cols=["c_custkey", "c_nationkey"])
+    supp = rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        sn = df["s_nationkey"].to_numpy(dtype=np.int64)
+        cn = df["c_nationkey"].to_numpy(dtype=np.int64)
+        keep = sn != cn
+        out = pd.DataFrame({
+            "supp_nation": pd.Series(sn[keep]).map(names),
+            "cust_nation": pd.Series(cn[keep]).map(names),
+            "revenue_e4": df["rev"].to_numpy(dtype=np.int64)[keep],
+            "n_lines": np.ones(int(keep.sum()), dtype=np.int64)})
+        return (out.groupby(["supp_nation", "cust_nation"], sort=False,
+                            as_index=False)
+                .agg(revenue_e4=("revenue_e4", "sum"),
+                     n_lines=("n_lines", "sum")).infer_objects())
+
+    j3 = hash_join(j2, supp, "l_suppkey", "s_suppkey",
+                   left_cols=["l_suppkey", "rev", "c_nationkey"],
+                   right_cols=["s_suppkey", "s_nationkey"],
+                   bucket_fn=fold)
+    return partial_aggregate(j3, ["supp_nation", "cust_nation"],
+                             {"revenue_e4": ("sum", "revenue_e4"),
+                              "n_lines": ("sum", "n_lines")})
+
+
+QUERIES["q7_nation_trade"] = q7_nation_trade
+ORACLE_SQL["q7_nation_trade"] = f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q7_FROM}'
+      AND l.l_shipdate < TIMESTAMP '{Q7_TO}'
+      AND c.c_nationkey <> s.s_nationkey
+    GROUP BY 1, 2"""
+
+
+def daily_new_users(sf_dir: str) -> rd.Dataset:
+    """Daily NEW-user counts (the first-seen product metric): min event
+    time per user folds bucketed, then the first-seen days aggregate —
+    two bounded passes, one row per user then one per day. Returns
+    (d, n_new)."""
+    ev = rp(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "first_us": df["ts"].astype("int64").to_numpy()})
+
+    first = partial_aggregate(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["user_id"], {"first_us": ("min", "first_us")})
+
+    def to_day(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"d": pd.Series([], dtype="int64"),
+                                 "n_new": pd.Series([], dtype="int64")})
+        d = (pd.to_datetime(df["first_us"].astype("int64"), unit="us")
+             .dt.day.to_numpy(dtype=np.int64))
+        return pd.DataFrame({"d": d,
+                             "n_new": np.ones(len(df), dtype=np.int64)})
+
+    return partial_aggregate(
+        first.map_batches(to_day, batch_format="pandas"),
+        ["d"], {"n_new": ("sum", "n_new")})
+
+
+QUERIES["daily_new_users"] = daily_new_users
+ORACLE_SQL["daily_new_users"] = """
+    WITH f AS (SELECT user_id, MIN(ts) AS first_ts
+               FROM events GROUP BY user_id)
+    SELECT CAST(EXTRACT(day FROM first_ts) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM f GROUP BY 1"""
