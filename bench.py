@@ -108,7 +108,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "weighted_pagerank_dups", "tokenized_export",
                  "daily_interpolate", "funnel_strict",
                  # round-4 batch-23 additions
-                 "q7_nation_trade", "daily_new_users"]
+                 "q7_nation_trade", "daily_new_users",
+                 # round-4 batch-24 addition
+                 "pushdown_filter_agg"]
 
 
 def _warm_workers(ncpu: int) -> None:

@@ -12836,3 +12836,53 @@ ORACLE_SQL["daily_new_users"] = """
     SELECT CAST(EXTRACT(day FROM first_ts) AS BIGINT) AS d,
            CAST(COUNT(*) AS BIGINT) AS n_new
     FROM f GROUP BY 1"""
+
+
+# -------------------------------------------- round-4 twenty-fourth batch
+
+def pushdown_filter_agg(sf_dir: str) -> rd.Dataset:
+    """PREDICATE + PROJECTION PUSHDOWN at the parquet read — the
+    'prune at the read' rule as a value-checked query: the quantity
+    predicate goes into read_parquet's Arrow filter (evaluated inside
+    the reader against row-group statistics and pages — at 100 TB the
+    skipped row groups never leave storage) and only two columns are
+    projected; everything after is one constant-group fold. The
+    oracle computes the same aggregate with a WHERE clause, so a
+    pushdown that dropped or double-read rows would break the hash.
+    Returns (n_rows, qty_sum, price_cents_sum)."""
+    import pyarrow.compute as pc
+
+    with _READ_LOCK:
+        ds = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_quantity", "l_extendedprice"],
+            filter=(pc.field("l_quantity") < 10))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "__g": [np.int32(0)],
+            "n_rows": pd.Series([len(df)], dtype="int64"),
+            "qty_sum": pd.Series([int(np.round(q).astype(np.int64).sum())],
+                                 dtype="int64"),
+            "price_cents_sum": pd.Series(
+                [int(_cents(df["l_extendedprice"]).sum())], dtype="int64")})
+
+    out = partial_aggregate(
+        ds.map_batches(fold, batch_format="pandas"), ["__g"],
+        {"n_rows": ("sum", "n_rows"), "qty_sum": ("sum", "qty_sum"),
+         "price_cents_sum": ("sum", "price_cents_sum")})
+    return out.map_batches(
+        lambda df: df[["n_rows", "qty_sum", "price_cents_sum"]]
+                     .astype("int64"),
+        batch_format="pandas")
+
+
+QUERIES["pushdown_filter_agg"] = pushdown_filter_agg
+ORACLE_SQL["pushdown_filter_agg"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+             AS qty_sum,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents_sum
+    FROM lineitem WHERE l_quantity < 10"""
