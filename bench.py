@@ -110,7 +110,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 batch-23 additions
                  "q7_nation_trade", "daily_new_users",
                  # round-4 batch-24 addition
-                 "pushdown_filter_agg"]
+                 "pushdown_filter_agg",
+                 # round-4 batch-25 additions
+                 "longest_token_run", "dataset_card"]
 
 
 def _warm_workers(ncpu: int) -> None:

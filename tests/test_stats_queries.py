@@ -1341,3 +1341,24 @@ def test_funnel_strict_error_interrupts(tmp_path):
            .sort_values("user_id", ignore_index=True))
     assert list(out["n_clicks"]) == [1, 1]
     assert list(out["n_strict"]) == [0, 1]
+
+
+def test_longest_token_run_crosses_blocks_not_docs(tmp_path):
+    # doc 0 ends with 'x x' and doc 1 starts with 'x x x': the doc
+    # boundary must break the run (max 2 vs 3, not 5)
+    sf = _write_docs(tmp_path, ["a b x x", "x x x b a"], ids=[0, 1])
+    out = (queries.longest_token_run(sf).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    got = dict(zip(out["doc_id"], out["run_len"]))
+    assert got == {0: 2, 1: 3}
+
+
+def test_dataset_card_dup_and_median(tmp_path):
+    sf = _write_docs(tmp_path, ["same text", "same text", "other a b"],
+                     ids=[1, 2, 3])
+    out = queries.dataset_card(sf)
+    m = {(r.metric, r.key): r.value for r in out.itertuples()}
+    assert m[("n_docs", "")] == 3
+    assert m[("n_dup_docs", "")] == 1
+    assert m[("n_tokens", "")] == 2 + 2 + 3
+    assert m[("median_chars", "")] == 9   # lower median of (9, 9, 9)

@@ -12886,3 +12886,148 @@ ORACLE_SQL["pushdown_filter_agg"] = """
            CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
                 AS BIGINT) AS price_cents_sum
     FROM lineitem WHERE l_quantity < 10"""
+
+
+# --------------------------------------------- round-4 twenty-fifth batch
+
+RUN_TOP_K = 20
+
+
+def longest_token_run(sf_dir: str) -> rd.Dataset:
+    """Longest consecutive SAME-TOKEN run per doc, global top-20 — the
+    degenerate-repetition detector (looping generations, boilerplate
+    stutter) that complements the n-gram repetition ratio. Per batch
+    the run lengths come from one vectorized change-point pass over
+    the flattened token stream (doc boundaries count as changes);
+    ranking is the bounded constant-group top-k. Returns
+    (doc_id, run_len, rank)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def runs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "run_len": pd.Series([], dtype="int64"),
+                "__g": pd.Series([], dtype="int32")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        did = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), lens)
+        # change points: token differs from predecessor OR doc changes
+        chg = np.ones(len(flat), dtype=bool)
+        if len(flat) > 1:
+            chg[1:] = (flat[1:] != flat[:-1]) | (did[1:] != did[:-1])
+        starts = np.flatnonzero(chg)
+        run_len = np.diff(np.append(starts, len(flat)))
+        run_doc = did[starts]
+        out = (pd.DataFrame({"doc_id": run_doc, "run_len": run_len})
+               .groupby("doc_id", sort=False, as_index=False)
+               .agg(run_len=("run_len", "max")))
+        out["__g"] = np.int32(0)
+        return out
+
+    top = grouped_topk(docs.map_batches(runs, batch_format="pandas"),
+                       ["__g"], ["run_len", "doc_id"], RUN_TOP_K,
+                       ascending=[False, True])
+    return top.map_batches(
+        lambda df: df[["doc_id", "run_len", "rk"]]
+                     .rename(columns={"rk": "rank"}).astype("int64"),
+        batch_format="pandas")
+
+
+QUERIES["longest_token_run"] = longest_token_run
+ORACLE_SQL["longest_token_run"] = f"""
+    WITH tok AS (
+      SELECT doc_id, token, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id, token
+                                    ORDER BY i) AS grp
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM documents)),
+    runs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+             FROM tok GROUP BY doc_id, token, grp),
+    best AS (SELECT doc_id, MAX(run_len) AS run_len
+             FROM runs GROUP BY doc_id),
+    r AS (SELECT doc_id, run_len,
+                 ROW_NUMBER() OVER (ORDER BY run_len DESC, doc_id)
+                   AS rank
+          FROM best)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, run_len,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {RUN_TOP_K}"""
+
+
+def dataset_card(sf_dir: str) -> pd.DataFrame:
+    """The DATASET CARD / datasheet capstone: one (metric, key, value)
+    table a release pipeline would publish — total docs, per-lang and
+    per-source counts, exact duplicate count (docs minus distinct
+    texts), total tokens, and the exact lower-median doc length. Every
+    number derives from bounded aggregates already audited elsewhere
+    (one corpus pass for the counts fold, one md5 aggregate for the
+    dup rate, the two-pass exact median); the card itself is a
+    constant-size driver-side assembly."""
+    from .relops import exact_median
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text", "lang", "source",
+                                    "n_chars"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"], "source": df["source"],
+            "n": np.ones(len(df), dtype=np.int64),
+            "tok": df["text"].str.count(" ").to_numpy(dtype=np.int64) + 1})
+
+    per_ls = partial_aggregate(
+        docs.map_batches(prep, batch_format="pandas"),
+        ["lang", "source"], {"n": ("sum", "n"),
+                             "tok": ("sum", "tok")}).to_pandas()
+
+    def th(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": [dedup.md5_hex(t) for t in df["text"]],
+                             "n": np.ones(len(df), dtype=np.int64)})
+
+    per_hash = partial_aggregate(
+        docs.map_batches(th, batch_format="pandas"),
+        ["h"], {"n": ("sum", "n")})
+    distinct = int(per_hash.count())
+    total = int(per_ls["n"].sum())
+    med, _ = exact_median(docs, "n_chars")
+    rows = [("n_docs", "", total),
+            ("n_dup_docs", "", total - distinct),
+            ("n_tokens", "", int(per_ls["tok"].sum())),
+            ("median_chars", "", int(med))]
+    for lang, g in per_ls.groupby("lang"):
+        rows.append(("docs_per_lang", lang, int(g["n"].sum())))
+    for src, g in per_ls.groupby("source"):
+        rows.append(("docs_per_source", src, int(g["n"].sum())))
+    out = pd.DataFrame(rows, columns=["metric", "key", "value"])
+    return out.astype({"value": "int64"})
+
+
+QUERIES["dataset_card"] = dataset_card
+ORACLE_SQL["dataset_card"] = """
+    WITH med AS (
+      SELECT n_chars AS v
+      FROM (SELECT n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM documents)
+      WHERE rn = (n + 1) // 2)
+    SELECT 'n_docs' AS metric, '' AS key,
+           CAST(COUNT(*) AS BIGINT) AS value FROM documents
+    UNION ALL
+    SELECT 'n_dup_docs', '',
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_tokens', '',
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'median_chars', '', CAST((SELECT v FROM med) AS BIGINT)
+    UNION ALL
+    SELECT 'docs_per_lang', lang, CAST(COUNT(*) AS BIGINT)
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'docs_per_source', source, CAST(COUNT(*) AS BIGINT)
+    FROM documents GROUP BY source"""
