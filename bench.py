@@ -112,7 +112,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 batch-24 addition
                  "pushdown_filter_agg",
                  # round-4 batch-25 additions
-                 "longest_token_run", "dataset_card"]
+                 "longest_token_run", "dataset_card",
+                 # round-4 batch-26 addition
+                 "ivfpq_search"]
 
 
 def _warm_workers(ncpu: int) -> None:

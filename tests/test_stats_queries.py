@@ -1362,3 +1362,21 @@ def test_dataset_card_dup_and_median(tmp_path):
     assert m[("n_dup_docs", "")] == 1
     assert m[("n_tokens", "")] == 2 + 2 + 3
     assert m[("median_chars", "")] == 9   # lower median of (9, 9, 9)
+
+
+def test_ivfpq_prunes_to_probed_cells(tmp_path):
+    # 12 vectors in two tight far-apart groups (positive vs negative
+    # orthant): with KMEANS_K=8 seeds the coarse cells separate them;
+    # query = vec 0 (positive group). The probed cells must contain
+    # the positive group, so every returned neighbor is positive-side.
+    rng = np.random.default_rng(3)
+    pos = 1000.0 + rng.normal(0, 1, (6, 64))
+    neg = -1000.0 + rng.normal(0, 1, (6, 64))
+    emb = pd.DataFrame({
+        "vec_id": np.arange(12, dtype=np.int64),
+        "embedding": [v.tolist() for v in np.vstack([pos, neg])],
+        "label": np.int32(0)})
+    emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    out = queries.ivfpq_search(str(tmp_path)).to_pandas()
+    assert len(out) > 0
+    assert set(out["vec_id"]) <= set(range(1, 6))   # positive side only

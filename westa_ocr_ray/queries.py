@@ -13031,3 +13031,225 @@ ORACLE_SQL["dataset_card"] = """
     UNION ALL
     SELECT 'docs_per_source', source, CAST(COUNT(*) AS BIGINT)
     FROM documents GROUP BY source"""
+
+
+# --------------------------------------------- round-4 twenty-sixth batch
+
+IVFPQ_NPROBE = 2
+
+
+def ivfpq_search(sf_dir: str) -> rd.Dataset:
+    """IVF-PQ — the composed production ANN serving path (Jégou et al.
+    2011; the FAISS IVFADC layout): a COARSE k-means partitions the
+    vectors into cells, the query probes only its IVFPQ_NPROBE nearest
+    cells, and the surviving candidates are ranked by PQ asymmetric
+    distance (two table lookups + one add per vector). Everything is
+    the existing exact-integer machinery composed: the coarse pass is
+    kmeans_lloyd_int over the full dimension, the candidate filter is
+    the Bloom-prefiltered semi join on vec_id, and the ADC stage is
+    ann_pq_search's fused scoring map. The generated oracle chains a
+    prefixed coarse k-means replay, the probe-cell selection, both PQ
+    subspace replays and the ADC ranking — one SQL statement replays
+    the whole index + search. Returns (vec_id, rank, adc_dist2)."""
+    import ray
+
+    from .relops import semi_anti_filter_scalable
+
+    emb = rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    mn = partial_aggregate(
+        emb.map_batches(
+            lambda df: pd.DataFrame({
+                "__g": np.zeros(len(df), dtype=np.int32),
+                "v": df["vec_id"].astype(np.int64).to_numpy()}),
+            batch_format="pandas"),
+        ["__g"], {"mn": ("min", "v")}).to_pandas()
+    qid = int(mn["mn"].iloc[0])
+    qrow = emb.map_batches(lambda df: df[df["vec_id"] == qid],
+                           batch_format="pandas").to_pandas()
+    qfull = np.asarray(qrow["embedding"].iloc[0], dtype=np.float64)
+    qq_full = (np.sign(qfull * 1000.0)
+               * np.floor(np.abs(qfull * 1000.0) + 0.5)).astype(np.int64)
+
+    # coarse quantizer: full-dim integer k-means; probe the query's
+    # IVFPQ_NPROBE nearest cells (ties to the lower cell id)
+    asg, Cg, _ = similarity.kmeans_lloyd_int(
+        emb, k=KMEANS_K, n_rounds=KMEANS_ROUNDS, return_centroids=True)
+    dq_c = ((Cg - qq_full[None, :]) ** 2).sum(axis=1).astype(np.int64)
+    order = np.lexsort((np.arange(len(dq_c)), dq_c))
+    probe = set(int(c) for c in order[:IVFPQ_NPROBE])
+    cand_ids = asg.map_batches(
+        lambda df: (df[df["cluster"].isin(probe)
+                       & (df["vec_id"] != qid)][["vec_id"]]
+                    .astype("int64")
+                    if len(df) else
+                    pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})),
+        batch_format="pandas")
+    # the embedding column must survive the semi filter's groupby
+    # shuffle: re-type Ray's TensorArray extension to plain object
+    # lists first (the embedding_prep rule — TensorArray blocks can't
+    # concat through an exchange)
+    emb_l = emb.map_batches(
+        lambda df: pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64").to_numpy(),
+            "embedding": [np.asarray(v, dtype=np.float64).tolist()
+                          for v in df["embedding"]]}),
+        batch_format="pandas")
+    cand = semi_anti_filter_scalable(emb_l, "vec_id", cand_ids,
+                                     cols=["vec_id", "embedding"],
+                                     keys_unique=True)
+
+    def half(lo: int, hi: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            M = np.stack(df["embedding"].to_numpy())[:, lo:hi]
+            return pd.DataFrame({
+                "vec_id": df["vec_id"].astype(np.int64).to_numpy(),
+                "embedding": list(M)})
+        return f
+
+    tables = []
+    for lo, hi in ((0, PQ_SPLIT), (PQ_SPLIT, 2 * PQ_SPLIT)):
+        _, C, _ = similarity.kmeans_lloyd_int(
+            emb.map_batches(half(lo, hi), batch_format="pandas"),
+            k=PQ_K, n_rounds=KMEANS_ROUNDS, return_centroids=True)
+        dq = ((C - qq_full[lo:hi][None, :]) ** 2).sum(axis=1) \
+            .astype(np.int64)
+        tables.append((lo, hi, C, dq))
+    tref = ray.put(tables)
+
+    class Adc:
+        def __init__(self) -> None:
+            self.tables = ray.get(tref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "adc_dist2": pd.Series([], dtype="int64")})
+            M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            adc = np.zeros(len(df), dtype=np.int64)
+            for lo, hi, C, dq in self.tables:
+                P = M[:, lo:hi] * 1000.0
+                Q = (np.sign(P) * np.floor(np.abs(P) + 0.5)) \
+                    .astype(np.int64)
+                D = ((Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T)
+                     + (C * C).sum(axis=1)[None, :])
+                adc += dq[np.argmin(D, axis=1)]
+            return pd.DataFrame({
+                "vec_id": df["vec_id"].astype(np.int64).to_numpy(),
+                "adc_dist2": adc})
+
+    scored = cand.map_batches(Adc, batch_format="pandas",
+                              concurrency=(1, 4))
+    top = grouped_topk(
+        scored.map_batches(lambda df: df.assign(__g=np.int32(0)),
+                           batch_format="pandas"),
+        ["__g"], ["adc_dist2", "vec_id"], PQ_SEARCH_K,
+        ascending=[True, True], num_buckets=8)
+    return top.map_batches(
+        lambda df: pd.DataFrame({
+            "vec_id": df["vec_id"].astype(np.int64).to_numpy(),
+            "rank": df["rk"].astype(np.int64).to_numpy(),
+            "adc_dist2": df["adc_dist2"].astype(np.int64).to_numpy()}),
+        batch_format="pandas")
+
+
+def _coarse_cte_parts(k: int, n_rounds: int) -> list:
+    """_kmeans_cte_parts with a 'cg' prefix so the coarse chain can
+    coexist with the PQ chain's (differently-seeded) CTEs."""
+    parts = ["""cge AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings))""",
+             f"""cgseeds AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS c
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            ORDER BY vec_id LIMIT {k}))""",
+             """cgc0 AS (SELECT s.c, cge.i, cge.q AS v
+               FROM cge JOIN cgseeds s USING (vec_id))"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""cgd{r} AS (
+      SELECT cge.vec_id, cgc{r - 1}.c,
+             SUM((cge.q - cgc{r - 1}.v) * (cge.q - cgc{r - 1}.v))
+               AS dist2
+      FROM cge JOIN cgc{r - 1} ON cge.i = cgc{r - 1}.i
+      GROUP BY cge.vec_id, cgc{r - 1}.c)""")
+        parts.append(f"""cga{r} AS MATERIALIZED (
+      SELECT vec_id, c, dist2
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist2, c) AS rn
+            FROM cgd{r})
+      WHERE rn = 1)""")
+        if r < n_rounds:
+            parts.append(f"""cgc{r} AS (
+      SELECT cga{r}.c, cge.i,
+             CAST(FLOOR(CAST(SUM(cge.q) AS DOUBLE) / COUNT(*))
+                  AS BIGINT) AS v
+      FROM cge JOIN cga{r} USING (vec_id)
+      GROUP BY cga{r}.c, cge.i)""")
+    return parts
+
+
+def _ivfpq_oracle_sql(kc: int = KMEANS_K, kp: int = PQ_K,
+                      n_rounds: int = KMEANS_ROUNDS,
+                      n_probe: int = IVFPQ_NPROBE) -> str:
+    parts = ["qid AS (SELECT MIN(vec_id) AS id FROM embeddings)"]
+    parts += _coarse_cte_parts(kc, n_rounds)
+    cN = f"cgc{n_rounds - 1}"
+    parts.append(f"""cgdq AS (
+      SELECT {cN}.c,
+             CAST(SUM(({cN}.v - q.q) * ({cN}.v - q.q)) AS BIGINT) AS d
+      FROM {cN}
+      JOIN (SELECT i, q FROM cge
+            WHERE vec_id = (SELECT id FROM qid)) q
+        ON {cN}.i = q.i
+      GROUP BY {cN}.c)""")
+    parts.append(f"""probe AS MATERIALIZED (
+      SELECT c FROM (SELECT c, row_number() OVER (ORDER BY d, c) AS rn
+                     FROM cgdq)
+      WHERE rn <= {n_probe})""")
+    parts.append(f"""cand AS MATERIALIZED (
+      SELECT vec_id FROM cga{n_rounds}
+      WHERE c IN (SELECT c FROM probe)
+        AND vec_id <> (SELECT id FROM qid))""")
+    parts.append(f"""seeds AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS c
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            ORDER BY vec_id LIMIT {kp}))""")
+    parts += _pq_half_sql("xa", 0, PQ_SPLIT, kp, n_rounds)
+    parts += _pq_half_sql("xb", PQ_SPLIT, 2 * PQ_SPLIT, kp, n_rounds)
+    pN = f"c{n_rounds - 1}"
+    for p in ("xa", "xb"):
+        parts.append(f"""{p}dq AS (
+      SELECT {p}{pN}.c,
+             CAST(SUM(({p}{pN}.v - q.q) * ({p}{pN}.v - q.q)) AS BIGINT)
+               AS d
+      FROM {p}{pN}
+      JOIN (SELECT i, q FROM {p}e
+            WHERE vec_id = (SELECT id FROM qid)) q
+        ON {p}{pN}.i = q.i
+      GROUP BY {p}{pN}.c)""")
+    parts.append(f"""adc AS (
+      SELECT a.vec_id, da.d + db.d AS adc_dist2
+      FROM xaa{n_rounds} a JOIN xba{n_rounds} b USING (vec_id)
+      JOIN xadq da ON da.c = a.c
+      JOIN xbdq db ON db.c = b.c
+      JOIN cand ON cand.vec_id = a.vec_id)""")
+    return f"""
+    WITH {', '.join(parts)}
+    SELECT vec_id, CAST(rank AS BIGINT) AS rank,
+           CAST(adc_dist2 AS BIGINT) AS adc_dist2
+    FROM (SELECT vec_id, adc_dist2,
+                 row_number() OVER (ORDER BY adc_dist2, vec_id) AS rank
+          FROM adc)
+    WHERE rank <= {PQ_SEARCH_K}"""
+
+
+QUERIES["ivfpq_search"] = ivfpq_search
+ORACLE_SQL["ivfpq_search"] = _ivfpq_oracle_sql()
