@@ -114,7 +114,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 batch-25 additions
                  "longest_token_run", "dataset_card",
                  # round-4 batch-26 addition
-                 "ivfpq_search"]
+                 "ivfpq_search",
+                 # round-4 batch-27 additions
+                 "pruned_range_read", "ivf_cell_stats"]
 
 
 def _warm_workers(ncpu: int) -> None:

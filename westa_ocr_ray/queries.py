@@ -13253,3 +13253,132 @@ def _ivfpq_oracle_sql(kc: int = KMEANS_K, kp: int = PQ_K,
 
 QUERIES["ivfpq_search"] = ivfpq_search
 ORACLE_SQL["ivfpq_search"] = _ivfpq_oracle_sql()
+
+
+# -------------------------------------------- round-4 twenty-seventh batch
+
+PRUNE_LO, PRUNE_HI = 150, 260   # key-range predicate for the pruned read
+
+
+def pruned_range_read(sf_dir: str) -> rd.Dataset:
+    """MANIFEST-DRIVEN pruned read over the range-partitioned export —
+    the payoff of range_partitioned_export value-checked end to end:
+    the per-part [min,max] spans decide which part directories are
+    even LISTED for a key-range predicate (everything else never
+    leaves storage), the residual predicate applies inside the read,
+    and the fold must equal the oracle's plain WHERE over the original
+    table. Returns one row (n_rows, id_sum, key_sum, n_parts_read,
+    n_parts_total) — the parts-read count is itself value-checked, so
+    a pruning bug that read everything (or skipped a span) breaks the
+    hash."""
+    import glob as _glob
+    import os
+
+    # build (or reuse) the export + its manifest
+    manifest = range_partitioned_export(sf_dir).to_pandas()
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = dedup.md5_hex(
+        f"rpe|{sf_dir}|{st.st_size}|{st.st_mtime_ns}|p{RPE_PARTS}")[:12]
+    out = f"/tmp/westa_rpe/{key}"
+    hit = manifest[(manifest["max_key"] >= PRUNE_LO)
+                   & (manifest["min_key"] <= PRUNE_HI)]
+    parts = sorted(int(p) for p in hit["part"])
+    files = []
+    for p in parts:
+        files += sorted(_glob.glob(os.path.join(out, f"part={p}",
+                                                "*.parquet")))
+    empty = pd.DataFrame({
+        "__g": pd.Series([], dtype="int32"),
+        "n_rows": pd.Series([], dtype="int64"),
+        "id_sum": pd.Series([], dtype="int64"),
+        "key_sum": pd.Series([], dtype="int64")})
+    if files:
+        with _READ_LOCK:
+            back = rd.read_parquet(files)
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            v = df["n_chars"].to_numpy(dtype=np.int64)
+            keep = (v >= PRUNE_LO) & (v <= PRUNE_HI)   # residual filter
+            return pd.DataFrame({
+                "__g": pd.Series([np.int32(0)]),
+                "n_rows": pd.Series([int(keep.sum())], dtype="int64"),
+                "id_sum": pd.Series(
+                    [int(df["doc_id"].to_numpy(dtype=np.int64)[keep]
+                         .sum())], dtype="int64"),
+                "key_sum": pd.Series([int(v[keep].sum())],
+                                     dtype="int64")})
+
+        agg = partial_aggregate(
+            back.map_batches(fold, batch_format="pandas"), ["__g"],
+            {"n_rows": ("sum", "n_rows"), "id_sum": ("sum", "id_sum"),
+             "key_sum": ("sum", "key_sum")}).to_pandas()
+    else:
+        agg = pd.DataFrame({"n_rows": [0], "id_sum": [0], "key_sum": [0]})
+    res = pd.DataFrame({
+        "n_rows": [int(agg["n_rows"][0])],
+        "id_sum": [int(agg["id_sum"][0])],
+        "key_sum": [int(agg["key_sum"][0])],
+        "n_parts_read": [len(parts)],
+        "n_parts_total": [int(len(manifest))]}).astype("int64")
+    return res
+
+
+QUERIES["pruned_range_read"] = pruned_range_read
+ORACLE_SQL["pruned_range_read"] = f"""
+    WITH c AS (SELECT COUNT(*) AS n FROM documents),
+    r AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn
+          FROM documents),
+    s AS MATERIALIZED (
+      SELECT i.i,
+             (SELECT n_chars FROM r
+              WHERE rn = GREATEST(1, (i.i * (SELECT n FROM c))
+                                     // {RPE_PARTS})) AS v
+      FROM (SELECT unnest(range(1, {RPE_PARTS})) AS i) i),
+    a AS MATERIALIZED (
+      SELECT d.doc_id, d.n_chars,
+             (SELECT COUNT(*) FROM s WHERE s.v < d.n_chars) AS part
+      FROM documents d),
+    spans AS (SELECT part, MIN(n_chars) AS mn, MAX(n_chars) AS mx
+              FROM a GROUP BY part),
+    hit AS (SELECT part FROM spans
+            WHERE mx >= {PRUNE_LO} AND mn <= {PRUNE_HI})
+    SELECT CAST(COUNT(*) FILTER (WHERE n_chars BETWEEN {PRUNE_LO}
+                                 AND {PRUNE_HI}) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(doc_id) FILTER (WHERE n_chars BETWEEN
+                {PRUNE_LO} AND {PRUNE_HI}), 0) AS BIGINT) AS id_sum,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE n_chars BETWEEN
+                {PRUNE_LO} AND {PRUNE_HI}), 0) AS BIGINT) AS key_sum,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_parts_read,
+           CAST((SELECT COUNT(DISTINCT part) FROM a) AS BIGINT)
+             AS n_parts_total
+    FROM a WHERE part IN (SELECT part FROM hit)"""
+
+
+def ivf_cell_stats(sf_dir: str) -> rd.Dataset:
+    """IVF index HEALTH introspection: per coarse cell the member
+    count and total quantized distortion — the balance report that
+    tells an ANN operator when cells are skewed enough to re-train
+    (one hot cell = one hot probe). Derives from the coarse k-means
+    assignment in one bounded aggregate; the oracle replays the
+    k-means rounds. Returns (cluster, n_vecs, sum_dist2)."""
+    emb = rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    asg = similarity.kmeans_lloyd_int(emb, k=KMEANS_K,
+                                      n_rounds=KMEANS_ROUNDS)
+    return partial_aggregate(
+        asg.map_batches(
+            lambda df: pd.DataFrame({
+                "cluster": df["cluster"].astype("int64"),
+                "n_vecs": np.ones(len(df), dtype=np.int64),
+                "sum_dist2": df["dist2"].astype("int64")}),
+            batch_format="pandas"),
+        ["cluster"], {"n_vecs": ("sum", "n_vecs"),
+                      "sum_dist2": ("sum", "sum_dist2")})
+
+
+QUERIES["ivf_cell_stats"] = ivf_cell_stats
+ORACLE_SQL["ivf_cell_stats"] = f"""
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(dist2) AS BIGINT) AS sum_dist2
+    FROM ({_kmeans_oracle_sql()})
+    GROUP BY cluster"""
