@@ -13382,3 +13382,179 @@ ORACLE_SQL["ivf_cell_stats"] = f"""
            CAST(SUM(dist2) AS BIGINT) AS sum_dist2
     FROM ({_kmeans_oracle_sql()})
     GROUP BY cluster"""
+
+
+# -------------------------------------------- round-4 twenty-eighth batch
+
+PRF_FEEDBACK_DOCS = 5   # stage-1 BM25 docs feeding expansion
+PRF_EXPAND = 3          # expansion terms added to the query
+PRF_K = 10              # final ranking depth
+
+
+def bm25_prf_search(sf_dir: str) -> rd.Dataset:
+    """Pseudo-relevance-feedback retrieval (RM3 shape): stage 1 runs
+    the exact BM25 top-PRF_FEEDBACK_DOCS; the feedback docs' top
+    PRF_EXPAND tokens by total tf (original terms excluded, ties by
+    token) expand the query; stage 2 re-ranks the corpus under the
+    expanded term set with the integer idf-weight rule
+    (10^6 // df per term — sparse_dot_topk's order-free scoring, so
+    the dynamic term set needs no fixed float association). Scale:
+    stage 1 is the audited bm25_topk; the expansion derives from <=
+    PRF_FEEDBACK_DOCS docs' token counts; stage 2 is one tokenize
+    pass + the bounded top-k. Returns (doc_id, score, rank)."""
+    from . import search
+
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    top1 = search.bm25_topk(docs, RANK_TERMS,
+                            k=PRF_FEEDBACK_DOCS).to_pandas()
+    fb_ids = set(int(i) for i in top1["doc_id"])
+
+    def fb_tf(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"].isin(fb_ids)]
+        if not len(d):
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "tf": pd.Series([], dtype="int64")})
+        toks = d["text"].str.split(" ")
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        out = pd.DataFrame({"token": flat})
+        return (out.groupby("token", sort=False, as_index=False).size()
+                .rename(columns={"size": "tf"}))
+
+    fb = partial_aggregate(
+        docs.map_batches(fb_tf, batch_format="pandas"),
+        ["token"], {"tf": ("sum", "tf")}).to_pandas()
+    fb = fb[~fb["token"].isin(set(RANK_TERMS))]
+    fb = fb.sort_values(["tf", "token"], ascending=[False, True],
+                        ignore_index=True).head(PRF_EXPAND)
+    qterms = sorted(set(RANK_TERMS) | set(fb["token"]))
+
+    def tok_tf(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        did = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), lens)
+        flat = (np.concatenate([np.asarray(t, dtype=object)
+                                for t in toks])
+                if len(df) else np.array([], dtype=object))
+        out = pd.DataFrame({"doc_id": did, "token": flat})
+        out = out[out["token"].isin(set(qterms))]
+        return (out.groupby(["doc_id", "token"], sort=False,
+                            as_index=False).size()
+                .rename(columns={"size": "tf"}))
+
+    tf = docs.map_batches(tok_tf, batch_format="pandas").materialize()
+    dfreq = partial_aggregate(tf, ["token"],
+                              {"df": ("count", None)}).to_pandas()
+    w = {t: 1_000_000 // int(n)
+         for t, n in zip(dfreq["token"], dfreq["df"])}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="int64")})
+        s = (df["token"].map(w).to_numpy(dtype=np.int64)
+             * df["tf"].to_numpy(dtype=np.int64))
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                            "score": s})
+        return (out.groupby("doc_id", sort=False, as_index=False)
+                .agg(score=("score", "sum")))
+
+    scored = partial_aggregate(
+        tf.map_batches(score, batch_format="pandas"),
+        ["doc_id"], {"score": ("sum", "score")})
+    top = grouped_topk(
+        scored.map_batches(lambda df: df.assign(__g=np.int32(0)),
+                           batch_format="pandas"),
+        ["__g"], ["score", "doc_id"], PRF_K, ascending=[False, True])
+    return top.map_batches(
+        lambda df: df[["doc_id", "score", "rk"]]
+                     .rename(columns={"rk": "rank"}).astype("int64"),
+        batch_format="pandas")
+
+
+QUERIES["bm25_prf_search"] = bm25_prf_search
+ORACLE_SQL["bm25_prf_search"] = f"""
+    WITH top1 AS MATERIALIZED (
+      {search.bm25_oracle_sql(RANK_TERMS, k=PRF_FEEDBACK_DOCS)}),
+    tok AS MATERIALIZED (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY doc_id, token),
+    fb AS (
+      SELECT t.token, SUM(t.tf) AS tf
+      FROM tok t JOIN top1 ON top1.doc_id = t.doc_id
+      WHERE t.token NOT IN ({', '.join(repr(t) for t in sorted(RANK_TERMS))})
+      GROUP BY t.token),
+    expd AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY tf DESC, token) AS rn
+        FROM fb)
+      WHERE rn <= {PRF_EXPAND}),
+    qterms AS MATERIALIZED (
+      SELECT token FROM expd
+      UNION
+      SELECT unnest(ARRAY[{', '.join(repr(t) for t in sorted(RANK_TERMS))}])),
+    w AS (SELECT t.token, 1000000 // COUNT(*) AS w
+          FROM tok t JOIN qterms q USING (token)
+          GROUP BY t.token),
+    sc AS (SELECT t.doc_id,
+                  CAST(SUM(t.tf * w.w) AS BIGINT) AS score
+           FROM tok t JOIN w USING (token)
+           GROUP BY t.doc_id),
+    r AS (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM sc)
+    SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {PRF_K}"""
+
+
+def monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue growth: per-month cent totals fold
+    bucketed (bounded by the date domain), the growth rate derives
+    driver-side as a sign-split floored ppm ratio — exactly the
+    oracle's CASE arithmetic. Returns
+    (ym, revenue_cents, growth_ppm)."""
+    orders = rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ym = (df["o_orderdate"].dt.year * 100
+              + df["o_orderdate"].dt.month).to_numpy(dtype=np.int64)
+        return pd.DataFrame({"ym": ym,
+                             "cents": _cents(df["o_totalprice"]).to_numpy()})
+
+    m = partial_aggregate(
+        orders.map_batches(prep, batch_format="pandas"),
+        ["ym"], {"revenue_cents": ("sum", "cents")}).to_pandas()
+    m = m.sort_values("ym", ignore_index=True)
+    rev = m["revenue_cents"].to_numpy(dtype=np.int64)
+    growth = np.zeros(len(m), dtype=np.int64)
+    for i in range(1, len(m)):
+        d = int(rev[i]) - int(rev[i - 1])
+        p = int(rev[i - 1])
+        growth[i] = (d * 1_000_000 // p if d >= 0
+                     else -((-d) * 1_000_000 // p))
+    out = pd.DataFrame({"ym": m["ym"].astype("int64"),
+                        "revenue_cents": m["revenue_cents"].astype("int64"),
+                        "growth_ppm": growth})
+    return out
+
+
+QUERIES["monthly_revenue_growth"] = monthly_revenue_growth
+ORACLE_SQL["monthly_revenue_growth"] = """
+    WITH m AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1),
+    g AS (SELECT ym, revenue_cents,
+                 LAG(revenue_cents) OVER (ORDER BY ym) AS prev
+          FROM m)
+    SELECT ym, revenue_cents,
+           CAST(CASE WHEN prev IS NULL THEN 0
+                     WHEN revenue_cents >= prev
+                       THEN (revenue_cents - prev) * 1000000 // prev
+                     ELSE -((prev - revenue_cents) * 1000000 // prev)
+                END AS BIGINT) AS growth_ppm
+    FROM g"""
