@@ -118,7 +118,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 batch-27 additions
                  "pruned_range_read", "ivf_cell_stats",
                  # round-4 batch-28 additions
-                 "bm25_prf_search", "monthly_revenue_growth"]
+                 "bm25_prf_search", "monthly_revenue_growth",
+                 # round-4 batch-29 addition
+                 "session_type_pairs"]
 
 
 def _warm_workers(ncpu: int) -> None:

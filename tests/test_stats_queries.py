@@ -1380,3 +1380,28 @@ def test_ivfpq_prunes_to_probed_cells(tmp_path):
     out = queries.ivfpq_search(str(tmp_path)).to_pandas()
     assert len(out) > 0
     assert set(out["vec_id"]) <= set(range(1, 6))   # positive side only
+
+
+def test_sink_crash_safety_wipes_markerless_dir(tmp_path, monkeypatch):
+    # simulate a crashed export: a marker-less output dir with a bogus
+    # leftover file must be wiped and rewritten whole (ADVICE atomic-
+    # sink rule, applied to the round-4 sinks)
+    import glob
+    import os
+
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["a b", "c d"], "lang": ["es", "es"],
+        "source": "s0", "n_chars": np.int64(3)})
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    sf = str(tmp_path)
+    # first run creates the cache; find the dir, then sabotage it
+    out1 = queries.hive_roundtrip(sf).to_pandas()
+    dirs = glob.glob("/tmp/westa_hive_rt/*")
+    target = max(dirs, key=os.path.getmtime)
+    os.remove(os.path.join(target, "_SUCCESS"))
+    with open(os.path.join(target, "lang=es", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    out2 = queries.hive_roundtrip(sf).to_pandas()
+    assert out1.equals(out2)            # junk wiped, clean rebuild
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))

@@ -12013,6 +12013,9 @@ def hive_roundtrip(sf_dir: str) -> rd.Dataset:
         with open(marker, "w") as f:
             f.write("")
     files = sorted(_glob.glob(os.path.join(out, "lang=es", "*.parquet")))
+    if not files:   # corpus has no lang=es rows: the fold is all-zero
+        return rd.from_pandas(pd.DataFrame(
+            {"n": [0], "id_sum": [0], "fold": [0]}).astype("int64"))
     with _READ_LOCK:
         back = rd.read_parquet(files)
 
@@ -13558,3 +13561,86 @@ ORACLE_SQL["monthly_revenue_growth"] = """
                      ELSE -((prev - revenue_cents) * 1000000 // prev)
                 END AS BIGINT) AS growth_ppm
     FROM g"""
+
+
+# --------------------------------------------- round-4 twenty-ninth batch
+
+STP_K = 15
+
+
+def session_type_pairs(sf_dir: str) -> rd.Dataset:
+    """Top co-occurring EVENT-TYPE pairs within a session (market-
+    basket association over the 30-min sessionize rule): per session
+    the distinct types expand to unordered pairs INSIDE the per-user
+    ordered-log bucket (<= C(|types|,2) = 10 pairs per session — the
+    type vocabulary bounds the blowup, not the session length), pair
+    counts fold bucketed, ranking is the bounded constant-group
+    top-k. Returns (type_a, type_b, n_sessions, rank)."""
+    ev = rp(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    GAP_US = 1800 * 10**6
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        prev = df.groupby("user_id")["ts"].shift()
+        gap = df["ts"].astype("int64") - prev.astype("int64")
+        new_sess = prev.isna() | (gap > GAP_US)
+        sess = new_sess.groupby(df["user_id"]).cumsum().astype("int64")
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                          "sess": sess.to_numpy(),
+                          "ty": df["event_type"].to_numpy()})
+        d = d.drop_duplicates(["user_id", "sess", "ty"])
+        rows_a, rows_b = [], []
+        for (_, _), g in d.groupby(["user_id", "sess"], sort=False):
+            tys = sorted(g["ty"])
+            for i in range(len(tys)):
+                for j in range(i + 1, len(tys)):
+                    rows_a.append(tys[i])
+                    rows_b.append(tys[j])
+        return pd.DataFrame({
+            "type_a": pd.Series(rows_a, dtype=object),
+            "type_b": pd.Series(rows_b, dtype=object),
+            "n_sessions": np.ones(len(rows_a), dtype=np.int64)})
+
+    pairs = _bucketed_by_user(ev, fn)
+    counts = partial_aggregate(pairs, ["type_a", "type_b"],
+                               {"n_sessions": ("sum", "n_sessions")})
+    top = grouped_topk(
+        counts.map_batches(lambda df: df.assign(__g=np.int32(0)),
+                           batch_format="pandas"),
+        ["__g"], ["n_sessions", "type_a", "type_b"], STP_K,
+        ascending=[False, True, True])
+    return top.map_batches(
+        lambda df: df[["type_a", "type_b", "n_sessions", "rk"]]
+                     .rename(columns={"rk": "rank"})
+                     .astype({"n_sessions": "int64", "rank": "int64"}),
+        batch_format="pandas")
+
+
+QUERIES["session_type_pairs"] = session_type_pairs
+ORACLE_SQL["session_type_pairs"] = f"""
+    WITH g AS (
+      SELECT user_id, event_type, ts,
+             date_diff('microsecond',
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+               ts) AS gap_us,
+             event_id
+      FROM events),
+    s AS (
+      SELECT user_id, event_type,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g),
+    d AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_sessions
+          FROM d a JOIN d b
+            ON a.user_id = b.user_id AND a.sess = b.sess
+           AND a.event_type < b.event_type
+          GROUP BY 1, 2),
+    r AS (SELECT type_a, type_b, n_sessions,
+                 row_number() OVER (ORDER BY n_sessions DESC,
+                                    type_a, type_b) AS rank
+          FROM p)
+    SELECT type_a, type_b, n_sessions, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {STP_K}"""
