@@ -120,7 +120,10 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 batch-28 additions
                  "bm25_prf_search", "monthly_revenue_growth",
                  # round-4 batch-29 addition
-                 "session_type_pairs"]
+                 "session_type_pairs",
+                 # round-4 batch-30 additions
+                 "q14_promo_revenue", "q19_bracket_revenue",
+                 "user_entropy"]
 
 
 def _warm_workers(ncpu: int) -> None:

@@ -1405,3 +1405,19 @@ def test_sink_crash_safety_wipes_markerless_dir(tmp_path, monkeypatch):
     out2 = queries.hive_roundtrip(sf).to_pandas()
     assert out1.equals(out2)            # junk wiped, clean rebuild
     assert os.path.exists(os.path.join(target, "_SUCCESS"))
+
+
+def test_user_entropy_uniform_and_pure(tmp_path):
+    # user 1: two types 50/50 -> entropy = ln 2 = 693147 micro;
+    # user 2: one type -> 0.
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id": [1, 1, 2],
+        "event_type": ["click", "view", "click"],
+        "ts_us": [0, 1, 2], "value": 1.0, "props": "{}"})
+    sf = _write_events(tmp_path, df)
+    out = (queries.user_entropy(sf).to_pandas()
+           .sort_values("user_id", ignore_index=True))
+    assert list(out["entropy_micro"]) == [
+        2 * int(np.round(1_000_000.0 * 0.5 * np.log(2.0))), 0]
+    assert list(out["n_events"]) == [2, 1]

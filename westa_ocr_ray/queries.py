@@ -13644,3 +13644,190 @@ ORACLE_SQL["session_type_pairs"] = f"""
           FROM p)
     SELECT type_a, type_b, n_sessions, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= {STP_K}"""
+
+
+# ------------------------------------------------ round-4 thirtieth batch
+
+def q14_promo_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q14 shape (promotion effect): the PROMO-type share of one
+    month's discounted revenue, as the exact integer pair
+    (promo_revenue_e4, total_revenue_e4) plus the floored ppm share —
+    conditional aggregation through ONE partitioned lineitem ⋈ part
+    join whose buckets pre-reduce to two partial sums (the exchange is
+    one row per bucket). Date filter prunes lineitem at the read
+    side."""
+    lo, hi = pd.Timestamp("1996-03-01"), pd.Timestamp("1996-04-01")
+    li = rp(sf_dir, "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(
+            lambda df: (lambda k: pd.DataFrame({
+                "l_partkey": df["l_partkey"].to_numpy(dtype=np.int64)[k],
+                "rev": (_cents(df["l_extendedprice"]).to_numpy()
+                        * (100 - np.round(df["l_discount"].to_numpy(
+                            dtype=np.float64) * 100).astype(np.int64)))[k]}))
+            (((df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi))
+             .to_numpy()),
+            batch_format="pandas")
+    part = rp(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["rev"].to_numpy(dtype=np.int64)
+        promo = df["p_type"].to_numpy() == "PROMO"
+        return pd.DataFrame({
+            "__g": [np.int32(0)],
+            "promo_revenue_e4": pd.Series([int(rev[promo].sum())],
+                                          dtype="int64"),
+            "total_revenue_e4": pd.Series([int(rev.sum())],
+                                          dtype="int64")})
+
+    j = hash_join(li, part, "l_partkey", "p_partkey",
+                  left_cols=["l_partkey", "rev"],
+                  right_cols=["p_partkey", "p_type"], bucket_fn=fold)
+    agg = partial_aggregate(j, ["__g"],
+                            {"promo_revenue_e4": ("sum", "promo_revenue_e4"),
+                             "total_revenue_e4": ("sum", "total_revenue_e4")}
+                            ).to_pandas()
+    p = int(agg["promo_revenue_e4"][0])
+    t = int(agg["total_revenue_e4"][0])
+    return rd.from_pandas(pd.DataFrame({
+        "promo_revenue_e4": [p], "total_revenue_e4": [t],
+        "promo_share_ppm": [p * 1_000_000 // t if t else 0]})
+        .astype("int64"))
+
+
+QUERIES["q14_promo_revenue"] = q14_promo_revenue
+ORACLE_SQL["q14_promo_revenue"] = """
+    WITH j AS (
+      SELECT CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev,
+             p.p_type
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l.l_shipdate < TIMESTAMP '1996-04-01')
+    SELECT CAST(COALESCE(SUM(rev) FILTER (WHERE p_type = 'PROMO'), 0)
+                AS BIGINT) AS promo_revenue_e4,
+           CAST(SUM(rev) AS BIGINT) AS total_revenue_e4,
+           CAST(COALESCE(SUM(rev) FILTER (WHERE p_type = 'PROMO'), 0)
+                * 1000000 // SUM(rev) AS BIGINT) AS promo_share_ppm
+    FROM j"""
+
+
+#: Q19-style OR-of-ANDs brackets: (brand, size range, quantity range)
+Q19_BRACKETS = (("Brand#12", 1, 15, 1, 11),
+                ("Brand#23", 10, 30, 10, 20),
+                ("Brand#34", 20, 50, 20, 30))
+
+
+def q19_bracket_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs predicate):
+    three (brand, size-band, quantity-band) brackets evaluated INSIDE
+    the lineitem ⋈ part join buckets — the disjunctive multi-table
+    predicate that defeats naive pushdown; here the join co-locates
+    the columns and the bracket mask is pure numpy, with per-bucket
+    pre-reduction to one revenue row. Returns
+    (revenue_e4, n_lines)."""
+    li = rp(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        disc = np.round(df["l_discount"].to_numpy(dtype=np.float64)
+                        * 100).astype(np.int64)
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(dtype=np.int64),
+            "qty": np.round(df["l_quantity"].to_numpy(dtype=np.float64))
+                     .astype(np.int64),
+            "rev": _cents(df["l_extendedprice"]).to_numpy() * (100 - disc)})
+
+    part = rp(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        qty = df["qty"].to_numpy(dtype=np.int64)
+        size = df["p_size"].to_numpy(dtype=np.int64)
+        brand = df["p_brand"].to_numpy()
+        keep = np.zeros(len(df), dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in Q19_BRACKETS:
+            keep |= ((brand == b) & (size >= s_lo) & (size <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        rev = df["rev"].to_numpy(dtype=np.int64)[keep]
+        return pd.DataFrame({
+            "__g": [np.int32(0)],
+            "revenue_e4": pd.Series([int(rev.sum())], dtype="int64"),
+            "n_lines": pd.Series([int(keep.sum())], dtype="int64")})
+
+    j = hash_join(li.map_batches(prep, batch_format="pandas"), part,
+                  "l_partkey", "p_partkey",
+                  left_cols=["l_partkey", "qty", "rev"],
+                  right_cols=["p_partkey", "p_brand", "p_size"],
+                  bucket_fn=fold)
+    out = partial_aggregate(j, ["__g"],
+                            {"revenue_e4": ("sum", "revenue_e4"),
+                             "n_lines": ("sum", "n_lines")})
+    return out.map_batches(
+        lambda df: df[["revenue_e4", "n_lines"]].astype("int64"),
+        batch_format="pandas")
+
+
+QUERIES["q19_bracket_revenue"] = q19_bracket_revenue
+ORACLE_SQL["q19_bracket_revenue"] = f"""
+    SELECT CAST(COALESCE(SUM(
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))), 0)
+             AS BIGINT) AS revenue_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {" OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+        f"AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in Q19_BRACKETS)}"""
+
+
+def user_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-user Shannon entropy of the event-type mix, exact-integer
+    quantized: each type's term round(1e6 * (n_t/n) * ln(n/n_t))
+    quantizes BEFORE the sum, so the summation order can't wobble the
+    doubles (the unordered-SUM trap of dynamic term sets); ln is libm
+    on both sides (the bm25 idf parity rule). Per-(user, type) counts
+    fold bucketed, terms derive in one bounded map. Returns
+    (user_id, n_events, entropy_micro)."""
+    ev = rp(sf_dir, "events", ["user_id", "event_type"])
+    counts = partial_aggregate(ev, ["user_id", "event_type"],
+                               {"c": ("count", None)})
+    totals = partial_aggregate(counts, ["user_id"], {"n": ("sum", "c")})
+    j = hash_join(counts, totals, "user_id", "user_id",
+                  left_cols=["user_id", "event_type", "c"],
+                  right_cols=["user_id", "n"])
+
+    def term(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "t": pd.Series([], dtype="int64")})
+        c = df["c"].to_numpy(dtype=np.float64)
+        n = df["n"].to_numpy(dtype=np.float64)
+        t = np.round(1_000_000.0 * (c / n) * np.log(n / c)) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "n_events": df["n"].astype("int64"),
+            "t": t})
+
+    out = partial_aggregate(
+        j.map_batches(term, batch_format="pandas"), ["user_id"],
+        {"n_events": ("max", "n_events"), "entropy_micro": ("sum", "t")})
+    return out.map_batches(lambda df: df.astype("int64"),
+                           batch_format="pandas")
+
+
+QUERIES["user_entropy"] = user_entropy
+ORACLE_SQL["user_entropy"] = """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT user_id, SUM(c) OVER (PARTITION BY user_id) AS n, c
+          FROM c)
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(1000000.0 * (CAST(c AS DOUBLE) / n)
+                * ln(CAST(n AS DOUBLE) / c)) AS BIGINT)) AS BIGINT)
+             AS entropy_micro
+    FROM t GROUP BY user_id"""
