@@ -123,7 +123,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "session_type_pairs",
                  # round-4 batch-30 additions
                  "q14_promo_revenue", "q19_bracket_revenue",
-                 "user_entropy"]
+                 "user_entropy",
+                 # round-4 batch-31 addition
+                 "dedup_simhash_radius"]
 
 
 def _warm_workers(ncpu: int) -> None:

@@ -1421,3 +1421,25 @@ def test_user_entropy_uniform_and_pure(tmp_path):
     assert list(out["entropy_micro"]) == [
         2 * int(np.round(1_000_000.0 * 0.5 * np.log(2.0))), 0]
     assert list(out["n_events"]) == [2, 1]
+
+
+def test_simhash_radius_pigeonhole_recall(tmp_path):
+    # brute-force ALL pairs at radius <= 2 on a small corpus and check
+    # the banded candidate path returns exactly that set
+    from itertools import combinations
+
+    from westa_ocr_ray.dedup import SimHasher
+    texts = [f"doc {i} shared body tokens common words here" for i in
+             range(6)] + ["totally different content entirely"] * 2
+    sf = _write_docs(tmp_path, texts)
+    out = queries.dedup_simhash_radius(sf).to_pandas()
+    got = {(int(a), int(b)): int(h) for a, b, h in
+           zip(out["doc_a"], out["doc_b"], out["hamming"])}
+    hasher = SimHasher()
+    sigs = [hasher.simhash(t) for t in texts]
+    want = {}
+    for i, j in combinations(range(len(texts)), 2):
+        h = bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1")
+        if h <= queries.SIMHASH_RADIUS:
+            want[(i, j)] = h
+    assert got == want

@@ -13831,3 +13831,81 @@ ORACLE_SQL["user_entropy"] = """
                 * ln(CAST(n AS DOUBLE) / c)) AS BIGINT)) AS BIGINT)
              AS entropy_micro
     FROM t GROUP BY user_id"""
+
+
+# ---------------------------------------------- round-4 thirty-first batch
+
+SIMHASH_RADIUS = 2
+
+
+def dedup_simhash_radius(sf_dir: str) -> rd.Dataset:
+    """Near-duplicate pairs at SimHash Hamming distance <= 2 — the
+    radius tier between exact-signature dedup (distance 0) and
+    MinHash: by pigeonhole, two 64-bit signatures differing in <= 2
+    bits agree on at least 2 of 4 16-bit bands, so candidates come
+    from the 6 band-PAIR bucket tables (each doc emits 6 keys; a pair
+    at radius <= 2 collides in at least one), then one vectorized
+    popcount-of-xor verify and a (doc_a, doc_b) dedup across combos.
+    EXACT for the radius (pigeonhole guarantees recall 1.0, unlike
+    the probabilistic LSH tiers) with a direct bit_count(xor) oracle.
+    Returns (doc_a, doc_b, hamming)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+    sims = dedup.simhash_table(docs)
+
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "combo": pd.Series([], dtype="int64"),
+                "k1": pd.Series([], dtype="int64"),
+                "k2": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "simhash": pd.Series([], dtype="int64")})
+        sig = df["simhash"].to_numpy(np.int64).view(np.uint64)
+        b = [(sig >> np.uint64(16 * i)) & np.uint64(0xFFFF)
+             for i in range(4)]
+        frames = []
+        combos = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        for ci, (i, j) in enumerate(combos):
+            frames.append(pd.DataFrame({
+                "combo": np.full(len(df), ci, dtype=np.int64),
+                "k1": b[i].astype(np.int64),
+                "k2": b[j].astype(np.int64),
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "simhash": df["simhash"].to_numpy(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    banded = sims.map_batches(bands, batch_format="pandas")
+    pairs = dedup._within_bucket_pairs(
+        banded, ["combo", "k1", "k2"], "doc_id",
+        payload_cols=["simhash"],
+        size_hint_bytes=_doc_size_hint(sf_dir) * 6)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64")})
+        x = (df["simhash_a"].to_numpy(np.int64).view(np.uint64)
+             ^ df["simhash_b"].to_numpy(np.int64).view(np.uint64))
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(df), 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        keep = ham <= SIMHASH_RADIUS
+        return pd.DataFrame({
+            "doc_a": df["doc_a"].to_numpy(np.int64)[keep],
+            "doc_b": df["doc_b"].to_numpy(np.int64)[keep],
+            "hamming": ham[keep]})
+
+    cand = pairs.map_batches(verify, batch_format="pandas")
+    return partial_aggregate(cand, ["doc_a", "doc_b"],
+                             {"hamming": ("min", "hamming")})
+
+
+QUERIES["dedup_simhash_radius"] = dedup_simhash_radius
+ORACLE_SQL["dedup_simhash_radius"] = f"""
+    WITH {_SIMHASH_CORE_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+             AS hamming
+    FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}"""
