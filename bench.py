@@ -125,7 +125,9 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "q14_promo_revenue", "q19_bracket_revenue",
                  "user_entropy",
                  # round-4 batch-31 addition
-                 "dedup_simhash_radius"]
+                 "dedup_simhash_radius",
+                 # round-4 batch-32 addition
+                 "vocab_growth"]
 
 
 def _warm_workers(ncpu: int) -> None:

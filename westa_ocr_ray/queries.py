@@ -13909,3 +13909,58 @@ ORACLE_SQL["dedup_simhash_radius"] = f"""
              AS hamming
     FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}"""
+
+
+# --------------------------------------------- round-4 thirty-second batch
+
+VOCAB_GROWTH_PREFIXES = (100, 250, 500)
+
+
+def vocab_growth(sf_dir: str) -> rd.Dataset:
+    """Heaps-law vocabulary growth curve: distinct token count within
+    the first N docs (by doc_id) for each prefix size — the
+    corpus-statistics curve that predicts tokenizer vocab headroom as
+    a crawl grows. One explode pass emits (prefix, token) pairs for
+    the prefixes each doc belongs to; two bounded aggregates dedup and
+    count (the exchange is |prefixes| x vocab rows, domain-bounded).
+    Returns (n_docs_prefix, n_distinct_tokens)."""
+    docs = rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        did = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), lens)
+        flat = (np.concatenate([np.asarray(t, dtype=object)
+                                for t in toks])
+                if len(df) else np.array([], dtype=object))
+        frames = []
+        for p in VOCAB_GROWTH_PREFIXES:
+            keep = did < p
+            frames.append(pd.DataFrame({
+                "p": np.full(int(keep.sum()), p, dtype=np.int64),
+                "token": flat[keep]}))
+        out = pd.concat(frames, ignore_index=True)
+        return out.drop_duplicates(["p", "token"])
+
+    distinct = partial_aggregate(
+        docs.map_batches(emit, batch_format="pandas"),
+        ["p", "token"], {"n": ("count", None)})
+    out = partial_aggregate(distinct, ["p"],
+                            {"n_distinct_tokens": ("count", None)})
+    return out.map_batches(
+        lambda df: df.rename(columns={"p": "n_docs_prefix"})
+                     [["n_docs_prefix", "n_distinct_tokens"]]
+                     .astype("int64"),
+        batch_format="pandas")
+
+
+QUERIES["vocab_growth"] = vocab_growth
+ORACLE_SQL["vocab_growth"] = f"""
+    SELECT CAST(p AS BIGINT) AS n_docs_prefix,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents) t
+    CROSS JOIN (SELECT unnest(ARRAY[{', '.join(
+        str(p) for p in VOCAB_GROWTH_PREFIXES)}]) AS p)
+    WHERE doc_id < p
+    GROUP BY p"""
