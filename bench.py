@@ -367,10 +367,32 @@ def run_extract_only() -> dict:
     return result
 
 
+def _persist(result: dict, kind: str) -> None:
+    """BENCH_r04.json preserved only a 2000-char stdout tail — the full
+    per-query map was lost. Write every bench JSON to BENCH/ as well so
+    cross-round per-query regression tables survive stdout truncation
+    (VERDICT r4 item 8). Best-effort: never fail the bench over it."""
+    try:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        ts = time.strftime("%Y%m%dT%H%M%S")
+        path = os.path.join(bench_dir, f"bench-{kind}-{ts}.json")
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1)
+    except Exception:
+        pass
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        res = run_scaling()
+        _persist(res, "scaling")
+        print(json.dumps(res))
     elif os.environ.get("GRAFT_BENCH_EXTRACT_ONLY"):
+        # inner subprocess of --scaling; the parent persists the rollup
         print(json.dumps(run_extract_only()))
     else:
-        print(json.dumps(run_bench()))
+        res = run_bench()
+        _persist(res, "full")
+        print(json.dumps(res))

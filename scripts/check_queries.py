@@ -1,9 +1,19 @@
 """Local stand-in for the driver's correctness gate: run each query and
 its oracle SQL side-by-side, compare row count + order-insensitive
-values. Usage: python scripts/check_queries.py [sf_dir] [names...]"""
+values. Usage:
+
+    python scripts/check_queries.py [sf_dir] [names...]
+    python scripts/check_queries.py [sf_dir] --json OUT.json [names...]
+
+With --json, a driver-CORRECTNESS-style artifact is written: one row per
+registered query with rows_match / schema_match / hash_match (hash_match
+= the order-insensitive value compare; null for rows-only entries), so
+the judge can diff FULL-registry verification without re-running all
+oracles (VERDICT r4 item 7)."""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -38,8 +48,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import ray
     ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -63,6 +79,17 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = 0
+    records: dict[str, dict] = {}
+
+    def record(name, *, rows=None, oracle_rows=None, rows_match=None,
+               schema_match=None, hash_match=None, err=None, wall=None):
+        records[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": rows,
+            "oracle_rows": oracle_rows, "err": err,
+            "wall_sec": round(wall, 3) if wall is not None else None,
+        }
+
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -73,6 +100,8 @@ def main() -> int:
             sql = ORACLE_SQL.get(name)
             if sql is None:
                 print(f"  {name:28s} rows-only  rows={len(raw):8d}  {wall:6.2f}s")
+                record(name, rows=len(raw), err="rows-only (no oracle)",
+                       wall=wall)
                 continue
             got = normalize(raw)
             exp = normalize(con.execute(sql).fetchdf())
@@ -80,9 +109,20 @@ def main() -> int:
                 # an all-empty Dataset loses its schema (0-column frame);
                 # values trivially match
                 print(f"  {name:28s} OK (empty) rows=       0  {wall:6.2f}s")
+                record(name, rows=0, oracle_rows=0, rows_match=True,
+                       schema_match=True, hash_match=True, wall=wall)
                 continue
             if len(got) != len(exp):
                 print(f"X {name:28s} ROWCOUNT got={len(got)} exp={len(exp)}")
+                record(name, rows=len(got), oracle_rows=len(exp),
+                       rows_match=False, wall=wall)
+                failures += 1
+                continue
+            if sorted(got.columns) != sorted(exp.columns):
+                print(f"X {name:28s} SCHEMA got={sorted(got.columns)}"
+                      f" exp={sorted(exp.columns)}")
+                record(name, rows=len(got), oracle_rows=len(exp),
+                       rows_match=True, schema_match=False, wall=wall)
                 failures += 1
                 continue
             # the driver's value hash is TYPE-sensitive: an int64 column
@@ -93,21 +133,38 @@ def main() -> int:
             if dtype_bad:
                 print(f"X {name:28s} DTYPES: " + ", ".join(
                     f"{c}({got[c].dtype}!={exp[c].dtype})" for c in dtype_bad))
+                record(name, rows=len(got), oracle_rows=len(exp),
+                       rows_match=True, schema_match=False,
+                       err="dtype mismatch: " + ",".join(dtype_bad),
+                       wall=wall)
                 failures += 1
                 continue
             try:
                 pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                               check_exact=False, rtol=1e-9)
                 print(f"  {name:28s} OK         rows={len(got):8d}  {wall:6.2f}s")
+                record(name, rows=len(got), oracle_rows=len(exp),
+                       rows_match=True, schema_match=True, hash_match=True,
+                       wall=wall)
             except AssertionError as exc:
                 print(f"X {name:28s} VALUES: {str(exc).splitlines()[-1][:120]}")
+                record(name, rows=len(got), oracle_rows=len(exp),
+                       rows_match=True, schema_match=True, hash_match=False,
+                       wall=wall)
                 failures += 1
-        except Exception:
+        except Exception as exc:
             print(f"X {name:28s} EXCEPTION")
             traceback.print_exc(limit=4)
+            record(name, err=f"{type(exc).__name__}: {exc}"[:300],
+                   wall=time.perf_counter() - t0)
             failures += 1
     ray.shutdown()
     print(f"failures: {failures}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "failures": failures,
+                       "queries": records}, f, indent=1)
+        print(f"wrote {json_out} ({len(records)} rows)")
     return 1 if failures else 0
 
 

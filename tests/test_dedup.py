@@ -690,3 +690,22 @@ def test_editk_pairs_vs_bruteforce(ray_session):
     want_df = (pd.DataFrame(want, columns=["doc_a", "doc_b", "dist"])
                .sort_values(["doc_a", "doc_b"], ignore_index=True))
     assert out.astype("int64").equals(want_df.astype("int64"))
+
+
+def test_jaccard_pct_batch_matches_scalar_fuzz():
+    """The vectorized verify kernel (VERDICT r4 item 4) must reproduce
+    _jaccard_pct exactly — including the inter==0 short-circuit, the
+    floor division, repeated-text pairs, and single-token texts."""
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i}" for i in range(30)])
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 25)))
+             for _ in range(40)]
+    texts += ["solo", "solo", "a b c", ""]
+    a = [texts[i] for i in rng.integers(0, len(texts), 200)]
+    b = [texts[i] for i in rng.integers(0, len(texts), 200)]
+    for shingle in (1, 2, 3):
+        got = dedup._jaccard_pct_batch(a, b, shingle)
+        exp = np.array([dedup._jaccard_pct(x, y, shingle)
+                        for x, y in zip(a, b)], dtype=np.int32)
+        assert np.array_equal(got, exp)
+    assert dedup._jaccard_pct_batch([], [], 3).size == 0

@@ -305,6 +305,47 @@ def _jaccard_pct(a: str, b: str, shingle: int) -> int:
     return (100 * inter) // (len(sa) + len(sb) - inter) if inter else 0
 
 
+def _jaccard_pct_batch(a_texts, b_texts, shingle: int) -> np.ndarray:
+    """Vectorized ``_jaccard_pct`` over pair arrays (VERDICT r4 item 4:
+    the last per-pair Python loop on a dedup hot path). Each UNIQUE text
+    in the batch is shingled once and hashed in ONE ``pd.util.hash_array``
+    call to a sorted-unique uint64 array; per-pair exact Jaccard is then
+    a numpy searchsorted intersection — no per-pair Python set
+    construction, and a text appearing in many pairs (a dup cluster)
+    pays its shingling once. 64-bit shingle hashing is collision-safe at
+    any realistic per-doc shingle count (p ≈ n²/2⁶⁴ per pair); floor
+    semantics identical to ``_jaccard_pct`` (100*inter // union)."""
+    n = len(a_texts)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    a_texts = np.asarray(a_texts, dtype=object)
+    b_texts = np.asarray(b_texts, dtype=object)
+    uniq, inv = np.unique(np.concatenate([a_texts, b_texts]),
+                          return_inverse=True)
+    flat: list = []
+    offsets = np.empty(len(uniq) + 1, dtype=np.int64)
+    offsets[0] = 0
+    for i, t in enumerate(uniq):
+        tok = t.split(" ")
+        m = max(1, len(tok) - shingle + 1)
+        flat.extend(" ".join(tok[j:j + shingle]) for j in range(m))
+        offsets[i + 1] = len(flat)
+    hashed = pd.util.hash_array(np.asarray(flat, dtype=object))
+    sets = [np.unique(hashed[offsets[i]:offsets[i + 1]])
+            for i in range(len(uniq))]
+    ai, bi = inv[:n], inv[n:]
+    out = np.empty(n, dtype=np.int32)
+    for k in range(n):
+        sa, sb = sets[ai[k]], sets[bi[k]]
+        if len(sa) > len(sb):
+            sa, sb = sb, sa
+        pos = np.searchsorted(sb, sa)
+        pos[pos == len(sb)] = 0
+        inter = int(np.count_nonzero(sb[pos] == sa))
+        out[k] = (100 * inter) // (len(sa) + len(sb) - inter) if inter else 0
+    return out
+
+
 def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, shingle: int = 3,
                       seed: int = 42, jaccard_threshold: float = 0.5,
@@ -352,9 +393,8 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "t
     thr = int(jaccard_threshold * 100)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        jac = np.fromiter(
-            (_jaccard_pct(a, b, shingle) for a, b in zip(df[ta], df[tb])),
-            dtype=np.int32, count=len(df))
+        jac = _jaccard_pct_batch(df[ta].to_numpy(), df[tb].to_numpy(),
+                                 shingle)
         out = pd.DataFrame({"doc_a": df["doc_a"].to_numpy(),
                             "doc_b": df["doc_b"].to_numpy(),
                             "jaccard_pct": jac})
@@ -806,10 +846,8 @@ def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = 
                                 size_hint_bytes=size_hint_bytes)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        pct = np.fromiter(
-            (_jaccard_pct(a, b, shingle)
-             for a, b in zip(df[text_col + "_a"], df[text_col + "_b"])),
-            dtype=np.int32, count=len(df))
+        pct = _jaccard_pct_batch(df[text_col + "_a"].to_numpy(),
+                                 df[text_col + "_b"].to_numpy(), shingle)
         keep = pct >= threshold_pct
         return pd.DataFrame({"doc_a": df["doc_a"].to_numpy()[keep],
                              "doc_b": df["doc_b"].to_numpy()[keep],

@@ -13964,3 +13964,84 @@ ORACLE_SQL["vocab_growth"] = f"""
         str(p) for p in VOCAB_GROWTH_PREFIXES)}]) AS p)
     WHERE doc_id < p
     GROUP BY p"""
+
+
+# ---------------------------------------------------------------------------
+# ROUND-5 driver window. The driver records ~50 CORRECTNESS rows per
+# round in registration order (see NOTES.md "Driver-cap diagnosis").
+# Round-5 rotation: keep the flagship extraction family +
+# combined_small_shapes pinned (6 slots), give the other 44 slots to
+# oracle-bearing queries that have NEVER had a driver row in rounds
+# 1-4 (per the union of CORRECTNESS_r0{1..4}.json) — preferring the
+# lakehouse tier, the TPC-H q4-q19 family, the serving/search tier and
+# the stats/graph tier per VERDICT r4 item 1. Every remaining
+# never-checked oracle-bearing name is ordered IMMEDIATELY after
+# position 50 so any extra driver budget lands on them too.
+# scripts/check_queries.py (--json -> CHECK_r05.json) still gates the
+# ENTIRE registry locally every round regardless of this order.
+_WINDOW_R5 = [
+    # flagship extraction family (pinned)
+    "ingest_flat_documents", "parse_detail_rows", "extract_span_checksum",
+    "extract_summary", "extract_then_clean",
+    # the in-window fold of the parked trivial shapes (pinned)
+    "combined_small_shapes",
+    # TPC-H relational family (never driver-checked)
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_nation_trade", "q10_returned_items", "q13_order_distribution",
+    "q14_promo_revenue", "q18_large_orders", "q19_bracket_revenue",
+    # lakehouse tier
+    "time_travel", "scd2_intervals", "incremental_agg", "hive_roundtrip",
+    "range_partitioned_export", "pruned_range_read", "tokenized_export",
+    "pushdown_filter_agg", "zorder_stats", "fk_integrity", "k_anonymity",
+    # serving / search tier
+    "boolean_search", "ranking_eval", "proximity_rerank", "sparse_dot_topk",
+    "sim_topk_filtered", "bm25_prf_search", "ivfpq_search", "ivf_cell_stats",
+    "phrase_search", "ann_pq_search",
+    # graph / dedup analytics
+    "kcore_dups", "weighted_pagerank_dups", "dup_cluster_stats",
+    "ra_linkpred", "dedup_simhash_radius", "dedup_priority",
+    # stats / streaming analytics
+    "user_rfm", "events_ks_drift", "events_cusum", "embedding_top_pc",
+    "next_token_top1", "user_entropy",
+    # composed end-to-end chains
+    "embedding_prep", "eval_prep",
+]
+assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
+assert all(n in QUERIES and (n in ORACLE_SQL or n in TIER_ORACLE_BUILDERS
+                             or n in ("combined_small_shapes",))
+           for n in _WINDOW_R5)
+
+# never-driver-checked (r1-r4) oracle-bearing names NOT in the window:
+# they follow immediately so extra driver budget extends coverage.
+_R5_OVERFLOW = [
+    "mmr_diversify", "session_paths", "embedding_pq", "kmeans_embeddings",
+    "kmeans_cluster_stats", "kmeans_assign_new", "tokenizer_fertility",
+    "langid_confusion", "lang_source_chi2", "monthly_revenue_growth",
+    "session_type_pairs", "vocab_growth", "canonical_docs", "events_cube",
+    "type_corr_matrix", "ewma_activity", "interval_coverage",
+    "last_touch_attribution", "score_bias_audit", "multi_pattern_counts",
+    "daily_interpolate", "funnel_strict", "daily_new_users",
+    "longest_token_run", "dataset_card", "linkpred_dups",
+    "blocklist_filter", "ngram_novelty", "dedup_edit2", "dedup_edit1",
+    "winsorize_values", "self_join_size_by_user", "doc_skyline",
+    "grouped_mad", "retention_cohorts", "events_interval_join_count",
+    "events_unpivot", "events_profile", "lexical_stats_by_source",
+    "source_overlap_jaccard", "length_gini_by_lang", "event_transitions",
+    "token_pmi", "csv_roundtrip", "dup_source_matrix", "dedup_substring",
+    "weighted_sample", "length_ntile", "source_cap", "epoch_oversample",
+    "hash_embed_stats", "media_usage", "contrastive_pairs",
+    "mm_span_transitions", "events_window_dedup", "export_jsonl",
+    "length_percentile_filter", "chunk_documents", "prep_funnel",
+    "pack_sequences", "mad_outliers", "events_moving_avg",
+    "token_cooccurrence", "jsonl_roundtrip", "topk_with_ties",
+    "session_stats", "events_hopping", "dup_degree_hist",
+    "funnel_conversions", "events_pivot", "top_event_type_per_user",
+    "token_drift", "mm_featurize_checksum", "mm_frame_sample_checksum",
+    "mm_resize_checksum",
+]
+assert not (set(_R5_OVERFLOW) & set(_WINDOW_R5))
+assert all(n in QUERIES for n in _R5_OVERFLOW)
+
+_r5_head = _WINDOW_R5 + _R5_OVERFLOW
+QUERIES = {**{n: QUERIES[n] for n in _r5_head},
+           **{n: f for n, f in QUERIES.items() if n not in set(_r5_head)}}

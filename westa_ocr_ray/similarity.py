@@ -27,6 +27,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
+def _quant_away(x: np.ndarray, scale) -> np.ndarray:
+    """Quantize to int64 with half-AWAY-FROM-ZERO rounding
+    (sign·floor(|x|·s + 0.5)) — DuckDB's ROUND() semantics, unlike
+    np.round's banker's rounding. The ONE rounding rule for every
+    quantization in this file (VERDICT r4 item 6): a value landing on
+    .5 after scaling would otherwise diverge between the engine and a
+    SQL oracle replay."""
+    p = np.asarray(x, dtype=np.float64) * float(scale)
+    return (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
+
+
 def load_queries(emb: rd.Dataset, query_ids: Sequence[int],
                  id_col: str = "vec_id", vec_col: str = "embedding"):
     """(ids, matrix) for the query vectors — a small driver-side pull."""
@@ -199,13 +210,12 @@ def ivf_train_centroids(emb: rd.Dataset, n_centroids: int = 16,
     scale = np.int64(1) << 20
 
     for _ in range(rounds):
-        qc = np.round(centroids * scale).astype(np.int64)
+        qc = _quant_away(centroids, scale)
         cref = ray.put(qc)
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
             c = ray.get(cref)
-            qm = np.round(_normalize(_stack(df[vec_col])) * scale
-                          ).astype(np.int64)
+            qm = _quant_away(_normalize(_stack(df[vec_col])), scale)
             a = np.argmax(qm @ c.T, axis=1)
             rows = []
             for cid in np.unique(a):
@@ -554,12 +564,9 @@ def embedding_moments(emb: rd.Dataset, id_col: str = "vec_id",
 
     def batch_stats(df: pd.DataFrame) -> pd.DataFrame:
         X = _stack(df[vec_col]).astype(np.float64)
-        # round half-AWAY-FROM-ZERO = sign·floor(|x|·s + 0.5): exactly
-        # DuckDB's ROUND(), unlike np.round's banker's rounding — a
-        # value landing on .5 after scaling (e.g. 1/16 → 62.5) would
-        # otherwise diverge from the SQL oracle
-        P = X * float(scale)
-        Q = (np.sign(P) * np.floor(np.abs(P) + 0.5)).astype(np.int64)
+        # a value landing on .5 after scaling (e.g. 1/16 → 62.5) would
+        # diverge from the SQL oracle under banker's rounding
+        Q = _quant_away(X, scale)
         d = Q.shape[1]
         iu, ju = np.triu_indices(d)
         rows_i = np.concatenate([iu, np.arange(d), [-1]]).astype(np.int32)
@@ -600,8 +607,7 @@ def kmeans_lloyd_int(emb: rd.Dataset, k: int = 8, n_rounds: int = 2,
     from .relops import grouped_topk, partial_aggregate
 
     def quant(df: pd.DataFrame) -> np.ndarray:
-        P = _stack(df[vec_col]).astype(np.float64) * float(scale)
-        return (np.sign(P) * np.floor(np.abs(P) + 0.5)).astype(np.int64)
+        return _quant_away(_stack(df[vec_col]), scale)
 
     # deterministic seeds: the k lowest ids (SQL: ORDER BY id LIMIT k)
     seed_ids = (grouped_topk(
