@@ -233,3 +233,115 @@ def test_markers_match_partition_files(tmp_path):
         with open(m) as fh:
             marker_docs += json.load(fh)["rows"]
     assert marker_docs == total_docs
+
+
+def test_graceful_drain_stop_file_mid_phase2(tmp_path):
+    """Cooperative cancellation (VERDICT r4 item 2): the stop file
+    appears mid-phase-2; the run commits the partitions it finished,
+    exits normally with stopped=True, and a plain re-run completes the
+    drained rest — final output identical to an uninterrupted run,
+    attempt counts proving no committed partition was recomputed."""
+    import threading
+
+    corpus = fixtures.ensure_corpus("smoke")
+    full_dir = str(tmp_path / "full")
+    run_extract(corpus, full_dir, CFG)
+    full = _result_key(read_extracted(full_dir))
+
+    out = str(tmp_path / "drained")
+    stop = str(tmp_path / "STOP")
+    # serialize phase 2 so the marker watcher can interleave a stop
+    cfg = ExtractConfig(num_parts=8, repartition_blocks=8,
+                        extract_concurrency=(1, 3), reduce_concurrency=1,
+                        stop_file=stop)
+
+    def watch():
+        while len(done_parts(out)) < 2:
+            pass
+        with open(stop, "w") as fh:
+            fh.write("drain")
+
+    w = threading.Thread(target=watch, daemon=True)
+    w.start()
+    m1 = run_extract(corpus, out, cfg)
+    w.join(timeout=60)
+    assert m1["stopped"] is True
+    committed = len(done_parts(out))
+    assert m1["parts_written"] == committed
+    assert m1["parts_drained"] == 8 - committed
+    assert 0 < committed < 8  # really drained mid-phase-2
+    # markers exist ONLY for committed partitions; data files match
+    assert committed == len(
+        glob.glob(os.path.join(out, "extracted", "part-*.parquet")))
+
+    # resume without the stop file: only the drained parts recompute
+    os.remove(stop)
+    m2 = run_extract(corpus, out, cfg)
+    assert m2["stopped"] is False
+    assert m2["parts_skipped"] == committed
+    assert m2["parts_written"] == 8 - committed
+    assert _result_key(read_extracted(out)) == full
+    # attempt counts: committed parts carry attempt 0 only; drained
+    # parts carry exactly one lineage line (attempt 1)
+    for path in glob.glob(os.path.join(out, "lineage", "*.jsonl")):
+        with open(path) as fh:
+            lines = [json.loads(line) for line in fh]
+        assert len(lines) == 1
+        assert lines[0]["attempt"] in (0, 1)
+
+
+def test_graceful_drain_sigterm(tmp_path):
+    """SIGTERM during phase 2 is trapped into the stop file: the run
+    drains (commits finished partitions, returns stopped=True) instead
+    of dying — then resumes to the identical full output."""
+    import signal
+    import threading
+
+    corpus = fixtures.ensure_corpus("smoke")
+    out = str(tmp_path / "term")
+    stop = str(tmp_path / "STOP_TERM")
+    cfg = ExtractConfig(num_parts=8, repartition_blocks=8,
+                        extract_concurrency=(1, 3), reduce_concurrency=1,
+                        stop_file=stop)
+
+    def watch():
+        while len(done_parts(out)) < 2:
+            pass
+        signal.raise_signal(signal.SIGTERM)  # handler runs in main thread
+
+    before = signal.getsignal(signal.SIGTERM)  # ray's own handler
+    w = threading.Thread(target=watch, daemon=True)
+    w.start()
+    m1 = run_extract(corpus, out, cfg)  # main thread: handler fires here
+    w.join(timeout=60)
+    assert m1["stopped"] is True and os.path.exists(stop)
+    assert 0 < m1["parts_written"] < 8
+    # the pre-run handler was restored after the run
+    assert signal.getsignal(signal.SIGTERM) is before
+
+    os.remove(stop)
+    m2 = run_extract(corpus, out, cfg)
+    assert m2["parts_skipped"] == m1["parts_written"]
+    full_dir = str(tmp_path / "full2")
+    run_extract(corpus, full_dir, CFG)
+    assert _result_key(read_extracted(out)) == _result_key(
+        read_extracted(full_dir))
+
+
+def test_stop_file_at_entry_noop(tmp_path):
+    """A pre-existing stop file means the run does nothing at all —
+    and a marker resume later picks up the whole job."""
+    corpus = fixtures.ensure_corpus("smoke")
+    out = str(tmp_path / "pre")
+    stop = str(tmp_path / "PRE_STOP")
+    with open(stop, "w") as fh:
+        fh.write("stop")
+    cfg = ExtractConfig(num_parts=8, repartition_blocks=8,
+                        extract_concurrency=(1, 3), stop_file=stop)
+    m = run_extract(corpus, out, cfg)
+    assert m["stopped"] is True and m["parts_written"] == 0
+    assert m["parts_drained"] == 8
+    assert not os.path.exists(os.path.join(out, "extracted"))
+    os.remove(stop)
+    m2 = run_extract(corpus, out, cfg)
+    assert m2["parts_written"] == 8 and m2["stopped"] is False

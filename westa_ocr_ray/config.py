@@ -41,6 +41,17 @@ class ExtractConfig:
     # per-page PAGE_RESULT event granularity (app/worker.py:633-687)
     keep_units: bool = False
     attempt: int = 0                # bumped by resume runs (lineage)
+    # cooperative cancellation (reference worker.py:188,256,303-310:
+    # stop-signal checks between pages/jobs; admin stop app/admin.py:
+    # 727-782). When this file exists the run DRAINS instead of dying:
+    # phase boundaries and each phase-2 reducer check it, finished
+    # partitions commit with their markers, the rest are left for a
+    # normal marker resume, and run_extract returns (exit 0) with
+    # metrics["stopped"]=True. run_extract also traps SIGTERM into
+    # touching this file, so `ray job stop` style termination drains
+    # too. Multi-node: the path must be on storage every reducer sees
+    # (same requirement as stage_root).
+    stop_file: Optional[str] = None
     # fault-injection seam (tests/test_chaos.py): when set, the FIRST
     # extract actor to process a batch hard-kills its process (os._exit)
     # after creating this marker file — proving Ray's task-retry

@@ -161,8 +161,42 @@ def run_extract(input_path: str, out_dir: str,
     from a crashed run are wiped — unfinished partitions recompute from
     the input (completed ones are skipped by their markers).
 
+    Cooperative cancellation (``cfg.stop_file``, reference
+    app/worker.py:188,256,303-310 + admin stop app/admin.py:727-782):
+    when the stop file appears — touched externally, or by this
+    function's own SIGTERM handler — the run DRAINS: the phase-1→2
+    boundary and every phase-2 reducer check it, already-finished
+    partitions commit normally with markers/lineage/hooks, nothing new
+    starts, and the function returns metrics with ``stopped=True`` and
+    ``parts_drained`` (exit 0). A later run without the stop file is a
+    plain marker resume over exactly the drained partitions.
+
     Returns the run-metrics dict (also written to out_dir/metrics/)."""
+    import signal
+    import threading
+
     t0 = time.perf_counter()
+
+    def stop_requested() -> bool:
+        return cfg.stop_file is not None and os.path.exists(cfg.stop_file)
+
+    prev_handler = None
+    if cfg.stop_file is not None and threading.current_thread() is threading.main_thread():
+        def _drain_on_term(signum, frame):
+            with open(cfg.stop_file, "w") as fh:
+                fh.write(f"SIGTERM pid={os.getpid()}\n")
+        prev_handler = signal.signal(signal.SIGTERM, _drain_on_term)
+    try:
+        return _run_extract_inner(input_path, out_dir, cfg,
+                                  on_partition_commit, t0, stop_requested)
+    finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
+
+
+def _run_extract_inner(input_path: str, out_dir: str, cfg: ExtractConfig,
+                       on_partition_commit, t0: float,
+                       stop_requested) -> dict:
     skip = _check_assign_version(out_dir, done_parts(out_dir))
     attempt = cfg.attempt if cfg.attempt else (1 if skip else 0)
     if on_partition_commit is not None and skip:
@@ -177,7 +211,8 @@ def run_extract(input_path: str, out_dir: str,
     shutil.rmtree(stage_dir, ignore_errors=True)
     summary_rows = []
     phase1_sec = phase2_sec = 0.0
-    if len(skip) < cfg.num_parts:
+    n_remaining = cfg.num_parts - len(skip)
+    if n_remaining and not stop_requested():
         docs = read_documents(input_path, num_blocks=cfg.read_num_blocks)
         # phase 1: map-side shuffle files, written by the extract actors
         # themselves (streams; no barrier, no extra worker pool)
@@ -189,22 +224,29 @@ def run_extract(input_path: str, out_dir: str,
         with open(os.path.join(out_dir, "metrics",
                                f"stats-attempt{attempt}.txt"), "w") as fh:
             fh.write(manifest.stats())  # per-stage wall/cpu/memory breakdown
-        # phase 2: one reduce per partition, embarrassingly parallel
+        # phase 2: one reduce per partition, embarrassingly parallel.
+        # A stop request landing between the phases drains here — the
+        # stage files are transient either way, so nothing is lost that
+        # a marker resume would not recompute.
         remaining = sorted(set(range(cfg.num_parts)) - skip)
-        parts_ds = rd.from_items([{"part": p} for p in remaining],
-                                 parallelism=len(remaining))
-        markers = parts_ds.map_batches(
-            make_part_reducer(stage_dir, out_dir, attempt=attempt,
-                              keep_units=cfg.keep_units),
-            batch_format="pyarrow", batch_size=1,
-            concurrency=cfg.reduce_concurrency)
-        summary_rows = markers.take_all()  # tiny: one row per partition
+        if not stop_requested():
+            parts_ds = rd.from_items([{"part": p} for p in remaining],
+                                     parallelism=len(remaining))
+            markers = parts_ds.map_batches(
+                make_part_reducer(stage_dir, out_dir, attempt=attempt,
+                                  keep_units=cfg.keep_units,
+                                  stop_file=cfg.stop_file),
+                batch_format="pyarrow", batch_size=1,
+                concurrency=cfg.reduce_concurrency)
+            summary_rows = markers.take_all()  # tiny: one row per partition
         phase2_sec = time.perf_counter() - t0 - phase1_sec
         shutil.rmtree(stage_dir, ignore_errors=True)
         if on_partition_commit is not None:
             _fire_commit_hooks(out_dir, on_partition_commit)
     wall = time.perf_counter() - t0
     metrics = {
+        "stopped": stop_requested(),
+        "parts_drained": n_remaining - len(summary_rows),
         "input": input_path,
         "out_dir": out_dir,
         "attempt": attempt,

@@ -30,6 +30,10 @@ def main(argv=None) -> int:
     p.add_argument("--pattern", default="A", help="masters pre-filter pattern")
     p.add_argument("--keep-units", action="store_true",
                    help="also write per-unit rows (PAGE_RESULT granularity)")
+    p.add_argument("--stop-file", default=None,
+                   help="cooperative-cancel seam: touch this file (or send "
+                        "SIGTERM to this process) to drain — finished "
+                        "partitions commit, the rest resume on the next run")
     args = p.parse_args(argv)
 
     if not os.path.exists(args.input):
@@ -59,6 +63,7 @@ def main(argv=None) -> int:
         extract_concurrency=(actors, actors),
         read_num_blocks=args.read_blocks,
         keep_units=args.keep_units,
+        stop_file=args.stop_file,
     )
     metrics = run_extract(args.input, args.output, cfg)
     print(json.dumps(metrics))

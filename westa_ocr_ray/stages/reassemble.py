@@ -260,7 +260,8 @@ def make_stage_writer(stage_dir: str) -> Callable[[pa.Table], pa.Table]:
 
 
 def make_part_reducer(stage_dir: str, out_dir: str, attempt: int = 0,
-                      keep_units: bool = False) -> Callable[[pa.Table], pa.Table]:
+                      keep_units: bool = False,
+                      stop_file: str = None) -> Callable[[pa.Table], pa.Table]:
     """Reduce one partition: read its row groups from every stage file
     (statistics-pruned — only matching row groups are fetched),
     reassemble, commit. On a multi-node cluster stage files would be
@@ -269,7 +270,12 @@ def make_part_reducer(stage_dir: str, out_dir: str, attempt: int = 0,
     ``keep_units`` also persists the per-unit rows (the reference's
     PAGE_RESULT event granularity, app/worker.py:633-687: one row per
     page/unit with raw text, error, flags) as units/part-XXXXX.parquet,
-    atomically, covered by the same completion marker."""
+    atomically, covered by the same completion marker.
+
+    ``stop_file``: cooperative-cancel seam (ExtractConfig.stop_file,
+    reference worker.py:303-310 per-page stop checks) — checked BEFORE
+    each partition's reduce; once the file exists, this reducer commits
+    nothing further and the unprocessed partitions stay resumable."""
 
     def reduce_parts(batch: pa.Table) -> pa.Table:
         import pyarrow.dataset as pads
@@ -280,6 +286,8 @@ def make_part_reducer(stage_dir: str, out_dir: str, attempt: int = 0,
             files = sorted(os.path.join(stage_dir, f) for f in os.listdir(stage_dir)
                            if f.endswith(".parquet") and not f.startswith("."))
         for part in batch.column("part").to_pylist():
+            if stop_file is not None and os.path.exists(stop_file):
+                break  # drain: leave this and later parts uncommitted
             t0 = time.perf_counter()
             t = None
             if files:
