@@ -345,3 +345,102 @@ def test_stop_file_at_entry_noop(tmp_path):
     os.remove(stop)
     m2 = run_extract(corpus, out, cfg)
     assert m2["parts_written"] == 8 and m2["stopped"] is False
+
+
+def test_run_extract_stage_root_file_uri(tmp_path):
+    """stage_root as a pyarrow.fs URI (VERDICT r4 item 3): the whole
+    external shuffle — write, list, pruned read, wipe — runs through
+    FileSystem.from_uri, standing in for shared cluster storage. Output
+    must be identical to default (/dev/shm) staging, and the stage base
+    dir must actually have been used (created under the URI root, tag
+    subdir wiped after the run)."""
+    corpus = fixtures.ensure_corpus("smoke")
+    base = str(tmp_path / "shared_stage")
+    cfg = ExtractConfig(num_parts=8, repartition_blocks=8,
+                        extract_concurrency=(1, 3),
+                        stage_root=f"file://{base}")
+    out = str(tmp_path / "uri_out")
+    m = run_extract(corpus, out, cfg)
+    assert m["parts_written"] == 8 and m["errors"] >= 0
+
+    ref_out = str(tmp_path / "ref_out")
+    run_extract(corpus, ref_out, CFG)
+    assert _result_key(read_extracted(out)) == _result_key(
+        read_extracted(ref_out))
+    # the URI root was really the staging target: base dir created by
+    # the stage writers, per-run tag subdir wiped on completion
+    assert os.path.isdir(base) and os.listdir(base) == []
+
+
+def test_run_extract_stage_on_rooted_filesystem(tmp_path):
+    """stage_root through a REGISTERED scheme resolving to a
+    SubTreeFileSystem (a rooted fs standing in for a shared mount):
+    stage paths are subtree-relative, so any stage IO that bypassed the
+    pyarrow.fs seam (raw os/shutil calls) would miss the root and
+    corrupt or fail the run. Full run_extract + resume parity."""
+    import pyarrow.fs as pafs
+
+    from westa_ocr_ray.stages import staging
+
+    corpus = fixtures.ensure_corpus("smoke")
+    root = tmp_path / "mnt"
+    root.mkdir()
+    staging.register_stage_fs(
+        "sharedtest",
+        lambda uri: (pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem()),
+                     uri.split("://", 1)[1]))
+    try:
+        cfg = ExtractConfig(num_parts=8, repartition_blocks=8,
+                            extract_concurrency=(1, 3),
+                            stage_root="sharedtest://stage")
+        out = str(tmp_path / "subtree_out")
+        m = run_extract(corpus, out, cfg)
+        assert m["parts_written"] == 8
+        # staging really landed under the subtree root
+        assert os.path.isdir(root / "stage")
+
+        ref_out = str(tmp_path / "ref_out2")
+        run_extract(corpus, ref_out, CFG)
+        assert _result_key(read_extracted(out)) == _result_key(
+            read_extracted(ref_out))
+    finally:
+        staging._FS_FACTORIES.pop("sharedtest", None)
+
+
+def test_stage_write_list_read_roundtrip_on_fs(tmp_path):
+    """Unit-level seam check: stage_write_table / list_stage_files /
+    wipe_stage_dir through an explicit filesystem give byte-identical
+    tables to the os fast path, dot-tmp files stay invisible, and the
+    URI default codec is zstd."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.fs as pafs
+
+    from westa_ocr_ray.stages import staging
+
+    t = pa.table({"part": pa.array([1, 0, 1, 2], type=pa.int32()),
+                  "doc_id": ["a", "b", "c", "d"],
+                  "payload": [b"x" * 10, b"y", b"z", b"w"]})
+    local_dir = str(tmp_path / "local")
+    man_local = staging.stage_write_table(t, local_dir)
+
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    man_fs = staging.stage_write_table(t, "fsstage", fs=fs)
+    assert man_local.equals(man_fs)
+
+    files = staging.list_stage_files("fsstage", fs=fs)
+    assert len(files) == 1 and not os.path.basename(files[0]).startswith(".")
+    got = pads.dataset(files, format="parquet", filesystem=fs).to_table()
+    exp = pads.dataset(staging.list_stage_files(local_dir)).to_table()
+    # same rows (both part-sorted by the stable stage sort)
+    assert got.equals(exp)
+    # URI/fs staging defaults to zstd (network codec)
+    import pyarrow.parquet as pq_
+    meta = pq_.ParquetFile(str(tmp_path / "fsstage" / os.path.basename(files[0]))).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
+    # one row group per partition for statistics pruning
+    assert meta.num_row_groups == 3
+
+    staging.wipe_stage_dir("fsstage", fs=fs)
+    assert staging.list_stage_files("fsstage", fs=fs) == []
+    staging.wipe_stage_dir("fsstage", fs=fs)  # idempotent on missing

@@ -36,6 +36,14 @@ class ExtractConfig:
     reduce_concurrency: int = 8
     # stage files are transient (wiped on resume): put them on fast local
     # scratch — /dev/shm when available, the cluster-node SSD otherwise.
+    # MULTI-NODE: phase 2 requires every reducer to see every stage
+    # file, so stage_root must then be EITHER a path mounted identically
+    # on all nodes OR a filesystem URI ("file:///mnt/shared/stage",
+    # "s3://bucket/stage", any staging.register_stage_fs scheme) — the
+    # URI resolves once on the driver to a pyarrow.fs.FileSystem that
+    # ships into the actors/reducers (stages/staging.py). Codec
+    # auto-switches to zstd on URI staging (network bytes dominate;
+    # scripts/stage_codec_sweep.py).
     stage_root: Optional[str] = "/dev/shm/westa_stage"
     # also persist per-unit rows (units/part-*.parquet) — the reference's
     # per-page PAGE_RESULT event granularity (app/worker.py:633-687)

@@ -43,7 +43,8 @@ def read_documents(path: str, num_blocks: Optional[int] = None) -> rd.Dataset:
 
 def build_extracted_units(docs: rd.Dataset, cfg: ExtractConfig,
                           skip_parts: Optional[Set[int]] = None,
-                          stage_dir: Optional[str] = None) -> rd.Dataset:
+                          stage_dir: Optional[str] = None,
+                          stage_fs=None) -> rd.Dataset:
     """documents → extracted unit rows (pre-reassembly).
 
     With ``stage_dir`` set, the extract actors also write the map side of
@@ -68,7 +69,8 @@ def build_extracted_units(docs: rd.Dataset, cfg: ExtractConfig,
     return ds.map_batches(
         ExtractModel,
         fn_constructor_kwargs={"masters": masters, "stage_dir": stage_dir,
-                               "chaos_crash_marker": cfg.chaos_crash_marker},
+                               "chaos_crash_marker": cfg.chaos_crash_marker,
+                               "stage_fs": stage_fs},
         batch_format="pyarrow",
         batch_size=None if stage_dir is not None else cfg.extract_batch_size,
         concurrency=cfg.extract_concurrency,
@@ -203,12 +205,22 @@ def _run_extract_inner(input_path: str, out_dir: str, cfg: ExtractConfig,
         # partitions committed by a crashed earlier run whose hooks
         # never fired (or that ran without a hook)
         _fire_commit_hooks(out_dir, on_partition_commit)
-    if cfg.stage_root and os.path.isdir(os.path.dirname(cfg.stage_root.rstrip("/")) or "/"):
-        tag = hashlib.md5(os.path.abspath(out_dir).encode()).hexdigest()[:12]
+    from ..stages.staging import resolve_stage_fs, wipe_stage_dir
+
+    tag = hashlib.md5(os.path.abspath(out_dir).encode()).hexdigest()[:12]
+    stage_fs = None
+    if cfg.stage_root and "://" in cfg.stage_root:
+        # shared/remote staging: resolve the filesystem ONCE here; the
+        # fs object ships (pickled) into extract actors and reducers.
+        # Multi-node REQUIRES this form (or a stage_root path mounted
+        # identically on every node): phase 2 reads every stage file.
+        stage_fs, stage_base = resolve_stage_fs(cfg.stage_root)
+        stage_dir = stage_base.rstrip("/") + "/" + tag
+    elif cfg.stage_root and os.path.isdir(os.path.dirname(cfg.stage_root.rstrip("/")) or "/"):
         stage_dir = os.path.join(cfg.stage_root, tag)
     else:
         stage_dir = os.path.join(out_dir, "_stage")
-    shutil.rmtree(stage_dir, ignore_errors=True)
+    wipe_stage_dir(stage_dir, fs=stage_fs)
     summary_rows = []
     phase1_sec = phase2_sec = 0.0
     n_remaining = cfg.num_parts - len(skip)
@@ -217,7 +229,8 @@ def _run_extract_inner(input_path: str, out_dir: str, cfg: ExtractConfig,
         # phase 1: map-side shuffle files, written by the extract actors
         # themselves (streams; no barrier, no extra worker pool)
         manifest = build_extracted_units(docs, cfg, skip_parts=skip,
-                                         stage_dir=stage_dir)
+                                         stage_dir=stage_dir,
+                                         stage_fs=stage_fs)
         manifest = manifest.materialize()  # manifest is tiny (part, rows)
         phase1_sec = time.perf_counter() - t0
         os.makedirs(os.path.join(out_dir, "metrics"), exist_ok=True)
@@ -235,12 +248,13 @@ def _run_extract_inner(input_path: str, out_dir: str, cfg: ExtractConfig,
             markers = parts_ds.map_batches(
                 make_part_reducer(stage_dir, out_dir, attempt=attempt,
                                   keep_units=cfg.keep_units,
-                                  stop_file=cfg.stop_file),
+                                  stop_file=cfg.stop_file,
+                                  stage_fs=stage_fs),
                 batch_format="pyarrow", batch_size=1,
                 concurrency=cfg.reduce_concurrency)
             summary_rows = markers.take_all()  # tiny: one row per partition
         phase2_sec = time.perf_counter() - t0 - phase1_sec
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        wipe_stage_dir(stage_dir, fs=stage_fs)
         if on_partition_commit is not None:
             _fire_commit_hooks(out_dir, on_partition_commit)
     wall = time.perf_counter() - t0

@@ -28,7 +28,8 @@ MODEL_VERSION = "sim-ocr-v1"  # recorded in lineage; analog of meta.model (gemin
 class ExtractModel:
     def __init__(self, masters: Union[Sequence[str], "object", None] = None,
                  stage_dir: Optional[str] = None,
-                 chaos_crash_marker: Optional[str] = None) -> None:
+                 chaos_crash_marker: Optional[str] = None,
+                 stage_fs=None) -> None:
         # fault-injection seam (ExtractConfig.chaos_crash_marker): when
         # set, the first batch hard-kills this actor's process once.
         self.chaos_crash_marker = chaos_crash_marker
@@ -48,7 +49,11 @@ class ExtractModel:
         # row-grouped stage file and returns the tiny manifest instead) —
         # fusing staging here avoids a separate task stage, its extra
         # worker processes, and an object-store round trip.
+        # stage_fs: optional pyarrow.fs.FileSystem (resolved once on the
+        # driver from a stage_root URI, pickled into this constructor)
+        # for shared/remote staging — see stages/staging.py.
         self.stage_dir = stage_dir
+        self.stage_fs = stage_fs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.chaos_crash_marker is not None:
@@ -104,5 +109,5 @@ class ExtractModel:
         if self.stage_dir is not None:
             from .staging import stage_write_table
 
-            return stage_write_table(out, self.stage_dir)
+            return stage_write_table(out, self.stage_dir, fs=self.stage_fs)
         return out

@@ -246,7 +246,7 @@ def make_partition_writer(out_dir: str, attempt: int = 0) -> Callable[[pa.Table]
 # protocol needs anyway), and both phases stream/scale.
 
 
-def make_stage_writer(stage_dir: str) -> Callable[[pa.Table], pa.Table]:
+def make_stage_writer(stage_dir: str, stage_fs=None) -> Callable[[pa.Table], pa.Table]:
     """Standalone map-side shuffle writer (one stage file per block, one
     row group per partition — see stages/staging.py). Normally staging is
     fused into the extract actors (ExtractModel(stage_dir=...)); this fn
@@ -254,14 +254,15 @@ def make_stage_writer(stage_dir: str) -> Callable[[pa.Table], pa.Table]:
     from .staging import stage_write_table
 
     def stage_write(t: pa.Table) -> pa.Table:
-        return stage_write_table(t, stage_dir)
+        return stage_write_table(t, stage_dir, fs=stage_fs)
 
     return stage_write
 
 
 def make_part_reducer(stage_dir: str, out_dir: str, attempt: int = 0,
                       keep_units: bool = False,
-                      stop_file: str = None) -> Callable[[pa.Table], pa.Table]:
+                      stop_file: str = None,
+                      stage_fs=None) -> Callable[[pa.Table], pa.Table]:
     """Reduce one partition: read its row groups from every stage file
     (statistics-pruned — only matching row groups are fetched),
     reassemble, commit. On a multi-node cluster stage files would be
@@ -275,23 +276,27 @@ def make_part_reducer(stage_dir: str, out_dir: str, attempt: int = 0,
     ``stop_file``: cooperative-cancel seam (ExtractConfig.stop_file,
     reference worker.py:303-310 per-page stop checks) — checked BEFORE
     each partition's reduce; once the file exists, this reducer commits
-    nothing further and the unprocessed partitions stay resumable."""
+    nothing further and the unprocessed partitions stay resumable.
+
+    ``stage_fs``: optional pyarrow.fs.FileSystem the stage files were
+    written through (shared/remote staging); listing and reads go
+    through the same seam."""
 
     def reduce_parts(batch: pa.Table) -> pa.Table:
         import pyarrow.dataset as pads
 
+        from .staging import list_stage_files
+
         markers = []
-        files = []
-        if os.path.isdir(stage_dir):
-            files = sorted(os.path.join(stage_dir, f) for f in os.listdir(stage_dir)
-                           if f.endswith(".parquet") and not f.startswith("."))
+        files = list_stage_files(stage_dir, fs=stage_fs)
         for part in batch.column("part").to_pylist():
             if stop_file is not None and os.path.exists(stop_file):
                 break  # drain: leave this and later parts uncommitted
             t0 = time.perf_counter()
             t = None
             if files:
-                dset = pads.dataset(files, format="parquet")
+                dset = pads.dataset(files, format="parquet",
+                                    filesystem=stage_fs)
                 # use_threads=False: each reducer is one Ray task on one
                 # CPU — per-task arrow threadpools would nest-thrash
                 t = dset.to_table(filter=pads.field("part") == part,
