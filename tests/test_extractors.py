@@ -181,3 +181,85 @@ def test_fast_html_tokenizer_matches_htmlparser():
               "<br/><p>s</p>", "<div><p>unclosed", "plain text",
               "<script>var x='<p>'</script><p>r</p>", "</div junk><p>a</p>"]:
         assert _collect_blocks(h).blocks == slow(h)
+
+
+def test_media_store_http_scheme_loopback():
+    """http(s):// refs resolve through the fetcher seam (reference
+    app/file_fetcher.py:109-114): GET, redirects followed, non-2xx
+    raised — against a stdlib loopback server (no external network in
+    this sandbox)."""
+    import http.server
+    import threading
+    import urllib.error
+
+    payload = fixtures.media_store("media://pdf/doc_42_00000001/0")
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/blob":
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+            elif self.path == "/hop":
+                self.send_response(302)
+                self.send_header("Location", "/blob")
+                self.end_headers()
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        assert fixtures.media_store(f"{base}/blob") == payload
+        # redirects are followed (reference client semantics)
+        assert fixtures.media_store(f"{base}/hop") == payload
+        # non-2xx raises (raise_for_status analog)
+        with pytest.raises(urllib.error.HTTPError):
+            fixtures.media_store(f"{base}/missing")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_ref_extracts_identically():
+    """A document whose media_ref is an http:// URL extracts the same
+    spans as the media:// original — the scheme only changes the fetch
+    path, not the payload semantics."""
+    import http.server
+    import threading
+
+    ref = "media://pdf/doc_42_00000010/1"
+    payload = fixtures.media_store(ref)
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/p"
+        doc_media = {"doc_id": "d", "spans": [
+            {"kind": "pdf", "text": "", "media_ref": ref, "offset": 0}]}
+        doc_http = {"doc_id": "d", "spans": [
+            {"kind": "pdf", "text": "", "media_ref": url, "offset": 0}]}
+        from westa_ocr_ray.oracle import extract_doc
+        got_m = extract_doc(doc_media)
+        got_h = extract_doc(doc_http)
+        assert [(s["kind"], s["text"], s["order"]) for s in got_m["spans"]] \
+            == [(s["kind"], s["text"], s["order"]) for s in got_h["spans"]]
+    finally:
+        srv.shutdown()
+        srv.server_close()

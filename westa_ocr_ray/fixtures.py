@@ -167,17 +167,38 @@ def serialize_pages(magic: bytes, pages: List[Tuple[int, List[Tuple[int, int, st
     return b"".join(out)
 
 
+def http_fetch(url: str, timeout: float = 600.0) -> bytes:
+    """The ``http(s)://`` branch of the FileFetcher dispatch (reference
+    app/file_fetcher.py:109-114): GET the URL, follow redirects, raise
+    on non-2xx — stdlib urllib (urlopen follows 3xx via
+    HTTPRedirectHandler and raises HTTPError on 4xx/5xx), since this
+    sandbox ships no HTTP client library. Default timeout mirrors the
+    reference's REQUEST_TIMEOUT (app/settings.py:166). Loopback-tested
+    in tests/test_extractors.py (the sandbox has no external network)."""
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        status = getattr(resp, "status", 200)
+        if not 200 <= status < 300:  # urlopen raises ≥400; belt-and-braces
+            raise OSError(f"HTTP {status} fetching {url}")
+        return resp.read()
+
+
 def media_store(media_ref: str, seed: int = DEFAULT_SEED) -> bytes:
     """Resolve a media ref to payload bytes — scheme dispatch mirroring
     the reference's FileFetcher (app/file_fetcher.py:106-133):
 
     - ``media://`` → deterministic synthetic payload (the hermetic
-      stand-in for Drive/http fetches; ~0.2% of refs yield a corrupt
+      stand-in for Drive fetches; ~0.2% of refs yield a corrupt
       payload to exercise the record-and-continue error path,
       reference worker.py:327-359),
+    - ``http(s)://`` → GET with redirects + non-2xx raise
+      (reference :109-114; see ``http_fetch``),
     - ``file://``  → read bytes from the local path (reference :116-119),
     - bare path    → treated as a local file (reference ``local:`` :121-124).
     """
+    if media_ref.startswith(("http://", "https://")):
+        return http_fetch(media_ref)
     if media_ref.startswith("file://"):
         with open(media_ref[len("file://"):], "rb") as fh:
             return fh.read()
