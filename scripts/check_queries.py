@@ -85,7 +85,7 @@ def main() -> int:
                schema_match=None, hash_match=None, err=None, wall=None):
         records[name] = {
             "rows_match": rows_match, "schema_match": schema_match,
-            "hash_match": hash_match, "spark_rows": rows,
+            "hash_match": hash_match, "engine_rows": rows,
             "oracle_rows": oracle_rows, "err": err,
             "wall_sec": round(wall, 3) if wall is not None else None,
         }
