@@ -127,7 +127,12 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  # round-4 batch-31 addition
                  "dedup_simhash_radius",
                  # round-4 batch-32 addition
-                 "vocab_growth"]
+                 "vocab_growth",
+                 # round-5 additions: the remaining feasible TPC-H shapes
+                 "q3_shipping_priority", "q12_ship_delay",
+                 "q15_top_supplier", "q17_small_qty_revenue",
+                 "q21_waiting_suppliers", "q22_idle_customers",
+                 "q8_market_share"]
 
 
 def _warm_workers(ncpu: int) -> None:

@@ -70,7 +70,10 @@ def main() -> None:
     from westa_ocr_ray.pipelines.extract import run_extract
 
     t0 = time.perf_counter()
-    corpus = fixtures.ensure_corpus("rehearsal", n_docs=N_DOCS, files=64)
+    # tier name carries n_docs: ensure_corpus caches per tier NAME, so a
+    # differently-sized rehearsal must not reuse a smaller cached corpus
+    corpus = fixtures.ensure_corpus(f"rehearsal{N_DOCS}", n_docs=N_DOCS,
+                                    files=64)
     gen_sec = time.perf_counter() - t0
 
     frac = float(os.environ.get("GRAFT_ACTOR_FRACTION", "0.875"))

@@ -31,9 +31,13 @@ class ExtractConfig:
     extract_num_cpus: float = 1.0
     # staged-shuffle knobs: input block count controls stage-file count
     # (one stage file per block); the reduce is storage-bandwidth-bound
-    # locally, so its task concurrency is capped independently of CPUs.
+    # locally, so its task concurrency is capped independently of CPUs
+    # (Ray still schedules <= available CPUs below the cap). 16 beat 8
+    # at the 6M-doc rehearsal (phase2 15.2s -> 9.7s, BASELINE.md §10x);
+    # 256 parts with 16 reducers regressed (32.3s — per-task stage-file
+    # open cost dominates), so num_parts stays 64.
     read_num_blocks: Optional[int] = None
-    reduce_concurrency: int = 8
+    reduce_concurrency: int = 16
     # stage files are transient (wiped on resume): put them on fast local
     # scratch — /dev/shm when available, the cluster-node SSD otherwise.
     # MULTI-NODE: phase 2 requires every reducer to see every stage

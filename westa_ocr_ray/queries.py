@@ -14049,3 +14049,521 @@ assert all(n in QUERIES for n in _R5_OVERFLOW)
 _r5_head = _WINDOW_R5 + _R5_OVERFLOW
 QUERIES = {**{n: QUERIES[n] for n in _r5_head},
            **{n: f for n, f in QUERIES.items() if n not in set(_r5_head)}}
+
+
+# ===================================================================
+# round-5 additions (registered PAST the fixed _WINDOW_R5 on purpose —
+# CHECK_r05.json + scripts/check_queries.py value-gate them locally;
+# the r6 window would rotate them in)
+# ===================================================================
+
+Q3_DATE = pd.Timestamp("1997-06-15")
+
+
+def q3_shipping_priority(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped BUILDING
+    orders by discounted revenue. Ray-Data-first plan: both joins
+    PARTITIONED (customer and orders are unbounded at corpus scale —
+    no broadcast); the segment filter runs INSIDE the customer join's
+    buckets, the revenue pre-reduces per order INSIDE the lineitem
+    join's buckets, so the final exchange carries one partial row per
+    (order, date, priority) per bucket; the global top-10 is per-block
+    top-k + a tiny k x blocks driver merge (o3 pattern — a full sort
+    for a top-10 is shuffle waste). Ties break (revenue desc, date
+    asc, orderkey asc) in engine and SQL alike."""
+    orders = rp(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"]) \
+        .map_batches(lambda df: df[df["o_orderdate"] < Q3_DATE],
+                     batch_format="pandas")
+    cust = rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def keep_building(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["c_mktsegment"] == "BUILDING"] \
+            [["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    j1 = hash_join(orders, cust, "o_custkey", "c_custkey",
+                   left_cols=["o_orderkey", "o_custkey", "o_orderdate",
+                              "o_orderpriority"],
+                   right_cols=["c_custkey", "c_mktsegment"],
+                   bucket_fn=keep_building)
+
+    li = rp(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(
+            lambda df: (lambda k: pd.DataFrame({
+                "l_orderkey": df["l_orderkey"].to_numpy(dtype=np.int64)[k],
+                "rev": (_cents(df["l_extendedprice"]).to_numpy()
+                        * (100 - np.round(df["l_discount"].to_numpy(
+                            dtype=np.float64) * 100).astype(np.int64)))[k]}))
+            ((df["l_shipdate"] > Q3_DATE).to_numpy()),
+            batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                          sort=False, as_index=False).agg(
+            revenue_e4=("rev", "sum"))
+
+    j2 = hash_join(li, j1, "l_orderkey", "o_orderkey",
+                   left_cols=["l_orderkey", "rev"],
+                   right_cols=["o_orderkey", "o_orderdate",
+                               "o_orderpriority"],
+                   bucket_fn=fold)
+    agg = partial_aggregate(j2,
+                            ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                            {"revenue_e4": ("sum", "revenue_e4")})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_e4", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True]).head(10)
+
+    small = agg.map_batches(topk, batch_format="pandas").to_pandas()
+    out = (small.sort_values(["revenue_e4", "o_orderdate", "l_orderkey"],
+                             ascending=[False, True, True],
+                             ignore_index=True).head(10))
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    out["revenue_e4"] = out["revenue_e4"].astype("int64")
+    return rd.from_pandas(out)
+
+
+QUERIES["q3_shipping_priority"] = q3_shipping_priority
+ORACLE_SQL["q3_shipping_priority"] = """
+    WITH j AS (
+      SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-06-15'
+        AND l.l_shipdate > TIMESTAMP '1997-06-15')
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(rev) AS BIGINT) AS revenue_e4
+    FROM j GROUP BY 1, 2, 3
+    ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey LIMIT 10"""
+
+
+def q12_ship_delay(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q12 shape (shipping-mode / late-lines): lines per
+    ship-delay band (shipdate - orderdate: <30, 30-89, >=90 days)
+    split into high-priority (1-URGENT / 2-HIGH) vs low-priority
+    counts — the schema has no l_shipmode/commitdate, so the band
+    plays the mode role with identical join/conditional-aggregation
+    structure. The priority split and band bucketing run INSIDE the
+    lineitem x orders join buckets, pre-reduced to <=3 partial rows
+    per bucket."""
+    li = rp(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = rp(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        days = ((df["l_shipdate"].to_numpy("datetime64[D]")
+                 - df["o_orderdate"].to_numpy("datetime64[D]"))
+                .astype("timedelta64[D]").astype(np.int64))
+        band = np.where(days < 30, "short",
+                        np.where(days < 90, "mid", "long"))
+        high = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        g = pd.DataFrame({"delay_band": band,
+                          "high_line_count": high.astype(np.int64),
+                          "low_line_count": (~high).astype(np.int64)})
+        return g.groupby("delay_band", sort=False, as_index=False).agg(
+            high_line_count=("high_line_count", "sum"),
+            low_line_count=("low_line_count", "sum"))
+
+    j = hash_join(li, orders, "l_orderkey", "o_orderkey",
+                  left_cols=["l_orderkey", "l_shipdate"],
+                  right_cols=["o_orderkey", "o_orderdate",
+                              "o_orderpriority"],
+                  bucket_fn=fold)
+    return partial_aggregate(j, ["delay_band"],
+                             {"high_line_count": ("sum", "high_line_count"),
+                              "low_line_count": ("sum", "low_line_count")})
+
+
+QUERIES["q12_ship_delay"] = q12_ship_delay
+ORACLE_SQL["q12_ship_delay"] = """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30
+                THEN 'short'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 90
+                THEN 'mid' ELSE 'long' END AS delay_band,
+           CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority IN
+                ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS high_line_count,
+           CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority IN
+                ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END), 0) AS BIGINT)
+               AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1"""
+
+
+Q15_FROM, Q15_TO = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-04-01")
+
+
+def q15_top_supplier(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with the maximum
+    3-month discounted revenue, ties included. The revenue view is one
+    partial_aggregate over the date-pruned lineitem (per-batch combine;
+    only per-supplier partials shuffle); the MAX is a distributed
+    Dataset.max over that small view (never a driver materialization
+    of the view itself), and the name lookup broadcasts the matching
+    suppliers only."""
+    lo, hi = Q15_FROM, Q15_TO
+    li = rp(sf_dir, "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(
+            lambda df: (lambda k: pd.DataFrame({
+                "l_suppkey": df["l_suppkey"].to_numpy(dtype=np.int64)[k],
+                "rev": (_cents(df["l_extendedprice"]).to_numpy()
+                        * (100 - np.round(df["l_discount"].to_numpy(
+                            dtype=np.float64) * 100).astype(np.int64)))[k]}))
+            (((df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi))
+             .to_numpy()),
+            batch_format="pandas")
+    rev = partial_aggregate(li, ["l_suppkey"],
+                            {"total_revenue_e4": ("sum", "rev")})
+    rev = rev.materialize()  # consumed twice (max + filter); supplier-sized
+    best = rev.max("total_revenue_e4")
+    top = rev.map_batches(
+        lambda df: df[df["total_revenue_e4"] == best],
+        batch_format="pandas").to_pandas()  # tiny: the tied winners
+    supp = rp(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(supp, left_on="l_suppkey", right_on="s_suppkey") \
+        [["s_suppkey", "s_name", "total_revenue_e4"]] \
+        .sort_values("s_suppkey", ignore_index=True)
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["total_revenue_e4"] = out["total_revenue_e4"].astype("int64")
+    return rd.from_pandas(out)
+
+
+QUERIES["q15_top_supplier"] = q15_top_supplier
+ORACLE_SQL["q15_top_supplier"] = """
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS total_revenue_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
+    FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM r)"""
+
+
+def q17_small_qty_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q17 shape (small-quantity revenue): revenue from lines of
+    Brand#23 parts whose quantity is below 20% of that part's average
+    quantity — the classic correlated-subquery-to-preagg-join rewrite.
+    The brand filter runs INSIDE the lineitem x part join buckets; the
+    per-part average joins BACK to the same rows; the 0.2 x avg
+    comparison cross-multiplies to integers (5 * qty * n < sum_qty) so
+    engine and SQL agree exactly. The brand-pruned line table is
+    materialized once (consumed by both the average and the probe —
+    bounded: one brand's lines)."""
+    li = rp(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice"])
+    part = rp(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def keep_brand(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["p_brand"] == "Brand#23"]
+        return pd.DataFrame({
+            "l_partkey": d["l_partkey"].to_numpy(dtype=np.int64),
+            "qty": np.round(d["l_quantity"].to_numpy(dtype=np.float64))
+                     .astype(np.int64),
+            "cents": _cents(d["l_extendedprice"]).to_numpy()})
+
+    lp = hash_join(li, part, "l_partkey", "p_partkey",
+                   left_cols=["l_partkey", "l_quantity", "l_extendedprice"],
+                   right_cols=["p_partkey", "p_brand"],
+                   bucket_fn=keep_brand).materialize()
+    avg = partial_aggregate(lp, ["l_partkey"],
+                            {"sq": ("sum", "qty"), "n": ("count", None)})
+
+    def small_only(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["qty"].to_numpy(np.int64) * 5 * df["n"].to_numpy(np.int64) \
+            < df["sq"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "__g": [np.int32(0)],
+            "small_qty_cents": pd.Series([int(df["cents"].to_numpy(
+                np.int64)[k].sum())], dtype="int64"),
+            "n_lines": pd.Series([int(k.sum())], dtype="int64")})
+
+    j = hash_join(lp, avg, "l_partkey", "l_partkey",
+                  left_cols=["l_partkey", "qty", "cents"],
+                  right_cols=["l_partkey", "sq", "n"],
+                  bucket_fn=small_only)
+    return partial_aggregate(j, ["__g"],
+                             {"small_qty_cents": ("sum", "small_qty_cents"),
+                              "n_lines": ("sum", "n_lines")}) \
+        .map_batches(lambda df: df[["small_qty_cents", "n_lines"]],
+                     batch_format="pandas")
+
+
+QUERIES["q17_small_qty_revenue"] = q17_small_qty_revenue
+ORACLE_SQL["q17_small_qty_revenue"] = """
+    WITH lp AS (
+      SELECT l.l_partkey, CAST(ROUND(l.l_quantity) AS BIGINT) AS qty,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#23'),
+    a AS (SELECT l_partkey, SUM(qty) AS sq, COUNT(*) AS n
+          FROM lp GROUP BY 1)
+    SELECT CAST(COALESCE(SUM(lp.cents), 0) AS BIGINT) AS small_qty_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lp JOIN a USING (l_partkey)
+    WHERE lp.qty * 5 * a.n < a.sq"""
+
+
+def q21_waiting_suppliers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished ('F') multi-supplier orders, the supplier who ALONE
+    shipped last (their per-order max shipdate is the order's max and
+    unique) held the order up; count such orders per supplier. The
+    schema has no commit/receipt dates, so last-to-ship plays the
+    late-delivery role with the same exists/not-exists structure. Plan:
+    one partial_aggregate to per-(order, supplier) max shipdates, then
+    ONE partitioned join with the F-orders — the whole per-order
+    window logic (order max, supplier count, uniqueness) runs INSIDE
+    the join bucket, where all of an order's supplier rows are
+    co-located by the bucket hash; per-supplier numwait partials are
+    the only exchange after that."""
+    li = rp(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    sm = partial_aggregate(li, ["l_orderkey", "l_suppkey"],
+                           {"ms": ("max", "l_shipdate")})
+    orders_f = rp(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]) \
+        .map_batches(lambda df: df[df["o_orderstatus"] == "F"]
+                     [["o_orderkey"]], batch_format="pandas")
+
+    def laggards(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", sort=False)
+        omax = g["ms"].transform("max")
+        nsupp = g["ms"].transform("size")
+        at_max = df["ms"].to_numpy() == omax.to_numpy()
+        natmax = g["ms"].transform(
+            lambda s: int((s == s.max()).sum())).to_numpy()
+        k = at_max & (natmax == 1) & (nsupp.to_numpy() >= 2)
+        out = df.loc[k, ["l_suppkey"]].copy()
+        out["numwait"] = np.int64(1)
+        return out.groupby("l_suppkey", sort=False, as_index=False).agg(
+            numwait=("numwait", "sum"))
+
+    j = hash_join(sm, orders_f, "l_orderkey", "o_orderkey",
+                  left_cols=["l_orderkey", "l_suppkey", "ms"],
+                  right_cols=["o_orderkey"], bucket_fn=laggards)
+    agg = partial_aggregate(j, ["l_suppkey"], {"numwait": ("sum", "numwait")})
+    supp = rp(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = hash_join(agg, supp, "l_suppkey", "s_suppkey",
+                    left_cols=["l_suppkey", "numwait"],
+                    right_cols=["s_suppkey", "s_name"])
+    # hash_join keeps ONE copy of the (equal) key columns, under the
+    # left name — re-expose it as s_suppkey for the output schema
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "s_suppkey": df["l_suppkey"].astype("int64"),
+            "s_name": df["s_name"],
+            "numwait": df["numwait"].astype("int64")}),
+        batch_format="pandas")
+
+
+QUERIES["q21_waiting_suppliers"] = q21_waiting_suppliers
+ORACLE_SQL["q21_waiting_suppliers"] = """
+    WITH sm AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS ms
+      FROM lineitem GROUP BY 1, 2),
+    agg AS (SELECT l_orderkey, MAX(ms) AS omax, COUNT(*) AS nsupp
+            FROM sm GROUP BY 1),
+    atm AS (SELECT sm.l_orderkey, COUNT(*) AS natmax
+            FROM sm JOIN agg USING (l_orderkey)
+            WHERE sm.ms = agg.omax GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM sm
+    JOIN agg USING (l_orderkey)
+    JOIN atm USING (l_orderkey)
+    JOIN orders o ON o.o_orderkey = sm.l_orderkey
+    JOIN supplier s ON s.s_suppkey = sm.l_suppkey
+    WHERE sm.ms = agg.omax AND atm.natmax = 1 AND agg.nsupp >= 2
+      AND o.o_orderstatus = 'F'
+    GROUP BY 1, 2"""
+
+
+Q22_CUTOFF = pd.Timestamp("2000-01-01")
+
+
+def q22_idle_customers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q22 shape (global sales opportunity): per nation, the
+    count and total balance of customers with above-average positive
+    balance with no RECENT order (none on/after Q22_CUTOFF — this
+    testdata has no never-ordered customers, so recency stands in for
+    the not-exists). The average is a two-number global scalar
+    (sum_cents, n over positive balances) broadcast into the filter;
+    above-average compares by integer cross-multiply
+    (cents * n > sum_cents) so engine and SQL agree exactly; the
+    no-recent-order test is the scalable Bloom-prefiltered anti-join
+    against the date-pruned orders' customer keys (no driver-side key
+    set)."""
+    cust = rp(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    stats = cust.map_batches(
+        lambda df: (lambda c: pd.DataFrame({
+            "__g": [np.int32(0)],
+            "sc": pd.Series([int(c[c > 0].sum())], dtype="int64"),
+            "n": pd.Series([int((c > 0).sum())], dtype="int64")}))
+        (_cents(df["c_acctbal"]).to_numpy()), batch_format="pandas")
+    stats = partial_aggregate(stats, ["__g"],
+                              {"sc": ("sum", "sc"), "n": ("sum", "n")}) \
+        .to_pandas()
+    sc, n = int(stats["sc"][0]), int(stats["n"][0])
+
+    rich = cust.map_batches(
+        lambda df: (lambda c, k: pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(np.int64)[k],
+            "c_nationkey": df["c_nationkey"].to_numpy(np.int64)[k],
+            "bal_cents": c[k]}))
+        (_cents(df["c_acctbal"]).to_numpy(),
+         _cents(df["c_acctbal"]).to_numpy() * n > sc),
+        batch_format="pandas")
+    ordered = rp(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda df: df[df["o_orderdate"] >= Q22_CUTOFF]
+            [["o_custkey"]].rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas")
+    idle = relops.semi_anti_filter_scalable(rich, "c_custkey", ordered,
+                                            anti=True)
+    return partial_aggregate(idle, ["c_nationkey"],
+                             {"numcust": ("count", None),
+                              "totacctbal_cents": ("sum", "bal_cents")})
+
+
+QUERIES["q22_idle_customers"] = q22_idle_customers
+ORACLE_SQL["q22_idle_customers"] = """
+    WITH p AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS sc,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0),
+    sel AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer, p
+      WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * p.n > p.sc)
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal) AS BIGINT) AS totacctbal_cents
+    FROM sel
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1"""
+
+
+Q8_TARGET_NATION = 5          # supplier nation whose share is measured
+Q8_FROM, Q8_TO = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+
+
+def q8_market_share(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q8 shape (national market share): of the PROMO-part
+    revenue sold to ASIA-region customers over two years, the yearly
+    ppm share supplied by nation 5 — the longest join chain in the
+    suite (lineitem x part x orders x customer x supplier + two
+    dimension filters). Ray-Data-first plan: nation/region are
+    schema-bounded (25/5 rows) and broadcast as a frozenset; the four
+    big joins run PARTITIONED in sequence, each with its filter or
+    fold INSIDE the join bucket so only surviving columns move:
+    part-type prune -> date prune + year extract -> region prune ->
+    per-(year, is-target) pre-reduce. The final exchange is <=2 rows
+    per bucket; share compares exactly in integer ppm."""
+    nat = rp(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = rp(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = frozenset(
+        int(k) for k in nat.merge(
+            reg[reg["r_name"] == "ASIA"],
+            left_on="n_regionkey", right_on="r_regionkey")["n_nationkey"])
+
+    li = rp(sf_dir, "lineitem",
+            ["l_partkey", "l_orderkey", "l_suppkey",
+             "l_extendedprice", "l_discount"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "l_partkey": df["l_partkey"].to_numpy(np.int64),
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "rev": _cents(df["l_extendedprice"]).to_numpy()
+                * (100 - np.round(df["l_discount"].to_numpy(np.float64)
+                                  * 100).astype(np.int64))}),
+            batch_format="pandas")
+    part = rp(sf_dir, "part", ["p_partkey", "p_type"])
+    j1 = hash_join(li, part, "l_partkey", "p_partkey",
+                   left_cols=["l_partkey", "l_orderkey", "l_suppkey", "rev"],
+                   right_cols=["p_partkey", "p_type"],
+                   bucket_fn=lambda df: df[df["p_type"] == "PROMO"]
+                   [["l_orderkey", "l_suppkey", "rev"]])
+
+    orders_f = rp(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda df: (lambda k: pd.DataFrame({
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64)[k],
+                "o_custkey": df["o_custkey"].to_numpy(np.int64)[k],
+                "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64)[k]}))
+            (((df["o_orderdate"] >= Q8_FROM)
+              & (df["o_orderdate"] < Q8_TO)).to_numpy()),
+            batch_format="pandas")
+    j2 = hash_join(j1, orders_f, "l_orderkey", "o_orderkey",
+                   left_cols=["l_orderkey", "l_suppkey", "rev"],
+                   right_cols=["o_orderkey", "o_custkey", "o_year"])
+
+    cust = rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j3 = hash_join(j2, cust, "o_custkey", "c_custkey",
+                   left_cols=["o_custkey", "l_suppkey", "rev", "o_year"],
+                   right_cols=["c_custkey", "c_nationkey"],
+                   bucket_fn=lambda df: df[df["c_nationkey"].isin(asia)]
+                   [["l_suppkey", "rev", "o_year"]])
+
+    supp = rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        tgt = df["s_nationkey"].to_numpy(np.int64) == Q8_TARGET_NATION
+        rev = df["rev"].to_numpy(np.int64)
+        g = pd.DataFrame({"o_year": df["o_year"].to_numpy(np.int64),
+                          "total_e4": rev,
+                          "nation_e4": np.where(tgt, rev, 0)})
+        return g.groupby("o_year", sort=False, as_index=False).agg(
+            total_e4=("total_e4", "sum"), nation_e4=("nation_e4", "sum"))
+
+    j4 = hash_join(j3, supp, "l_suppkey", "s_suppkey",
+                   left_cols=["l_suppkey", "rev", "o_year"],
+                   right_cols=["s_suppkey", "s_nationkey"], bucket_fn=fold)
+    agg = partial_aggregate(j4, ["o_year"],
+                            {"total_e4": ("sum", "total_e4"),
+                             "nation_e4": ("sum", "nation_e4")})
+    return agg.map_batches(
+        lambda df: df.assign(
+            share_ppm=(df["nation_e4"].to_numpy(np.int64) * 1_000_000
+                       // df["total_e4"].to_numpy(np.int64)).astype("int64")),
+        batch_format="pandas")
+
+
+QUERIES["q8_market_share"] = q8_market_share
+ORACLE_SQL["q8_market_share"] = """
+    WITH j AS (
+      SELECT EXTRACT(year FROM o.o_orderdate)::BIGINT AS o_year,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev,
+             s.s_nationkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT o_year, CAST(SUM(rev) AS BIGINT) AS total_e4,
+           CAST(COALESCE(SUM(rev) FILTER (WHERE s_nationkey = 5), 0)
+                AS BIGINT) AS nation_e4,
+           CAST(COALESCE(SUM(rev) FILTER (WHERE s_nationkey = 5), 0)
+                * 1000000 // SUM(rev) AS BIGINT) AS share_ppm
+    FROM j GROUP BY 1"""
