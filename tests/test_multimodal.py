@@ -135,3 +135,47 @@ def test_interleaved_pack_greedy_budget():
     assert out.loc["b", "n_seqs"] == 2
     assert out.loc["c", "n_seqs"] == 1 and out.loc["c", "n_media"] == 1
     assert out.loc["d", "n_seqs"] == 0 and out.loc["d", "n_spans"] == 0
+
+
+def test_caption_align_nearest_preceding_text():
+    """mm_caption_align pairs each media span with the nearest
+    PRECEDING text-kind span, never across documents, and counts
+    media-first spans as uncaptioned (westa_ocr_ray/queries.py
+    q_mm_caption_align — same rule as _mm_caption_oracle_sql)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from westa_ocr_ray import queries as qmod
+
+    def span(kind, text, ref, order):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "order": order}
+
+    t = pa.table({
+        "doc_id": ["d1", "d2"],
+        "spans": [
+            # caption -> image, then a pdf page further on (gap 2)
+            [span("html", "cap one", "", 0),
+             span("image", "pix", "m/1", 1),
+             span("pdf", "pg", "m/2", 3)],
+            # media FIRST (uncaptioned), then text, then image
+            [span("image", "pix", "m/3", 0),
+             span("text", "cap two", "", 1),
+             span("image", "pix", "m/4", 2)],
+        ]})
+    def expected_chk(doc, ref, order, cap):
+        return int(hashlib.md5(f"{doc}|{ref}|{order}|{cap}"
+                               .encode()).hexdigest()[:8], 16)
+
+    out = qmod._caption_align_kernel(t).set_index("kind")
+    assert int(out.loc["image", "n_media"]) == 3
+    assert int(out.loc["image", "n_captioned"]) == 2
+    assert int(out.loc["pdf", "n_captioned"]) == 1
+    assert int(out.loc["pdf", "sum_gap"]) == 3  # order 3 - order 0
+    assert int(out.loc["image", "sum_gap"]) == 1 + 1
+    assert int(out.loc["image", "sum_chk"]) == (
+        expected_chk("d1", "m/1", 1, "cap one")
+        + expected_chk("d2", "m/4", 2, "cap two"))
+    assert int(out.loc["pdf", "sum_chk"]) == expected_chk(
+        "d1", "m/2", 3, "cap one")

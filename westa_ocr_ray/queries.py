@@ -14567,3 +14567,142 @@ ORACLE_SQL["q8_market_share"] = """
            CAST(COALESCE(SUM(rev) FILTER (WHERE s_nationkey = 5), 0)
                 * 1000000 // SUM(rev) AS BIGINT) AS share_ppm
     FROM j GROUP BY 1"""
+
+
+def q_mm_caption_align(sf_dir: str) -> rd.Dataset:
+    """Caption pairing for interleaved media: every media-derived span
+    (pdf/image page) pairs with the NEAREST PRECEDING text-kind span
+    in its document's reading order — the image-caption alignment step
+    a multimodal training mix is built from (MMC4-style). Vectorized:
+    one forward-fill (np.maximum.accumulate) of last-text-span indices
+    over the flattened span rows, reset at document boundaries via the
+    per-parent first index; folds per kind to (n_media, n_captioned,
+    sum_gap, sum_chk) where chk = md5(doc|ref|order|caption) — any
+    mispairing anywhere in the corpus moves the sum. VALUES oracle
+    from the serial reference extraction through the same rule."""
+    res = _extracted(sf_dir).select_columns(["doc_id", "spans"])
+    return partial_aggregate(
+        res.map_batches(_caption_align_kernel, batch_format="pyarrow"),
+        ["kind"], {"n_media": ("sum", "n_media"),
+                   "n_captioned": ("sum", "n_captioned"),
+                   "sum_gap": ("sum", "sum_gap"),
+                   "sum_chk": ("sum", "sum_chk")})
+
+
+def _caption_align_kernel(t: pa.Table) -> pd.DataFrame:
+    """Per-batch caption pairing + per-kind fold (unit-tested directly
+    in tests/test_multimodal.py)."""
+    import hashlib as _h
+
+    import pyarrow.compute as pc
+
+    empty = pd.DataFrame({
+        "kind": pd.Series([], dtype=object),
+        "n_media": pd.Series([], dtype=np.int64),
+        "n_captioned": pd.Series([], dtype=np.int64),
+        "sum_gap": pd.Series([], dtype=np.int64),
+        "sum_chk": pd.Series([], dtype=np.int64)})
+    t = t.combine_chunks()
+    spans = t.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    if len(flat) == 0:
+        return empty
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+    orders = flat.field("order").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    texts = flat.field("text").to_numpy(zero_copy_only=False)
+    refs = flat.field("media_ref").to_numpy(zero_copy_only=False)
+    docs = t.column("doc_id").to_numpy(zero_copy_only=False)
+
+    is_text = (kinds == "html") | (kinds == "text")
+    is_media = (kinds == "pdf") | (kinds == "image")
+    if not is_media.any():
+        return empty
+    idx = np.arange(len(flat), dtype=np.int64)
+    last_text = np.maximum.accumulate(np.where(is_text, idx, -1))
+    # parent is non-decreasing: first flat index of each document
+    parent_first = np.searchsorted(parent, parent, side="left")
+    cap_idx = last_text[is_media]
+    valid = cap_idx >= parent_first[is_media]
+    m_idx = idx[is_media]
+    chk = np.zeros(len(m_idx), dtype=np.int64)
+    gap = np.zeros(len(m_idx), dtype=np.int64)
+    vi = np.flatnonzero(valid)
+    chk[vi] = np.fromiter(
+        (int(_h.md5(
+            f"{docs[parent[m]]}|{refs[m]}|{orders[m]}|{texts[c]}"
+            .encode("utf-8")).hexdigest()[:8], 16)
+         for m, c in zip(m_idx[vi], cap_idx[vi])),
+        dtype=np.int64, count=len(vi))
+    gap[vi] = orders[m_idx[vi]] - orders[cap_idx[vi]]
+    g = pd.DataFrame({"kind": kinds[is_media],
+                      "n_media": np.ones(len(m_idx), dtype=np.int64),
+                      "n_captioned": valid.astype(np.int64),
+                      "sum_gap": gap, "sum_chk": chk})
+    return g.groupby("kind", sort=False, as_index=False).agg(
+        n_media=("n_media", "sum"), n_captioned=("n_captioned", "sum"),
+        sum_gap=("sum_gap", "sum"), sum_chk=("sum_chk", "sum"))
+
+
+def _mm_caption_oracle_sql(tier: str = "correctness") -> str:
+    """Inline-VALUES oracle for q_mm_caption_align: the serial
+    reference extraction through the same nearest-preceding-text
+    pairing + per-kind fold."""
+    import hashlib as _h
+    import json
+    import os
+
+    from . import oracle as oracle_mod
+
+    fp = fixtures.source_fingerprint(fixtures, extractors, oracle_mod)
+    cache = f"/tmp/westa_oracle_cache/{fp}_{tier}_mm_capt.json"
+    rows = None
+    if os.path.exists(cache):
+        try:
+            with open(cache) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            rows = None
+    if rows is None:
+        per_doc = oracle_mod.extract_corpus(fixtures.DEFAULT_SEED,
+                                            fixtures.TIERS[tier])
+        acc: dict = {}
+        for r in per_doc:
+            last_text = None
+            for s in r["spans"]:
+                if s["kind"] in ("html", "text"):
+                    last_text = s
+                elif s["kind"] in ("pdf", "image"):
+                    a = acc.setdefault(s["kind"], [0, 0, 0, 0])
+                    a[0] += 1
+                    if last_text is not None:
+                        a[1] += 1
+                        a[2] += s["order"] - last_text["order"]
+                        a[3] += int(_h.md5(
+                            f"{r['doc_id']}|{s['media_ref']}|{s['order']}|"
+                            f"{last_text['text']}".encode("utf-8"))
+                            .hexdigest()[:8], 16)
+        rows = [[k] + v for k, v in sorted(acc.items())]
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(rows, fh)
+        os.replace(tmp, cache)
+    vals = ", ".join("('{}', {}, {}, {}, {})".format(*r) for r in rows)
+    return f"""
+        SELECT kind, CAST(n_media AS BIGINT) AS n_media,
+               CAST(n_captioned AS BIGINT) AS n_captioned,
+               CAST(sum_gap AS BIGINT) AS sum_gap,
+               CAST(sum_chk AS BIGINT) AS sum_chk
+        FROM (VALUES {vals}) AS t(kind, n_media, n_captioned,
+                                  sum_gap, sum_chk)"""
+
+
+QUERIES["mm_caption_align"] = q_mm_caption_align
+TIER_ORACLE_BUILDERS["mm_caption_align"] = _mm_caption_oracle_sql
+# the driver's oracle_sql() snapshot runs at its sf0.01 = correctness
+# tier (check_queries re-builds per tier)
+ORACLE_SQL["mm_caption_align"] = _mm_caption_oracle_sql("correctness")
