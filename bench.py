@@ -132,7 +132,8 @@ BENCH_QUERIES = ["g1_lineitem_agg", "j1_region_revenue", "o1_first_line_partkey"
                  "q3_shipping_priority", "q12_ship_delay",
                  "q15_top_supplier", "q17_small_qty_revenue",
                  "q21_waiting_suppliers", "q22_idle_customers",
-                 "q8_market_share", "mm_caption_align"]
+                 "q8_market_share", "mm_caption_align",
+                 "label_centroid_distances"]
 
 
 def _warm_workers(ncpu: int) -> None:

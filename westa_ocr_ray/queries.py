@@ -14706,3 +14706,75 @@ TIER_ORACLE_BUILDERS["mm_caption_align"] = _mm_caption_oracle_sql
 # the driver's oracle_sql() snapshot runs at its sf0.01 = correctness
 # tier (check_queries re-builds per tier)
 ORACLE_SQL["mm_caption_align"] = _mm_caption_oracle_sql("correctness")
+
+
+def label_centroid_distances(sf_dir: str) -> rd.Dataset:
+    """Inter-class separation audit for an embedding table: the exact
+    pairwise squared L2 distance between per-label centroids,
+    integer-quantized so engine and SQL agree bit-for-bit — the
+    class-geometry report a contrastive/classifier training set is
+    vetted with. Elements quantize to int micro BEFORE any sum (the
+    unordered-float-SUM trap), per-(label, dim) integer partials are
+    the only exchange (|labels| x dim rows), and the centroid rounding
+    is the sign-split half-away-from-zero rule stated in pure integer
+    arithmetic ((2s + n) // (2n)) on both sides. The pairwise step
+    runs on the driver over the |labels| x dim summary — bounded by
+    the label domain, never by the corpus."""
+    from .similarity import _quant_away
+
+    emb = rp(sf_dir, "embeddings", ["label", "embedding"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df["label"].to_numpy(np.int64)
+        mat = np.stack(df["embedding"].to_numpy())
+        micro = _quant_away(mat, 10**6)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), micro.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, micro)
+        counts = np.bincount(inv).astype(np.int64)
+        dim = micro.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(uniq, dim),
+            "d": np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uniq)),
+            "s": sums.ravel(),
+            "n": np.repeat(counts, dim)})
+
+    parts = partial_aggregate(emb.map_batches(fold, batch_format="pandas"),
+                              ["label", "d"],
+                              {"s": ("sum", "s"), "n": ("sum", "n")})
+    t = parts.to_pandas()  # |labels| x dim rows — label-domain bounded
+    s = t["s"].to_numpy(np.int64)
+    n = t["n"].to_numpy(np.int64)
+    cm = np.where(s >= 0, (2 * s + n) // (2 * n), -((-2 * s + n) // (2 * n)))
+    t = t.assign(cm=cm).sort_values(["label", "d"])
+    labels = np.sort(t["label"].unique())
+    c = t.pivot(index="label", columns="d", values="cm") \
+        .loc[labels].to_numpy(np.int64)
+    ia, ib = np.triu_indices(len(labels), k=1)
+    diff = c[ia] - c[ib]
+    return rd.from_pandas(pd.DataFrame({
+        "label_a": labels[ia].astype("int64"),
+        "label_b": labels[ib].astype("int64"),
+        "dist2": (diff * diff).sum(axis=1).astype("int64")}))
+
+
+QUERIES["label_centroid_distances"] = label_centroid_distances
+ORACLE_SQL["label_centroid_distances"] = """
+    WITH e AS (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings),
+    s AS (SELECT label, d,
+                 CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS s,
+                 COUNT(*) AS n
+          FROM e GROUP BY 1, 2),
+    c AS (SELECT label, d,
+                 CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                      ELSE -((-2 * s + n) // (2 * n)) END AS cm
+          FROM s)
+    SELECT CAST(a.label AS BIGINT) AS label_a,
+           CAST(b.label AS BIGINT) AS label_b,
+           CAST(SUM((a.cm - b.cm) * (a.cm - b.cm)) AS BIGINT) AS dist2
+    FROM c a JOIN c b ON a.d = b.d AND a.label < b.label
+    GROUP BY 1, 2"""
